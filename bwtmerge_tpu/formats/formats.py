@@ -1,0 +1,372 @@
+"""The seven BWT file formats, byte-compatible with the reference.
+
+Each format exposes:
+    read(path)  -> (RunArrays maximal runs, counts int64[sigma], Alphabet)
+    write(path, runs, alpha, sequences, bases)
+    order()     -> AlphabeticOrder
+    name / tag
+
+Formats (reference formats.h:68-156):
+    NativeFormat   full serialized FMI (header + RLE blocks + rank/select + alphabet)
+    PlainFormatD/S BWT as a raw character array (default / sorted order)
+    RFMFormat      int_vector<8> of comp values (sorted order)
+    SDSLFormat     int_vector<8> of characters (sorted order)
+    RopeFormat     1 byte/run: len<<3 | comp (MAX_RUN 31)
+    SGAFormat      header + 1 byte/run: comp<<5 | len (MAX_RUN 31)
+
+The Python implementations are the specification; the C++ runtime mirrors them
+for bulk IO and is cross-checked byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Tuple
+
+import numpy as np
+
+from ..models.runs import RunArrays, SIGMA
+from ..utils.alphabet import Alphabet, AlphabeticOrder, create_alphabet, identify_alphabet
+from . import codec
+from .headers import NativeHeader, RopeHeader, SGAHeader
+from . import sdsl_compat as sdsl
+
+BLOCK_ARRAY_BLOCK = 8 * 1024 * 1024  # BlockArray::BLOCK_SIZE (support.h:95)
+RLE_BLOCK = codec.RUN_BLOCK_SIZE      # 64; BWT::SAMPLE_RATE (bwt.h:49)
+
+
+def _read_file(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()
+
+
+# -- plain / int_vector-framed formats ------------------------------------------
+
+
+class _PlainBase:
+    """Shared engine for character/comp-array formats (PlainData,
+    formats.cpp:126-216)."""
+
+    framed = False            # IntVectorBuffer framing (u64 bit-count header)?
+
+    @classmethod
+    def _alphabet(cls) -> Alphabet:
+        return create_alphabet(cls.order())
+
+    @classmethod
+    def read(cls, path: str):
+        raw = _read_file(path)
+        if cls.framed:
+            (bits,) = struct.unpack("<Q", raw[:8])
+            values = np.frombuffer(raw[8 : 8 + bits // 8], dtype=np.uint8)
+        else:
+            values = np.frombuffer(raw, dtype=np.uint8)
+        alpha = cls._alphabet()
+        comps = alpha.char2comp[values]
+        runs = RunArrays.from_values(comps)
+        counts = runs.counts(SIGMA)
+        return runs, counts, Alphabet.from_counts(counts, alpha.char2comp, alpha.comp2char)
+
+    @classmethod
+    def write(cls, path: str, runs: RunArrays, alpha: Alphabet,
+              sequences: int, bases: int) -> None:
+        chars = cls._alphabet().comp2char[runs.decode()]
+        with open(path, "wb") as f:
+            if cls.framed:
+                f.write(struct.pack("<Q", chars.size * 8))
+                pad = (-chars.size) % 8
+                f.write(chars.tobytes() + b"\x00" * pad)
+            else:
+                f.write(chars.tobytes())
+
+
+class PlainFormatD(_PlainBase):
+    name = "Plain format (default alphabet)"
+    tag = "plain_default"
+
+    @staticmethod
+    def order() -> AlphabeticOrder:
+        return AlphabeticOrder.DEFAULT
+
+
+class PlainFormatS(_PlainBase):
+    name = "Plain format (sorted alphabet)"
+    tag = "plain_sorted"
+
+    @staticmethod
+    def order() -> AlphabeticOrder:
+        return AlphabeticOrder.SORTED
+
+
+class RFMFormat(_PlainBase):
+    """int_vector<8> of comp values 0-5 (identity alphabet, formats.cpp:248-263)."""
+
+    name = "RFM format"
+    tag = "rfm"
+    framed = True
+
+    @staticmethod
+    def order() -> AlphabeticOrder:
+        return AlphabeticOrder.SORTED
+
+    @classmethod
+    def _alphabet(cls) -> Alphabet:
+        return Alphabet.identity(SIGMA)
+
+    @classmethod
+    def read(cls, path: str):
+        runs, counts, _ = super().read(path)
+        # comp values are stored directly, but the logical alphabet is sorted.
+        alpha = create_alphabet(AlphabeticOrder.SORTED)
+        return runs, counts, Alphabet.from_counts(counts, alpha.char2comp, alpha.comp2char)
+
+
+class SDSLFormat(_PlainBase):
+    """int_vector<8> of characters, sorted alphabet (formats.cpp:267-277)."""
+
+    name = "SDSL format"
+    tag = "sdsl"
+    framed = True
+
+    @staticmethod
+    def order() -> AlphabeticOrder:
+        return AlphabeticOrder.SORTED
+
+
+# -- byte-per-run external RLE formats -------------------------------------------
+
+
+class _RopeBase:
+    """Shared engine for RopeBWT/SGA codecs (RopeData, formats.cpp:281-363).
+
+    Byte-exactness note: the reference writes these from its *stored-run*
+    partition (Run::read over the BlockArray), so a maximal run that was split
+    at a 64-byte RLE block boundary produces a different code sequence than an
+    unsplit one. We therefore re-derive the stored partition before encoding.
+    """
+
+    MAX_RUN = 31
+
+    @staticmethod
+    def order() -> AlphabeticOrder:
+        return AlphabeticOrder.DEFAULT
+
+    # subclass hooks
+    @classmethod
+    def _decode_codes(cls, codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        raise NotImplementedError
+
+    @classmethod
+    def _encode_codes(cls, syms: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    @classmethod
+    def _split_runs(cls, runs: RunArrays) -> Tuple[np.ndarray, np.ndarray]:
+        """Stored-run partition further split at MAX_RUN, vectorized."""
+        syms, lens = codec.stored_runs(runs.syms, runs.lens)
+        n_codes = (lens + cls.MAX_RUN - 1) // cls.MAX_RUN
+        total = int(n_codes.sum())
+        out_syms = np.repeat(syms, n_codes)
+        out_lens = np.full(total, cls.MAX_RUN, dtype=np.int64)
+        last_idx = np.cumsum(n_codes) - 1
+        remainder = lens - (n_codes - 1) * cls.MAX_RUN
+        out_lens[last_idx] = remainder
+        return out_syms, out_lens
+
+    @classmethod
+    def _runs_from_codes(cls, codes: np.ndarray):
+        syms, lens = cls._decode_codes(codes)
+        runs = RunArrays.from_runs(syms, lens.astype(np.int64))
+        counts = runs.counts(SIGMA)
+        alpha = create_alphabet(cls.order())
+        return runs, counts, Alphabet.from_counts(counts, alpha.char2comp, alpha.comp2char)
+
+
+class RopeFormat(_RopeBase):
+    """RopeBWT: u32 tag header + codes `len<<3 | comp` (formats.cpp:367-401)."""
+
+    name = "RopeBWT format"
+    tag = "ropebwt"
+
+    @classmethod
+    def _decode_codes(cls, codes):
+        return (codes & 0x07).astype(np.uint8), (codes >> 3).astype(np.int64)
+
+    @classmethod
+    def _encode_codes(cls, syms, lens):
+        return ((lens.astype(np.uint16) << 3) | syms).astype(np.uint8)
+
+    @classmethod
+    def read(cls, path: str):
+        raw = _read_file(path)
+        header = RopeHeader.from_bytes(raw)
+        if not header.check():
+            raise ValueError(f"{path}: invalid RopeBWT header")
+        return cls._runs_from_codes(np.frombuffer(raw[RopeHeader.SIZE :], dtype=np.uint8))
+
+    @classmethod
+    def write(cls, path: str, runs: RunArrays, alpha: Alphabet,
+              sequences: int, bases: int) -> None:
+        syms, lens = cls._split_runs(runs)
+        with open(path, "wb") as f:
+            f.write(RopeHeader().to_bytes())
+            f.write(cls._encode_codes(syms, lens).tobytes())
+
+
+class SGAFormat(_RopeBase):
+    """SGA: 30-byte header + codes `comp<<5 | len` (formats.cpp:405-445)."""
+
+    name = "SGA format"
+    tag = "sga"
+
+    @classmethod
+    def _decode_codes(cls, codes):
+        return (codes >> 5).astype(np.uint8), (codes & 0x1F).astype(np.int64)
+
+    @classmethod
+    def _encode_codes(cls, syms, lens):
+        return ((syms.astype(np.uint16) << 5) | lens.astype(np.uint16)).astype(np.uint8)
+
+    @classmethod
+    def read(cls, path: str):
+        raw = _read_file(path)
+        header = SGAHeader.from_bytes(raw)
+        if not header.check():
+            raise ValueError(f"{path}: invalid SGA header")
+        codes = np.frombuffer(raw[SGAHeader.SIZE : SGAHeader.SIZE + header.bytes_],
+                              dtype=np.uint8)
+        return cls._runs_from_codes(codes)
+
+    @classmethod
+    def write(cls, path: str, runs: RunArrays, alpha: Alphabet,
+              sequences: int, bases: int) -> None:
+        syms, lens = cls._split_runs(runs)
+        header = SGAHeader(sequences=sequences, bases=bases, bytes_=syms.size)
+        with open(path, "wb") as f:
+            f.write(header.to_bytes())
+            f.write(cls._encode_codes(syms, lens).tobytes())
+
+
+# -- native format ----------------------------------------------------------------
+
+
+class NativeFormat:
+    """Full serialized FMI (FMI::serialize<NativeFormat>, fmi.cpp:109-121):
+
+    NativeHeader | BlockArray (u64 bytes + 8 MB zero-padded blocks) |
+    6 x CumulativeArray (sd_vector + 0-byte supports + u64 size) |
+    block_boundaries sd_vector | Alphabet (char2comp, comp2char, C, sigma).
+
+    The only format that round-trips the rank/select structures.
+    """
+
+    name = "Native format"
+    tag = "native"
+
+    @staticmethod
+    def order() -> AlphabeticOrder:
+        return AlphabeticOrder.ANY
+
+    @classmethod
+    def read(cls, path: str):
+        with open(path, "rb") as f:
+            header = NativeHeader.from_bytes(f.read(NativeHeader.SIZE))
+            if not header.check():
+                raise ValueError(f"{path}: invalid native header")
+            (n_bytes,) = struct.unpack("<Q", f.read(8))
+            n_blocks = (n_bytes + BLOCK_ARRAY_BLOCK - 1) // BLOCK_ARRAY_BLOCK
+            data = f.read(n_blocks * BLOCK_ARRAY_BLOCK)[:n_bytes]
+            syms, lens = codec.decode_runs(data)
+            runs = RunArrays.from_runs(syms, lens)
+            for _c in range(SIGMA):
+                sdsl.read_sd_vector(f)
+                f.read(8)  # CumulativeArray m_size
+            sdsl.read_sd_vector(f)  # block_boundaries
+            char2comp, _ = sdsl.read_int_vector(f, 8)
+            comp2char, _ = sdsl.read_int_vector(f, 8)
+            C, _ = sdsl.read_int_vector(f, 64)
+            (sigma,) = struct.unpack("<Q", f.read(8))
+        alpha = Alphabet(
+            char2comp=char2comp.astype(np.uint8),
+            comp2char=comp2char.astype(np.uint8)[:sigma],
+            C=C.astype(np.uint64),
+        )
+        counts = runs.counts(SIGMA)
+        return runs, counts, alpha
+
+    @classmethod
+    def write(cls, path: str, runs: RunArrays, alpha: Alphabet,
+              sequences: int, bases: int) -> None:
+        data = codec.encode_runs(runs.syms, runs.lens)
+        syms, lens, offsets = codec.decode_runs_with_offsets(data)
+        n_bytes = len(data)
+        n_blocks = (n_bytes + RLE_BLOCK - 1) // RLE_BLOCK
+
+        # Per-RLE-block tables (BWT::build, bwt.cpp:477-512).
+        block_of_run = offsets // RLE_BLOCK
+        seq_cum = np.cumsum(lens)
+        last_run_of_block = np.searchsorted(block_of_run, np.arange(1, n_blocks + 1)) - 1
+        block_end_pos = seq_cum[last_run_of_block]          # length covered through block b
+        counts = np.zeros((SIGMA,), dtype=np.int64)
+        # per-block per-char cumulative counts at block ends
+        onehot = np.zeros((syms.size, SIGMA), dtype=np.int64)
+        onehot[np.arange(syms.size), syms] = lens
+        char_cum = np.cumsum(onehot, axis=0)
+        block_char_cum = char_cum[last_run_of_block]        # [n_blocks, SIGMA]
+        counts = char_cum[-1] if syms.size else counts
+
+        header = NativeHeader(sequences=sequences, bases=bases)
+        header.set_order(identify_alphabet(alpha))
+
+        with open(path, "wb") as f:
+            f.write(header.to_bytes())
+            # BlockArray
+            f.write(struct.pack("<Q", n_bytes))
+            n_big = (n_bytes + BLOCK_ARRAY_BLOCK - 1) // BLOCK_ARRAY_BLOCK
+            f.write(data)
+            f.write(b"\x00" * (n_big * BLOCK_ARRAY_BLOCK - n_bytes))
+            # samples[c]: CumulativeArray over per-block counts of c.
+            for c in range(SIGMA):
+                positions = block_char_cum[:, c] + np.arange(n_blocks, dtype=np.int64)
+                sdsl.write_sd_vector(f, positions.astype(np.uint64),
+                                     int(counts[c]) + n_blocks)
+                f.write(struct.pack("<Q", n_blocks))  # m_size = number of elements
+            # block_boundaries: last text position of each block.
+            sdsl.write_sd_vector(f, (block_end_pos - 1).astype(np.uint64), bases)
+            # Alphabet
+            sdsl.write_int_vector(f, alpha.char2comp.astype(np.uint64), 8, fixed_width=True)
+            sdsl.write_int_vector(f, alpha.comp2char.astype(np.uint64), 8, fixed_width=True)
+            sdsl.write_int_vector(f, alpha.C.astype(np.uint64), 64, fixed_width=True)
+            f.write(struct.pack("<Q", alpha.sigma))
+
+
+# -- registry ----------------------------------------------------------------------
+
+FORMATS = {
+    f.tag: f
+    for f in (NativeFormat, PlainFormatD, PlainFormatS, RFMFormat, SDSLFormat,
+              RopeFormat, SGAFormat)
+}
+
+
+def format_exists(tag: str) -> bool:
+    return tag in FORMATS
+
+
+def read_bwt(path: str, fmt: str = "native"):
+    """Load a BWT file -> (RunArrays, counts, Alphabet)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"invalid BWT format: {fmt}")
+    return FORMATS[fmt].read(path)
+
+
+def write_bwt(path: str, fmt: str, runs: RunArrays, alpha: Alphabet,
+              sequences: int | None = None, bases: int | None = None) -> None:
+    if fmt not in FORMATS:
+        raise ValueError(f"invalid BWT format: {fmt}")
+    counts = runs.counts(SIGMA)
+    if sequences is None:
+        sequences = int(counts[0])
+    if bases is None:
+        bases = int(counts.sum())
+    FORMATS[fmt].write(path, runs, alpha, sequences, bases)

@@ -1,0 +1,137 @@
+"""FMI: a BWT + alphabet with LF-mapping and backward search.
+
+Capability parity with the reference FMI (fmi.h:86-230): charRange, LF in all
+its forms, find() backward search, plus hash() and pattern-count verification as
+first-class features (the reference's only acceptance gates, SURVEY.md §4).
+
+The host object owns the RunArrays; rank structures (numpy RankIndex or the
+device index) are built lazily and invalidated on mutation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.rank_np import RankIndex
+from ..utils.alphabet import Alphabet, SIGMA
+from ..utils.hashing import FNV_OFFSET_BASIS, FNV_PRIME, _MASK64
+from .runs import RunArrays
+
+
+@dataclass
+class FMI:
+    runs: RunArrays
+    alpha: Alphabet
+    _rank: Optional[RankIndex] = field(default=None, repr=False, compare=False)
+
+    # -- construction ----------------------------------------------------------
+
+    @classmethod
+    def from_runs(cls, runs: RunArrays, alpha: Optional[Alphabet] = None) -> "FMI":
+        if alpha is None:
+            alpha = Alphabet.from_counts(runs.counts(SIGMA))
+        return cls(runs=runs, alpha=alpha)
+
+    # -- basic properties ------------------------------------------------------
+
+    def size(self) -> int:
+        return self.runs.size()
+
+    def sequences(self) -> int:
+        return int(self.alpha.C[1] - self.alpha.C[0])
+
+    @property
+    def rank_index(self) -> RankIndex:
+        if self._rank is None or self._rank.size != self.runs.size():
+            self._rank = RankIndex.build(self.runs, self.alpha.sigma)
+        return self._rank
+
+    def invalidate(self) -> None:
+        self._rank = None
+
+    # -- queries ---------------------------------------------------------------
+
+    def char_range(self, comp: int) -> Tuple[int, int]:
+        return self.alpha.char_range(comp)
+
+    def LF(self, positions, comp) -> np.ndarray:
+        """LF(i, c) = C[c] + rank(i, c), batched (utils.h:343-348)."""
+        comp = np.asarray(comp, dtype=np.int64)
+        return self.alpha.C.astype(np.int64)[comp] + self.rank_index.rank(positions, comp)
+
+    def LF_all(self, positions) -> np.ndarray:
+        """LF(i, c) for every comp value at once: int64[Q, sigma] (fmi.h:165-169)."""
+        return self.alpha.C[: self.alpha.sigma].astype(np.int64)[None, :] + \
+            self.rank_index.ranks_all(positions)
+
+    def LF_step(self, positions) -> Tuple[np.ndarray, np.ndarray]:
+        """(LF(i), BWT[i]) batched (utils.h:335-341)."""
+        rnk, sym = self.rank_index.inverse_select(positions)
+        return self.alpha.C.astype(np.int64)[sym] + rnk, sym
+
+    def find(self, pattern) -> Tuple[int, int]:
+        """Backward search; returns the closed SA range (fmi.h:195-209).
+
+        `pattern` may be a str/bytes of characters or an array of comp values.
+        """
+        comps = self._to_comps(pattern)
+        if comps.size == 0:
+            return (0, self.size() - 1)
+        sp, ep = self.char_range(int(comps[-1]))
+        for c in comps[:-1][::-1]:
+            if ep < sp:
+                break
+            res = self.LF(np.array([sp, ep + 1]), int(c))
+            sp, ep = int(res[0]), int(res[1]) - 1
+        return (sp, ep)
+
+    def count(self, pattern) -> int:
+        sp, ep = self.find(pattern)
+        return max(0, ep - sp + 1)
+
+    def batch_count(self, patterns: Sequence) -> np.ndarray:
+        return np.array([self.count(p) for p in patterns], dtype=np.int64)
+
+    def _to_comps(self, pattern) -> np.ndarray:
+        if isinstance(pattern, str):
+            pattern = pattern.encode()
+        if isinstance(pattern, (bytes, bytearray)):
+            chars = np.frombuffer(bytes(pattern), dtype=np.uint8)
+            return self.alpha.char2comp[chars].astype(np.int64)
+        return np.asarray(pattern, dtype=np.int64)
+
+    # -- extraction / verification ---------------------------------------------
+
+    def extract_sequence(self, seq_rank: int) -> np.ndarray:
+        """Recover sequence `seq_rank` (comp values, reversed-walk via LF)."""
+        out = []
+        pos = seq_rank  # endmarker row of that sequence
+        while True:
+            lf, sym = self.LF_step(np.array([pos]))
+            if int(sym[0]) == 0:
+                break
+            out.append(int(sym[0]))
+            pos = int(lf[0])
+        return np.array(out[::-1], dtype=np.int64)
+
+    def hash(self) -> int:
+        """FNV-1a over the decoded BWT (bwt.cpp:538-549). Uses the native
+        runtime when available."""
+        try:
+            from ..native import rle_hash
+
+            return rle_hash(self.runs.syms, self.runs.lens)
+        except Exception:
+            res = FNV_OFFSET_BASIS
+            for s, l in zip(self.runs.syms.tolist(), self.runs.lens.tolist()):
+                for _ in range(l):
+                    res = ((res ^ s) * FNV_PRIME) & _MASK64
+            return res
+
+    def verify(self, patterns: Iterable) -> np.ndarray:
+        """Per-pattern occurrence counts, the -v invariant's building block
+        (bwt_merge.cpp:240-285)."""
+        return self.batch_count(list(patterns))

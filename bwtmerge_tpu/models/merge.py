@@ -1,0 +1,110 @@
+"""Merge orchestration: FMI(A) + FMI(B) -> FMI(A ∪ B).
+
+Equivalent of the reference's merging constructor FMI::FMI(a, b, parameters)
+(fmi.cpp:336-369) and MergeParameters (fmi.h:45-83), re-parameterized for
+device execution: sequence blocks shard the search across chips, buffer knobs
+bound device/host memory instead of thread heaps.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..ops import interleave_np, search_np
+from ..utils.metrics import PhaseTimer
+from .fmi import FMI
+from .runs import RunArrays
+
+
+@dataclass
+class MergeConfig:
+    """Merge parameters (parity with reference MergeParameters fmi.h:45-83).
+
+    run_buffer_runs:   device emission buffer capacity, in RA runs (-r analog)
+    thread_buffer_mb:  host-side RA chunk size before compaction (-b analog)
+    merge_buffers:     levels in the log-structured RA merge ladder (-m analog)
+    sequence_blocks:   number of B sequence blocks to search independently (-s)
+    devices:           device parallelism (-t analog; threads -> chips)
+    temp_dir:          spill directory for out-of-core rank arrays (-d)
+    backend:           'numpy' | 'jax'  (compute backend for search/interleave)
+    """
+
+    run_buffer_runs: int = 8 * 1024 * 1024
+    thread_buffer_mb: int = 256
+    merge_buffers: int = 6
+    sequence_blocks: int = 4
+    devices: int = 1
+    temp_dir: str = "."
+    backend: str = "numpy"
+    verbose: bool = False
+    timer: PhaseTimer = field(default_factory=PhaseTimer)
+
+    def sanitize(self) -> "MergeConfig":
+        self.sequence_blocks = max(1, self.sequence_blocks)
+        self.devices = max(1, self.devices)
+        self.merge_buffers = max(1, self.merge_buffers)
+        return self
+
+    def temp_prefix(self) -> str:
+        return os.path.join(self.temp_dir, ".bwtmerge_tpu")
+
+
+def merge_fmi(a: FMI, b: FMI, config: Optional[MergeConfig] = None) -> FMI:
+    """Merge two FMIs; inputs are not destroyed (unlike the reference)."""
+    config = (config or MergeConfig()).sanitize()
+    if a.alpha != b.alpha:
+        raise ValueError("cannot merge BWTs with different alphabets")
+    config.timer.verbose = config.verbose
+
+    with config.timer.phase("search (rank array)"):
+        ra_values, ra_counts = _build_ra(a, b, config)
+
+    with config.timer.phase("merge (interleave)"):
+        merged_runs = _interleave(a.runs, b.runs, ra_values, ra_counts, config)
+
+    with config.timer.phase("index build"):
+        alpha = type(a.alpha)(
+            char2comp=a.alpha.char2comp.copy(),
+            comp2char=a.alpha.comp2char.copy(),
+            C=(a.alpha.C.astype(np.int64) + b.alpha.C.astype(np.int64)).astype(np.uint64),
+        )
+        result = FMI(runs=merged_runs, alpha=alpha)
+        result.rank_index  # build eagerly, like BWT::build after merge
+
+    return result
+
+
+def _build_ra(a: FMI, b: FMI, config: MergeConfig):
+    if config.backend == "jax":
+        from ..ops.search_jax import build_rank_array_jax
+
+        return build_rank_array_jax(a, b, config)
+    # numpy backend: search sequence blocks independently and merge —
+    # the reference's sequence-block parallelism (fmi.cpp:351-357).
+    from ..utils.ranges import get_bounds
+
+    blocks = get_bounds((0, b.sequences() - 1), config.sequence_blocks)
+    ra = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    for blk in blocks:
+        part = search_np.build_rank_array(
+            a.rank_index, a.alpha.C.astype(np.int64),
+            b.rank_index, b.alpha.C.astype(np.int64),
+            a.sequences(), b.sequences(),
+            sigma=a.alpha.sigma, b_seq_range=blk,
+        )
+        ra = search_np.merge_rank_arrays(ra, part)
+    return ra
+
+
+def _interleave(a_runs: RunArrays, b_runs: RunArrays, ra_values, ra_counts,
+                config: MergeConfig) -> RunArrays:
+    try:
+        from ..native import interleave_native
+
+        return interleave_native(a_runs, b_runs, ra_values, ra_counts)
+    except ImportError:
+        return interleave_np.interleave(a_runs, b_runs, ra_values, ra_counts)

@@ -1,0 +1,18 @@
+"""Native C++ runtime bindings (codecs, format IO, interleave, spill merge).
+
+The shared library is built on demand from native/src via g++ (no pip deps);
+see native/build.py. Importing names from this package raises ImportError when
+the library is unavailable so callers can fall back to numpy backends.
+"""
+
+from .build import load_library  # noqa: F401
+
+try:
+    from .api import (  # noqa: F401
+        rle_hash,
+        rle_decode,
+        rle_encode,
+        interleave_native,
+    )
+except Exception as _e:  # pragma: no cover - fallback path
+    raise ImportError(f"native runtime unavailable: {_e}") from _e

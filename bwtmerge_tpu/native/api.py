@@ -1,0 +1,97 @@
+"""ctypes bindings over the native C++ runtime."""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .build import load_library
+
+_u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+
+
+def _lib() -> ctypes.CDLL:
+    lib = load_library()
+    if not getattr(lib, "_bwtmerge_configured", False):
+        lib.rle_encode_size.restype = ctypes.c_int64
+        lib.rle_encode_size.argtypes = [_u8p, _i64p, ctypes.c_int64]
+        lib.rle_encode.restype = ctypes.c_int64
+        lib.rle_encode.argtypes = [_u8p, _i64p, ctypes.c_int64, _u8p]
+        lib.rle_decode_count.restype = ctypes.c_int64
+        lib.rle_decode_count.argtypes = [_u8p, ctypes.c_int64]
+        lib.rle_decode.restype = ctypes.c_int64
+        lib.rle_decode.argtypes = [_u8p, ctypes.c_int64, _u8p, _i64p, ctypes.c_void_p]
+        lib.rle_hash_runs.restype = ctypes.c_uint64
+        lib.rle_hash_runs.argtypes = [_u8p, _i64p, ctypes.c_int64]
+        lib.fnv1a_bytes.restype = ctypes.c_uint64
+        lib.fnv1a_bytes.argtypes = [_u8p, ctypes.c_int64, ctypes.c_uint64]
+        lib.interleave_runs.restype = ctypes.c_int64
+        lib.interleave_runs.argtypes = [
+            _u8p, _i64p, ctypes.c_int64,
+            _u8p, _i64p, ctypes.c_int64,
+            _i64p, _i64p, ctypes.c_int64,
+            _u8p, _i64p,
+        ]
+        lib._bwtmerge_configured = True
+    return lib
+
+
+def _as_u8(a) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.uint8)
+
+
+def _as_i64(a) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def rle_encode(syms, lens) -> bytes:
+    """Run arrays -> reference-native RLE byte stream (Run::write semantics)."""
+    syms, lens = _as_u8(syms), _as_i64(lens)
+    lib = _lib()
+    size = lib.rle_encode_size(syms, lens, syms.size)
+    out = np.empty(size, dtype=np.uint8)
+    written = lib.rle_encode(syms, lens, syms.size, out)
+    assert written == size
+    return out.tobytes()
+
+
+def rle_decode(data, with_offsets: bool = False
+               ) -> Tuple[np.ndarray, np.ndarray] | Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """RLE byte stream -> stored run arrays (syms, lens[, byte offsets])."""
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    lib = _lib()
+    n = lib.rle_decode_count(buf, buf.size)
+    syms = np.empty(n, dtype=np.uint8)
+    lens = np.empty(n, dtype=np.int64)
+    offsets: Optional[np.ndarray] = np.empty(n, dtype=np.int64) if with_offsets else None
+    off_ptr = offsets.ctypes.data_as(ctypes.c_void_p) if with_offsets else None
+    decoded = lib.rle_decode(buf, buf.size, syms, lens, off_ptr)
+    assert decoded == n
+    if with_offsets:
+        return syms, lens, offsets
+    return syms, lens
+
+
+def rle_hash(syms, lens) -> int:
+    """FNV-1a over the decoded sequence."""
+    syms, lens = _as_u8(syms), _as_i64(lens)
+    return int(_lib().rle_hash_runs(syms, lens, syms.size))
+
+
+def interleave_native(a_runs, b_runs, ra_values, ra_counts):
+    """Merged RunArrays of A and B according to the rank array (C++ streaming)."""
+    from ..models.runs import RunArrays
+
+    a_syms, a_lens = _as_u8(a_runs.syms), _as_i64(a_runs.lens)
+    b_syms, b_lens = _as_u8(b_runs.syms), _as_i64(b_runs.lens)
+    rv, rc = _as_i64(ra_values), _as_i64(ra_counts)
+    cap = a_syms.size + b_syms.size + 2 * rv.size + 1
+    out_syms = np.empty(cap, dtype=np.uint8)
+    out_lens = np.empty(cap, dtype=np.int64)
+    n = _lib().interleave_runs(a_syms, a_lens, a_syms.size,
+                               b_syms, b_lens, b_syms.size,
+                               rv, rc, rv.size, out_syms, out_lens)
+    return RunArrays(out_syms[:n].copy(), out_lens[:n].copy())

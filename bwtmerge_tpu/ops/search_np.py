@@ -1,0 +1,104 @@
+"""Rank-array construction by wavefront search — numpy backend.
+
+TPU-first re-design of the reference's reverse-trie DFS (buildRA, fmi.cpp:261-334):
+instead of a per-thread explicit stack with 3 node-size-dependent LF strategies,
+the whole frontier advances one trie depth per step with batched rank queries.
+Correctness matches the DFS exactly — the set of visited (a_pos, b_range) nodes is
+identical, only the visit order differs, and the rank array is order-independent
+(it is re-sorted by a-position before interleaving).
+
+Shared-prefix batching (the reference's key trick, paper.tex:182-184) is inherent:
+a frontier node carries a whole lexicographic range of B-suffixes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from .rank_np import RankIndex
+
+
+def build_rank_array(
+    a_rank: RankIndex,
+    a_C: np.ndarray,
+    b_rank: RankIndex,
+    b_C: np.ndarray,
+    a_sequences: int,
+    b_sequences: int,
+    sigma: int = 6,
+    b_seq_range: Tuple[int, int] | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Compute the rank array RA of B relative to A as sorted unique runs.
+
+    Returns (values, counts): values int64[T] strictly increasing a-positions,
+    counts int64[T]; sum(counts) == size of the B block searched. RA semantics:
+    counts[t] B-suffixes have exactly values[t] A-suffixes <= them.
+
+    b_seq_range: closed range of B sequence ranks to search (a sequence block in
+    the sense of fmi.cpp:351-357); default all of B.
+    """
+    if b_seq_range is None:
+        b_seq_range = (0, b_sequences - 1)
+    sp0, ep0 = b_seq_range
+    if ep0 < sp0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+
+    # Frontier: (a_pos, b_sp, b_ep). Root: all endmarker rows of the block rank
+    # a.sequences() in A (fmi.cpp:286).
+    a_pos = np.array([a_sequences], dtype=np.int64)
+    b_sp = np.array([sp0], dtype=np.int64)
+    b_ep = np.array([ep0], dtype=np.int64)
+
+    values_chunks = []
+    counts_chunks = []
+
+    while a_pos.size:
+        values_chunks.append(a_pos)
+        counts_chunks.append(b_ep - b_sp + 1)
+
+        # Children for all characters 1..sigma-1 at once.
+        # ranks at both range ends of B, and at a_pos in A.
+        rb_sp = b_rank.ranks_all(b_sp)          # [F, sigma]
+        rb_ep = b_rank.ranks_all(b_ep + 1)      # [F, sigma]
+        ra_pos = a_rank.ranks_all(a_pos)        # [F, sigma]
+
+        cs = np.arange(1, sigma, dtype=np.int64)
+        child_sp = b_C[cs][None, :] + rb_sp[:, 1:sigma]
+        child_ep = b_C[cs][None, :] + rb_ep[:, 1:sigma] - 1
+        child_a = a_C[cs][None, :] + ra_pos[:, 1:sigma]
+        keep = child_ep >= child_sp
+
+        a_pos = child_a[keep]
+        b_sp = child_sp[keep]
+        b_ep = child_ep[keep]
+
+    values = np.concatenate(values_chunks) if values_chunks else np.zeros(0, np.int64)
+    counts = np.concatenate(counts_chunks) if counts_chunks else np.zeros(0, np.int64)
+    return compact_rank_array(values, counts)
+
+
+def compact_rank_array(values: np.ndarray, counts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Sort RA runs by a-position and sum counts of equal positions.
+
+    The vector analog of the reference's RLArray sort+merge ladder
+    (support.h:416-453, fmi.cpp:220-257).
+    """
+    if values.size == 0:
+        return values.astype(np.int64), counts.astype(np.int64)
+    order = np.argsort(values, kind="stable")
+    v = values[order]
+    k = counts[order]
+    uniq, inverse = np.unique(v, return_inverse=True)
+    summed = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(summed, inverse, k)
+    return uniq.astype(np.int64), summed
+
+
+def merge_rank_arrays(a: Tuple[np.ndarray, np.ndarray],
+                      b: Tuple[np.ndarray, np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+    """2-way merge of two sorted unique RA run lists (RLArray merge analog)."""
+    values = np.concatenate([a[0], b[0]])
+    counts = np.concatenate([a[1], b[1]])
+    return compact_rank_array(values, counts)

@@ -1,0 +1,115 @@
+"""RLE codec: Python spec vs C++ runtime, byte-level invariants."""
+
+import numpy as np
+import pytest
+
+from bwtmerge_tpu.formats import codec
+from bwtmerge_tpu.models.runs import RunArrays
+from bwtmerge_tpu import native
+
+
+def random_runs(rng, n, max_len=100):
+    syms = rng.integers(0, 6, n).astype(np.uint8)
+    # make maximal
+    for i in range(1, n):
+        if syms[i] == syms[i - 1]:
+            syms[i] = (syms[i] + 1) % 6
+    lens = rng.integers(1, max_len, n).astype(np.int64)
+    return syms, lens
+
+
+class TestPythonCodec:
+    def test_roundtrip_small(self, rng):
+        syms, lens = random_runs(rng, 200)
+        data = codec.encode_runs(syms, lens)
+        d_syms, d_lens = codec.decode_runs(data)
+        got = RunArrays.from_runs(d_syms, d_lens)
+        assert got == RunArrays(syms, lens)
+
+    def test_roundtrip_long_runs(self, rng):
+        """Runs long enough to need varints and block splitting."""
+        syms = np.array([1, 2, 3, 4, 5, 1], np.uint8)
+        lens = np.array([42, 43, 1000, 10**6, 41, 10**9], np.int64)
+        data = codec.encode_runs(syms, lens)
+        d_syms, d_lens = codec.decode_runs(data)
+        assert RunArrays.from_runs(d_syms, d_lens) == RunArrays(syms, lens)
+
+    def test_run_of_42_has_zero_varint(self):
+        """A run of exactly MAX_RUN encodes as head byte + 0x00 (support.h:261-279)."""
+        data = codec.encode_runs([3], [42])
+        assert len(data) == 2
+        assert data[0] == 3 + 6 * 41
+        assert data[1] == 0
+
+    def test_single_byte_runs(self):
+        for l in range(1, 42):
+            data = codec.encode_runs([2], [l])
+            assert len(data) == 1
+            assert data[0] == 2 + 6 * (l - 1)
+
+    def test_no_multibyte_crosses_block(self, rng):
+        """No multi-byte encoding crosses a 64-byte boundary: every byte at a
+        block start must be a head byte (the decoder can start at any block)."""
+        syms, lens = random_runs(rng, 300, max_len=5000)
+        data = codec.encode_runs(syms, lens)
+        # Decode each 64-byte block independently; total must match.
+        total = 0
+        for start in range(0, len(data), 64):
+            block = data[start : start + 64]
+            _, d_lens = codec.decode_runs(block)
+            total += int(d_lens.sum())
+        assert total == int(lens.sum())
+
+    def test_offsets(self, rng):
+        syms, lens = random_runs(rng, 50, max_len=300)
+        data = codec.encode_runs(syms, lens)
+        d_syms, d_lens, offsets = codec.decode_runs_with_offsets(data)
+        assert offsets[0] == 0
+        assert np.all(np.diff(offsets) > 0)
+
+
+class TestNativeCodec:
+    def test_matches_python_bytes(self, rng):
+        for trial in range(5):
+            syms, lens = random_runs(rng, 500, max_len=10000)
+            py = codec.encode_runs(syms, lens)
+            cc = native.rle_encode(syms, lens)
+            assert py == cc
+
+    def test_decode_matches_python(self, rng):
+        syms, lens = random_runs(rng, 500, max_len=10000)
+        data = codec.encode_runs(syms, lens)
+        py_s, py_l = codec.decode_runs(data)
+        cc_s, cc_l = native.rle_decode(data)
+        assert np.array_equal(py_s, cc_s)
+        assert np.array_equal(py_l, cc_l)
+
+    def test_decode_offsets(self, rng):
+        syms, lens = random_runs(rng, 100, max_len=10000)
+        data = codec.encode_runs(syms, lens)
+        _, _, py_off = codec.decode_runs_with_offsets(data)
+        _, _, cc_off = native.rle_decode(data, with_offsets=True)
+        assert np.array_equal(py_off, cc_off)
+
+    def test_hash_matches_python(self, rng):
+        from bwtmerge_tpu.utils.hashing import fnv1a_runs
+
+        syms, lens = random_runs(rng, 20, max_len=30)
+        assert native.rle_hash(syms, lens) == fnv1a_runs(syms, lens)
+
+
+class TestNativeInterleave:
+    def test_matches_numpy(self, rng):
+        from bwtmerge_tpu.ops import interleave_np
+        from bwtmerge_tpu.models import oracle
+
+        a_seqs = oracle.random_collection(rng, 4, 10, 40)
+        b_seqs = oracle.random_collection(rng, 4, 10, 40)
+        a = oracle.build_bwt(a_seqs)
+        b = oracle.build_bwt(b_seqs)
+        ra = oracle.rank_array_oracle(a_seqs, b_seqs)
+        values, counts = np.unique(ra, return_counts=True)
+        np_out = interleave_np.interleave(a, b, values, counts.astype(np.int64))
+        cc_out = native.interleave_native(a, b, values, counts.astype(np.int64))
+        assert np_out == cc_out
+        assert cc_out.is_maximal()

@@ -1,0 +1,118 @@
+"""End-to-end merge correctness: engine output vs direct oracle construction."""
+
+import numpy as np
+import pytest
+
+from bwtmerge_tpu.models import oracle
+from bwtmerge_tpu.models.fmi import FMI
+from bwtmerge_tpu.models.merge import MergeConfig, merge_fmi
+from bwtmerge_tpu.ops import search_np
+
+
+def _fmi(seqs):
+    return FMI.from_runs(oracle.build_bwt(seqs))
+
+
+class TestRankArray:
+    def test_matches_oracle(self, rng):
+        a_seqs = oracle.random_collection(rng, 6, 5, 40)
+        b_seqs = oracle.random_collection(rng, 5, 5, 40)
+        a, b = _fmi(a_seqs), _fmi(b_seqs)
+        values, counts = search_np.build_rank_array(
+            a.rank_index, a.alpha.C.astype(np.int64),
+            b.rank_index, b.alpha.C.astype(np.int64),
+            a.sequences(), b.sequences(),
+        )
+        assert int(counts.sum()) == b.size()
+        expect = oracle.rank_array_oracle(a_seqs, b_seqs)
+        got = np.repeat(values, counts)
+        # RA values sorted ascending must equal the per-position oracle sorted.
+        assert np.array_equal(got, np.sort(expect))
+
+    def test_sequence_blocks_equivalent(self, rng):
+        """Searching in blocks then merging gives the same RA (the basis of
+        sequence-block data parallelism, fmi.cpp:351-357)."""
+        a_seqs = oracle.random_collection(rng, 4, 5, 30)
+        b_seqs = oracle.random_collection(rng, 7, 5, 30)
+        a, b = _fmi(a_seqs), _fmi(b_seqs)
+        args = (a.rank_index, a.alpha.C.astype(np.int64),
+                b.rank_index, b.alpha.C.astype(np.int64),
+                a.sequences(), b.sequences())
+        full = search_np.build_rank_array(*args)
+        from bwtmerge_tpu.utils.ranges import get_bounds
+
+        merged = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        for blk in get_bounds((0, b.sequences() - 1), 3):
+            part = search_np.build_rank_array(*args, b_seq_range=blk)
+            merged = search_np.merge_rank_arrays(merged, part)
+        assert np.array_equal(full[0], merged[0])
+        assert np.array_equal(full[1], merged[1])
+
+
+class TestMerge:
+    @pytest.mark.parametrize("blocks", [1, 4])
+    def test_pairwise_matches_oracle(self, rng, blocks):
+        a_seqs = oracle.random_collection(rng, 6, 5, 50)
+        b_seqs = oracle.random_collection(rng, 4, 5, 50)
+        merged = merge_fmi(_fmi(a_seqs), _fmi(b_seqs),
+                           MergeConfig(sequence_blocks=blocks))
+        expect = oracle.merge_collections([a_seqs, b_seqs])
+        assert merged.runs == expect
+        assert merged.size() == sum(len(s) for s in a_seqs + b_seqs) + 10
+        assert merged.sequences() == 10
+
+    def test_left_fold_multiway(self, rng):
+        """k-way merge as a left fold of pairwise merges (bwt_merge.cpp:167-173)."""
+        colls = [oracle.random_collection(rng, 3, 5, 30) for _ in range(4)]
+        index = _fmi(colls[0])
+        for coll in colls[1:]:
+            index = merge_fmi(index, _fmi(coll))
+        expect = oracle.merge_collections(colls)
+        assert index.runs == expect
+
+    def test_pattern_count_invariant(self, rng):
+        """The reference's -v acceptance gate: count_merged(p) == sum of
+        count_input_i(p) for every pattern (bwt_merge.cpp:179-194)."""
+        a_seqs = oracle.random_collection(rng, 5, 10, 60)
+        b_seqs = oracle.random_collection(rng, 5, 10, 60)
+        a, b = _fmi(a_seqs), _fmi(b_seqs)
+        merged = merge_fmi(a, b)
+        patterns = [rng.integers(1, 6, int(rng.integers(2, 8))) for _ in range(25)]
+        pre = a.verify(patterns) + b.verify(patterns)
+        post = merged.verify(patterns)
+        assert np.array_equal(pre, post)
+
+    def test_hash_matches_oracle(self, rng):
+        a_seqs = oracle.random_collection(rng, 3, 5, 25)
+        b_seqs = oracle.random_collection(rng, 3, 5, 25)
+        merged = merge_fmi(_fmi(a_seqs), _fmi(b_seqs))
+        expect = FMI.from_runs(oracle.merge_collections([a_seqs, b_seqs]))
+        assert merged.hash() == expect.hash()
+
+    def test_alphabet_mismatch_rejected(self, rng):
+        from bwtmerge_tpu.utils.alphabet import AlphabeticOrder, create_alphabet, Alphabet
+
+        a = _fmi(oracle.random_collection(rng, 2, 5, 10))
+        b = _fmi(oracle.random_collection(rng, 2, 5, 10))
+        sorted_alpha = create_alphabet(AlphabeticOrder.SORTED)
+        b.alpha = Alphabet.from_counts(b.runs.counts(),
+                                       sorted_alpha.char2comp, sorted_alpha.comp2char)
+        with pytest.raises(ValueError):
+            merge_fmi(a, b)
+
+    def test_skewed_sizes(self, rng):
+        """Merge a large base with a small increment and vice versa."""
+        big = oracle.random_collection(rng, 20, 30, 80)
+        small = oracle.random_collection(rng, 1, 5, 10)
+        m1 = merge_fmi(_fmi(big), _fmi(small))
+        assert m1.runs == oracle.merge_collections([big, small])
+        m2 = merge_fmi(_fmi(small), _fmi(big))
+        assert m2.runs == oracle.merge_collections([small, big])
+
+    def test_repetitive_collections(self, rng):
+        """Highly repetitive reads (the reference's target workload)."""
+        base = rng.integers(1, 5, 50)
+        a_seqs = [base.copy() for _ in range(5)]
+        b_seqs = [base.copy() for _ in range(4)] + [base[5:45].copy()]
+        merged = merge_fmi(_fmi(a_seqs), _fmi(b_seqs))
+        assert merged.runs == oracle.merge_collections([a_seqs, b_seqs])
