@@ -102,6 +102,10 @@ def _build_ra(a: FMI, b: FMI, config: MergeConfig):
 
 def _interleave(a_runs: RunArrays, b_runs: RunArrays, ra_values, ra_counts,
                 config: MergeConfig) -> RunArrays:
+    if config.backend == "jax":
+        from ..ops.interleave_jax import interleave_jax
+
+        return interleave_jax(a_runs, b_runs, ra_values, ra_counts)
     try:
         from ..native import interleave_native
 

@@ -1,0 +1,249 @@
+"""Rank-array construction by wavefront search — JAX/TPU backend.
+
+TPU-first re-design of the reference's reverse-trie DFS (buildRA,
+fmi.cpp:261-334).  The reference walks one trie node at a time per thread with
+three node-size-dependent LF strategies; here the WHOLE frontier advances one
+trie depth per step with three batched rank-table gathers:
+
+    step:  [F] nodes (a_pos, b_sp, b_ep)
+           -> ranks_all(B, sp), ranks_all(B, ep+1), ranks_all(A, a_pos)
+           -> [F, sigma-1] children, keep = non-empty
+           -> prefix-sum scatter compaction -> new frontier
+
+Shared-prefix batching (the reference's key trick, paper.tex:182-184) is
+inherent: a node carries a whole lexicographic range of B-suffixes, so highly
+repetitive read collections advance in few nodes.
+
+Two drivers share the step kernel:
+
+  * `wavefront_search` — production path: host loop over depths, frontier
+    padded to power-of-two buckets (one XLA program per bucket size), RA runs
+    streamed to the host accumulator each depth (the device->host stream IS
+    the rank array — the same data the reference spills into run buffers).
+  * `wavefront_search_device` — fully-jitted lax.while_loop with static
+    frontier/emission capacities; used by the multi-chip sharded path where
+    the whole search must live inside one compiled program per device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .rank_jax import LANES, SIGMA, DeviceFMIndex
+
+
+# -- single depth step --------------------------------------------------------
+
+
+@jax.jit
+def _expand_step(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
+                 a_pos: jax.Array, b_sp: jax.Array, b_ep: jax.Array,
+                 valid: jax.Array):
+    """Expand every frontier node by all characters 1..SIGMA-1 and compact.
+
+    Returns (child_a, child_sp, child_ep, count): arrays of capacity
+    F*(SIGMA-1) with the live children compacted to the front, and the live
+    count.  Batched analog of the per-node child loops fmi.cpp:296-321.
+    """
+    f = a_pos.shape[0]
+    rb_sp = b_idx.ranks_all(b_sp)        # [F, LANES]
+    rb_ep = b_idx.ranks_all(b_ep + 1)    # [F, LANES]
+    ra = a_idx.ranks_all(a_pos)          # [F, LANES]
+
+    cs = jnp.arange(1, SIGMA, dtype=jnp.int32)            # endmarker never extends
+    child_sp = b_idx.C[cs][None, :] + rb_sp[:, 1:SIGMA]   # [F, SIGMA-1]
+    child_ep = b_idx.C[cs][None, :] + rb_ep[:, 1:SIGMA] - 1
+    child_a = a_idx.C[cs][None, :] + ra[:, 1:SIGMA]
+    keep = (child_ep >= child_sp) & valid[:, None]
+
+    # prefix-sum scatter compaction (dense, no host sync)
+    keep_f = keep.reshape(-1)
+    cap = f * (SIGMA - 1)
+    dest = jnp.cumsum(keep_f) - 1
+    count = dest[-1] + 1 if cap else jnp.int32(0)
+    dest = jnp.where(keep_f, dest, cap)  # dead lanes scatter out of range (dropped)
+
+    out_a = jnp.zeros(cap, jnp.int32).at[dest].set(child_a.reshape(-1), mode="drop")
+    out_sp = jnp.zeros(cap, jnp.int32).at[dest].set(child_sp.reshape(-1), mode="drop")
+    out_ep = jnp.full(cap, -1, jnp.int32).at[dest].set(child_ep.reshape(-1), mode="drop")
+    return out_a, out_sp, out_ep, count
+
+
+# -- production driver: host loop, device steps -------------------------------
+
+
+def _bucket(n: int, minimum: int = 128) -> int:
+    """Next power-of-two capacity >= n (bounds the number of XLA programs)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def wavefront_search(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
+                     b_seq_range: Tuple[int, int],
+                     a_sequences: int,
+                     emit) -> None:
+    """Search B's sequence block [sp0, ep0] through A, streaming RA runs.
+
+    `emit(values: np.int64[K], counts: np.int64[K])` is called once per trie
+    depth with that depth's (a_pos, count) runs — the host-side consumer
+    (accumulator / spill ladder) decides what to do with them, mirroring the
+    run-buffer handoff of fmi.cpp:290.
+    """
+    sp0, ep0 = b_seq_range
+    if ep0 < sp0:
+        return
+
+    # Root: the whole block of B endmarkers, rank a.sequences() in A
+    # (fmi.cpp:286-287).
+    a_pos = np.array([a_sequences], dtype=np.int32)
+    b_sp = np.array([sp0], dtype=np.int32)
+    b_ep = np.array([ep0], dtype=np.int32)
+    count = 1
+
+    while count:
+        emit(a_pos[:count].astype(np.int64),
+             (b_ep[:count].astype(np.int64) - b_sp[:count] + 1))
+
+        cap = _bucket(count)
+        if cap != a_pos.shape[0]:
+            pad = cap - count
+            a_pos = np.pad(a_pos[:count], (0, pad))
+            b_sp = np.pad(b_sp[:count], (0, pad))
+            b_ep = np.pad(b_ep[:count], (0, pad), constant_values=-1)
+        valid = np.zeros(cap, dtype=bool)
+        valid[:count] = True
+
+        out_a, out_sp, out_ep, cnt = _expand_step(
+            a_idx, b_idx, jnp.asarray(a_pos), jnp.asarray(b_sp),
+            jnp.asarray(b_ep), jnp.asarray(valid))
+        count = int(cnt)
+        a_pos = np.asarray(out_a)
+        b_sp = np.asarray(out_sp)
+        b_ep = np.asarray(out_ep)
+
+
+# -- fully-jitted driver (multi-chip / dryrun path) ---------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("frontier_cap", "emit_cap"))
+def wavefront_search_device(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
+                            b_sp0: jax.Array, b_ep0: jax.Array,
+                            a_sequences: int,
+                            frontier_cap: int = 4096,
+                            emit_cap: int = 65536):
+    """Whole search as one compiled program with static capacities.
+
+    Returns (values int32[emit_cap], counts int32[emit_cap], n_emitted,
+    overflowed).  Frontier wider than frontier_cap or emissions beyond
+    emit_cap set the overflow flag (callers fall back to the host driver).
+    Used inside shard_map where a host loop per device is impossible.
+    """
+    cap = frontier_cap
+
+    a_pos0 = jnp.zeros(cap, jnp.int32).at[0].set(a_sequences)
+    sp0 = jnp.zeros(cap, jnp.int32).at[0].set(b_sp0)
+    ep0 = jnp.full(cap, -1, jnp.int32).at[0].set(b_ep0)
+    count0 = jnp.where(b_ep0 >= b_sp0, jnp.int32(1), jnp.int32(0))
+
+    values0 = jnp.zeros(emit_cap, jnp.int32)
+    counts0 = jnp.zeros(emit_cap, jnp.int32)
+
+    def cond(state):
+        _, _, _, count, _, _, _, overflow = state
+        return (count > 0) & ~overflow
+
+    def body(state):
+        a_pos, b_sp, b_ep, count, values, counts, n_emit, overflow = state
+        lane = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+        valid = lane < count
+
+        # emit current frontier runs at offset n_emit
+        dest = jnp.where(valid, n_emit + lane, emit_cap)
+        values = values.at[dest].set(a_pos, mode="drop")
+        counts = counts.at[dest].set(b_ep - b_sp + 1, mode="drop")
+        new_emit = n_emit + count
+        overflow = overflow | (new_emit > emit_cap)
+
+        out_a, out_sp, out_ep, child_count = _expand_step(
+            a_idx, b_idx, a_pos, b_sp, b_ep, valid)
+        overflow = overflow | (child_count > cap)
+        child_count = jnp.minimum(child_count, cap)
+        return (out_a[:cap], out_sp[:cap], out_ep[:cap], child_count,
+                values, counts, new_emit, overflow)
+
+    state = (a_pos0, sp0, ep0, count0, values0, counts0,
+             jnp.int32(0), jnp.bool_(False))
+    a_pos, b_sp, b_ep, count, values, counts, n_emit, overflow = \
+        jax.lax.while_loop(cond, body, state)
+    return values, counts, n_emit, overflow
+
+
+# -- host-side RA accumulation ------------------------------------------------
+
+
+class RankArrayAccumulator:
+    """Collects (a_pos, count) run chunks and compacts them into the sorted
+    unique rank array — the vector analog of the reference's run-buffer /
+    thread-buffer / merge-buffer ladder (fmi.cpp:139-257).
+
+    Compaction triggers when the pending pool exceeds `compact_every` runs,
+    bounding host memory the way the ladder bounds the reference's.
+    """
+
+    def __init__(self, compact_every: int = 16 * 1024 * 1024):
+        self.compact_every = compact_every
+        self._chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        self._pending = 0
+        self._base: tuple[np.ndarray, np.ndarray] | None = None
+
+    def emit(self, values: np.ndarray, counts: np.ndarray) -> None:
+        if values.size == 0:
+            return
+        self._chunks.append((values, counts))
+        self._pending += values.size
+        if self._pending >= self.compact_every:
+            self._compact()
+
+    def _compact(self) -> None:
+        from .search_np import compact_rank_array, merge_rank_arrays
+
+        if not self._chunks:
+            return
+        values = np.concatenate([c[0] for c in self._chunks])
+        counts = np.concatenate([c[1] for c in self._chunks])
+        part = compact_rank_array(values, counts)
+        self._base = part if self._base is None else merge_rank_arrays(self._base, part)
+        self._chunks = []
+        self._pending = 0
+
+    def finish(self) -> Tuple[np.ndarray, np.ndarray]:
+        self._compact()
+        if self._base is None:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return self._base
+
+
+# -- merge-facing entry point -------------------------------------------------
+
+
+def build_rank_array_jax(a, b, config) -> Tuple[np.ndarray, np.ndarray]:
+    """Device-backed replacement for search_np.build_rank_array, called from
+    models/merge.py when config.backend == 'jax'.  `a`, `b` are host FMIs.
+    """
+    from ..utils.ranges import get_bounds
+
+    a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+    b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+
+    acc = RankArrayAccumulator()
+    blocks = get_bounds((0, b.sequences() - 1), max(1, config.sequence_blocks))
+    for blk in blocks:
+        wavefront_search(a_idx, b_idx, blk, a.sequences(), acc.emit)
+    return acc.finish()

@@ -1,0 +1,159 @@
+"""Device (JAX) kernels vs their numpy oracles: rank/LF, backward search,
+wavefront rank-array construction, device interleave, end-to-end jax merge."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from bwtmerge_tpu.models import oracle
+from bwtmerge_tpu.models.fmi import FMI
+from bwtmerge_tpu.models.merge import MergeConfig, merge_fmi
+from bwtmerge_tpu.ops import search_np
+from bwtmerge_tpu.ops.interleave_jax import interleave_jax
+from bwtmerge_tpu.ops.rank_jax import DeviceFMIndex, backward_search, batch_count
+from bwtmerge_tpu.ops.search_jax import (
+    RankArrayAccumulator,
+    build_rank_array_jax,
+    wavefront_search,
+    wavefront_search_device,
+)
+
+
+def _fmi(seqs):
+    return FMI.from_runs(oracle.build_bwt(seqs))
+
+
+@pytest.fixture
+def pair(rng):
+    a_seqs = oracle.random_collection(rng, 6, 5, 40)
+    b_seqs = oracle.random_collection(rng, 5, 5, 40)
+    return a_seqs, b_seqs, _fmi(a_seqs), _fmi(b_seqs)
+
+
+class TestDeviceRank:
+    def test_ranks_all_matches_numpy(self, pair):
+        _, _, a, _ = pair
+        idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        n = a.size()
+        positions = np.arange(n + 1, dtype=np.int64)
+        want = a.rank_index.ranks_all(positions)
+        got = np.asarray(idx.ranks_all(jnp.asarray(positions, jnp.int32)))
+        assert np.array_equal(got[:, :6], want)
+
+    def test_rank_single_char(self, pair, rng):
+        _, _, a, _ = pair
+        idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        q = rng.integers(0, a.size() + 1, size=64)
+        c = rng.integers(0, 6, size=64)
+        want = a.rank_index.rank(q, c)
+        got = np.asarray(idx.rank(jnp.asarray(q, jnp.int32), jnp.asarray(c, jnp.int32)))
+        assert np.array_equal(got, want)
+
+    def test_inverse_select_and_access(self, pair, rng):
+        _, _, a, _ = pair
+        idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        q = rng.integers(0, a.size(), size=64)
+        want_rank, want_sym = a.rank_index.inverse_select(q)
+        got_rank, got_sym = idx.inverse_select(jnp.asarray(q, jnp.int32))
+        assert np.array_equal(np.asarray(got_sym), want_sym)
+        assert np.array_equal(np.asarray(got_rank), want_rank)
+        assert np.array_equal(np.asarray(idx.access(jnp.asarray(q, jnp.int32))),
+                              a.rank_index.access(q))
+
+    def test_LF_matches_host(self, pair, rng):
+        _, _, a, _ = pair
+        idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        q = rng.integers(0, a.size() + 1, size=32)
+        got = np.asarray(idx.LF_all(jnp.asarray(q, jnp.int32)))[:, :6]
+        want = a.LF_all(q)
+        assert np.array_equal(got, want)
+
+
+class TestBackwardSearch:
+    def test_counts_match_host_find(self, pair, rng):
+        a_seqs, _, a, _ = pair
+        idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        patterns = []
+        for s in a_seqs[:4]:
+            if s.size >= 3:
+                patterns.append(np.asarray(s[:3], dtype=np.int64))
+        patterns.append(np.array([1, 2, 3], dtype=np.int64))  # maybe absent
+        want = np.array([a.count(p) for p in patterns], dtype=np.int64)
+        got = batch_count(idx, patterns, a.alpha.char2comp)
+        assert np.array_equal(got, want)
+
+
+class TestWavefront:
+    def test_rank_array_matches_numpy(self, pair):
+        _, _, a, b = pair
+        want = search_np.build_rank_array(
+            a.rank_index, a.alpha.C.astype(np.int64),
+            b.rank_index, b.alpha.C.astype(np.int64),
+            a.sequences(), b.sequences())
+
+        a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+        acc = RankArrayAccumulator()
+        wavefront_search(a_idx, b_idx, (0, b.sequences() - 1), a.sequences(), acc.emit)
+        got = acc.finish()
+        assert np.array_equal(got[0], want[0])
+        assert np.array_equal(got[1], want[1])
+
+    def test_device_driver_matches(self, pair):
+        _, _, a, b = pair
+        want = search_np.build_rank_array(
+            a.rank_index, a.alpha.C.astype(np.int64),
+            b.rank_index, b.alpha.C.astype(np.int64),
+            a.sequences(), b.sequences())
+
+        a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+        values, counts, n, overflow = wavefront_search_device(
+            a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
+            a.sequences(), frontier_cap=4096, emit_cap=65536)
+        assert not bool(overflow)
+        got = search_np.compact_rank_array(
+            np.asarray(values[:int(n)], dtype=np.int64),
+            np.asarray(counts[:int(n)], dtype=np.int64))
+        assert np.array_equal(got[0], want[0])
+        assert np.array_equal(got[1], want[1])
+
+    def test_blocked_search_accumulates(self, pair):
+        _, _, a, b = pair
+        want = search_np.build_rank_array(
+            a.rank_index, a.alpha.C.astype(np.int64),
+            b.rank_index, b.alpha.C.astype(np.int64),
+            a.sequences(), b.sequences())
+
+        class Cfg:
+            sequence_blocks = 3
+        got = build_rank_array_jax(a, b, Cfg)
+        assert np.array_equal(got[0], want[0])
+        assert np.array_equal(got[1], want[1])
+
+
+class TestDeviceInterleave:
+    def test_matches_oracle_merge(self, pair):
+        a_seqs, b_seqs, a, b = pair
+        values, counts = search_np.build_rank_array(
+            a.rank_index, a.alpha.C.astype(np.int64),
+            b.rank_index, b.alpha.C.astype(np.int64),
+            a.sequences(), b.sequences())
+        merged = interleave_jax(a.runs, b.runs, values, counts)
+        want = oracle.merge_collections([a_seqs, b_seqs])
+        assert merged == want
+
+
+class TestJaxMergeEndToEnd:
+    def test_merge_backend_jax(self, pair):
+        a_seqs, b_seqs, a, b = pair
+        cfg = MergeConfig(backend="jax", sequence_blocks=2)
+        merged = merge_fmi(a, b, cfg)
+        want = oracle.merge_collections([a_seqs, b_seqs])
+        assert merged.runs == want
+        # pattern-count invariant (the reference's -v acceptance gate)
+        for s in (a_seqs[0], b_seqs[0]):
+            p = s[: min(4, s.size)]
+            assert merged.count(p) == a.count(p) + b.count(p)
