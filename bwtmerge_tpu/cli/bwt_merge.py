@@ -1,0 +1,145 @@
+"""bwt_merge — merge BWTs of read collections (reference bwt_merge.cpp:47-299).
+
+Usage: python -m bwtmerge_tpu.cli.bwt_merge [options] input1 input2 [...] output
+
+Flag parity with the reference getopt string "b:m:r:s:t:d:v:i:o:", plus
+--backend to pick the compute path (numpy host oracle vs jax device engine).
+Inputs are merged as a left fold of pairwise merges (bwt_merge.cpp:163-173).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..models.fmi import load_fmi, serialize_fmi
+from ..models.merge import MergeConfig, merge_fmi
+from ..utils.metrics import in_megabytes
+from .common import check_format, print_formats, read_rows, report_totals, verify_fmi
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bwt_merge", add_help=True,
+        description="Merge BWTs of DNA read collections into one BWT.",
+        epilog="Formats: native, plain_default, plain_sorted, rfm, sdsl, ropebwt, sga")
+    p.add_argument("files", nargs="+", metavar="FILE",
+                   help="input1 input2 [input3 ...] output")
+    p.add_argument("-r", dest="run_buffer", type=int, default=None, metavar="N",
+                   help="run buffer size in millions of runs (default 8)")
+    p.add_argument("-b", dest="thread_buffer", type=int, default=None, metavar="MB",
+                   help="thread buffer size in megabytes (default 256)")
+    p.add_argument("-m", dest="merge_buffers", type=int, default=None, metavar="N",
+                   help="number of merge buffers (default 6)")
+    p.add_argument("-s", dest="sequence_blocks", type=int, default=None, metavar="N",
+                   help="sequence blocks per device (default 4)")
+    p.add_argument("-t", dest="devices", type=int, default=None, metavar="N",
+                   help="device/thread parallelism (default: all devices)")
+    p.add_argument("-d", dest="temp_dir", default=".", metavar="DIR",
+                   help="temp directory for rank-array spills (default .)")
+    p.add_argument("-v", dest="patterns", default=None, metavar="FILE",
+                   help="verify pattern counts before/after the merge")
+    p.add_argument("-i", dest="input_formats", default=None, metavar="FMT[,FMT...]",
+                   help="input format(s), comma separated (default native)")
+    p.add_argument("-o", dest="output_format", default="native", metavar="FMT",
+                   help="output format (default native)")
+    p.add_argument("--backend", default="jax", choices=("numpy", "jax"),
+                   help="compute backend (default jax)")
+    p.add_argument("--list-formats", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--quiet", action="store_true", help="suppress progress output")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.list_formats:
+        print_formats(sys.stdout)
+        return 0
+    if len(args.files) < 3:
+        print("bwt_merge: need at least two inputs and an output", file=sys.stderr)
+        return 1
+
+    start = time.monotonic()
+    inputs, output = args.files[:-1], args.files[-1]
+
+    in_formats = (args.input_formats.split(",") if args.input_formats else ["native"])
+    if len(in_formats) == 1:
+        in_formats = in_formats * len(inputs)
+    if len(in_formats) != len(inputs):
+        print(f"bwt_merge: Specified {len(in_formats)} formats for "
+              f"{len(inputs)} inputs", file=sys.stderr)
+        return 1
+    for fmt in in_formats:
+        check_format(fmt, "bwt_merge", "input")
+    check_format(args.output_format, "bwt_merge", "output")
+
+    config = MergeConfig(backend=args.backend, temp_dir=args.temp_dir,
+                         verbose=not args.quiet)
+    if args.run_buffer is not None:
+        config.run_buffer_runs = args.run_buffer * 1024 * 1024
+    if args.thread_buffer is not None:
+        config.thread_buffer_mb = args.thread_buffer
+    if args.merge_buffers is not None:
+        config.merge_buffers = args.merge_buffers
+    if args.sequence_blocks is not None:
+        config.sequence_blocks = args.sequence_blocks
+    if args.devices is not None:
+        config.devices = args.devices
+    config.sanitize()
+
+    if not args.quiet:
+        print("BWT-merge (TPU)")
+        print("")
+        for name, fmt in zip(inputs, in_formats):
+            print(f"Input:            {name} ({fmt})")
+        print(f"Output:           {output} ({args.output_format})")
+        if args.patterns:
+            print(f"Patterns:         {args.patterns}")
+        print(f"Backend:          {args.backend}")
+        print("")
+
+    patterns = read_rows(args.patterns) if args.patterns else []
+    pre = np.zeros(len(patterns), dtype=np.int64)
+    post = np.zeros(len(patterns), dtype=np.int64)
+    if patterns and not args.quiet:
+        chars = sum(len(p) for p in patterns)
+        print(f"Read {len(patterns)} patterns of total length {chars}")
+        print("")
+
+    index = load_fmi(inputs[0], in_formats[0])
+    verify_fmi(index, "Input", patterns, pre, verbose=not args.quiet)
+
+    bytes_added = 0
+    for name, fmt in zip(inputs[1:], in_formats[1:]):
+        increment = load_fmi(name, fmt)
+        bytes_added += increment.size()
+        verify_fmi(increment, "Input", patterns, pre, verbose=not args.quiet)
+        merge_start = time.monotonic()
+        index = merge_fmi(index, increment, config)
+        if not args.quiet:
+            secs = time.monotonic() - merge_start
+            print(f"Merged {name}: {in_megabytes(increment.size()) / max(secs, 1e-9):.2f} MB/s")
+
+    serialize_fmi(index, output, args.output_format)
+    verify_fmi(index, "Output", patterns, post, verbose=not args.quiet)
+
+    status = 0
+    if patterns:
+        errors = int(np.sum(pre != post))
+        if errors:
+            print(f"Verification failed for {errors} patterns")
+            status = 2
+        else:
+            print("Verification successful")
+        print("")
+
+    if not args.quiet:
+        report_totals(time.monotonic() - start, bytes_added)
+    return status
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -135,3 +135,33 @@ class FMI:
         """Per-pattern occurrence counts, the -v invariant's building block
         (bwt_merge.cpp:240-285)."""
         return self.batch_count(list(patterns))
+
+
+# -- runtime format dispatch (reference fmi.cpp:373-447) ---------------------------
+
+
+def load_fmi(path: str, fmt: str = "native") -> FMI:
+    """Load a BWT file in any registered format into an FMI."""
+    from ..formats import read_bwt
+
+    runs, _counts, alpha = read_bwt(path, fmt)
+    return FMI(runs=runs, alpha=alpha)
+
+
+def serialize_fmi(fmi: FMI, path: str, fmt: str = "native") -> None:
+    """Write an FMI in any registered format.
+
+    Warns (like FMI::serialize, fmi.h:114-124) when the index's alphabet
+    order is incompatible with the target format.
+    """
+    import sys
+
+    from ..formats import FORMATS, write_bwt
+    from ..utils.alphabet import AlphabeticOrder, compatible, identify_alphabet
+
+    fmt_order = FORMATS[fmt].order()
+    if not compatible(fmi.alpha, fmt_order):
+        print(f"serialize_fmi: alphabet order {identify_alphabet(fmi.alpha).name} "
+              f"is incompatible with format '{fmt}'", file=sys.stderr)
+    write_bwt(path, fmt, fmi.runs, fmi.alpha,
+              sequences=fmi.sequences(), bases=fmi.size())

@@ -117,6 +117,7 @@ class DeviceFMIndex:
         k = jnp.searchsorted(self.run_starts, i.astype(jnp.int32), side="right") - 1
         return jnp.clip(k, 0, max(self.n_runs - 1, 0))
 
+    @jax.jit
     def ranks_all(self, i: jax.Array) -> jax.Array:
         """rank(i, c) for every c: int32[Q, LANES].  i in [0, size]."""
         i = i.astype(jnp.int32)
@@ -128,6 +129,7 @@ class DeviceFMIndex:
                   == sym[:, None])
         return base + jnp.where(onehot, partial[:, None], 0)
 
+    @jax.jit
     def rank(self, i: jax.Array, c: jax.Array) -> jax.Array:
         """rank(i, c) per (i, c) pair: int32[Q]."""
         i = i.astype(jnp.int32)
@@ -137,6 +139,7 @@ class DeviceFMIndex:
         return jnp.take_along_axis(self.occ[k], c[:, None].astype(jnp.int32),
                                    axis=1)[:, 0] + partial
 
+    @jax.jit
     def inverse_select(self, i: jax.Array):
         """(rank(i, BWT[i]), BWT[i]) per position (bwt.cpp:445-464)."""
         i = i.astype(jnp.int32)
@@ -145,18 +148,22 @@ class DeviceFMIndex:
         base = jnp.take_along_axis(self.occ[k], sym[:, None], axis=1)[:, 0]
         return base + jnp.clip(i - self.run_starts[k], 0, None), sym
 
+    @jax.jit
     def access(self, i: jax.Array) -> jax.Array:
         return self.syms[self.covering_run(i.astype(jnp.int32))]
 
     # -- LF layer (fmi.h:146-193) ---------------------------------------------
 
+    @jax.jit
     def LF_all(self, i: jax.Array) -> jax.Array:
         """LF(i, c) = C[c] + rank(i, c) for every c at once: int32[Q, LANES]."""
         return self.C[:LANES][None, :] + self.ranks_all(i)
 
+    @jax.jit
     def LF(self, i: jax.Array, c: jax.Array) -> jax.Array:
         return self.C[c] + self.rank(i, c)
 
+    @jax.jit
     def LF_step(self, i: jax.Array):
         """(LF(i), BWT[i]) batched (utils.h:335-341)."""
         rnk, sym = self.inverse_select(i)
