@@ -77,18 +77,20 @@ def _expand_step(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
 # -- production driver: host loop, device steps -------------------------------
 
 
-def _bucket(n: int, minimum: int = 128) -> int:
-    """Next power-of-two capacity >= n (bounds the number of XLA programs)."""
+def _bucket(n: int, minimum: int = 128, growth: int = 2) -> int:
+    """Next power-of-`growth` capacity >= n (bounds the number of distinct
+    XLA programs; raise `minimum`/`growth` on real TPU where each compile
+    costs 20-40 s)."""
     b = minimum
     while b < n:
-        b *= 2
+        b *= growth
     return b
 
 
 def wavefront_search(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
                      b_seq_range: Tuple[int, int],
                      a_sequences: int,
-                     emit) -> None:
+                     emit, min_bucket: int = 128, growth: int = 2) -> None:
     """Search B's sequence block [sp0, ep0] through A, streaming RA runs.
 
     `emit(values: np.int64[K], counts: np.int64[K])` is called once per trie
@@ -111,7 +113,7 @@ def wavefront_search(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
         emit(a_pos[:count].astype(np.int64),
              (b_ep[:count].astype(np.int64) - b_sp[:count] + 1))
 
-        cap = _bucket(count)
+        cap = _bucket(count, min_bucket, growth)
         if cap != a_pos.shape[0]:
             pad = cap - count
             a_pos = np.pad(a_pos[:count], (0, pad))
@@ -147,13 +149,17 @@ def wavefront_search_device(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     """
     cap = frontier_cap
 
-    a_pos0 = jnp.zeros(cap, jnp.int32).at[0].set(a_sequences)
+    # Seed every carry component from the (possibly device-varying) inputs so
+    # the loop is valid under shard_map: a constant-initialized carry would be
+    # "unvarying" while the body makes it varying (shard_map vma rules).
+    zero = (b_sp0 * 0).astype(jnp.int32)
+    a_pos0 = (jnp.zeros(cap, jnp.int32) + zero).at[0].set(a_sequences + zero)
     sp0 = jnp.zeros(cap, jnp.int32).at[0].set(b_sp0)
     ep0 = jnp.full(cap, -1, jnp.int32).at[0].set(b_ep0)
     count0 = jnp.where(b_ep0 >= b_sp0, jnp.int32(1), jnp.int32(0))
 
-    values0 = jnp.zeros(emit_cap, jnp.int32)
-    counts0 = jnp.zeros(emit_cap, jnp.int32)
+    values0 = jnp.zeros(emit_cap, jnp.int32) + zero
+    counts0 = jnp.zeros(emit_cap, jnp.int32) + zero
 
     def cond(state):
         _, _, _, count, _, _, _, overflow = state
@@ -179,7 +185,7 @@ def wavefront_search_device(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
                 values, counts, new_emit, overflow)
 
     state = (a_pos0, sp0, ep0, count0, values0, counts0,
-             jnp.int32(0), jnp.bool_(False))
+             zero, zero != 0)
     a_pos, b_sp, b_ep, count, values, counts, n_emit, overflow = \
         jax.lax.while_loop(cond, body, state)
     return values, counts, n_emit, overflow

@@ -1,0 +1,144 @@
+"""Multi-chip execution: sequence-block data parallelism over a device mesh.
+
+TPU-native replacement for the reference's thread-level parallelism
+(ParallelLoop, utils.h:254-302; sequence blocks, fmi.cpp:351-357).  The
+mapping, per SURVEY.md §5:
+
+  threads             -> devices of a jax.sharding.Mesh (axis "seq")
+  sequence blocks     -> contiguous ranges of B's sequence ranks, one shard
+                         per device (correctness needs no cross-block
+                         communication: each B-suffix has exactly one rank
+                         in A)
+  run/thread buffers  -> fixed-capacity per-device emission buffers inside
+                         one compiled program (wavefront_search_device)
+  merge-buffer ladder -> all_gather of per-device RA runs over ICI + host
+                         compaction (sorted-unique merge)
+
+The FM-indexes of A and B are replicated across the mesh (block-sharding for
+> HBM indexes is the round-2 extension); only the root sequence ranges differ
+per device.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.rank_jax import DeviceFMIndex
+from ..ops.search_jax import wavefront_search_device
+
+SEQ_AXIS = "seq"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = SEQ_AXIS) -> Mesh:
+    """1-D device mesh over the first n devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def sequence_shards(n_sequences: int, n_shards: int) -> np.ndarray:
+    """Closed [sp, ep] ranges of B's sequence ranks, one row per shard.
+
+    Mirrors getBounds (utils.cpp:169-187): remainder spread over the first
+    shards; empty shards get ep < sp.
+    """
+    bounds = np.zeros((n_shards, 2), dtype=np.int32)
+    base, rem = divmod(n_sequences, n_shards)
+    start = 0
+    for i in range(n_shards):
+        count = base + (1 if i < rem else 0)
+        bounds[i] = (start, start + count - 1)
+        start += count
+    return bounds
+
+
+def sharded_rank_array(
+    a_idx: DeviceFMIndex,
+    b_idx: DeviceFMIndex,
+    a_sequences: int,
+    b_sequences: int,
+    mesh: Optional[Mesh] = None,
+    frontier_cap: int = 4096,
+    emit_cap: int = 65536,
+) -> Tuple[np.ndarray, np.ndarray, bool]:
+    """Rank array of B vs A computed data-parallel over the mesh.
+
+    Each device wavefront-searches its own block of B sequences inside one
+    compiled program; per-device (value, count) run buffers are combined on
+    the host into the sorted unique rank array.  Returns (values, counts,
+    overflowed) — on overflow the caller re-runs the oversized blocks through
+    the streaming host driver (ops/search_jax.wavefront_search).
+    """
+    from ..ops.search_np import compact_rank_array
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    bounds = sequence_shards(b_sequences, n_dev)
+
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P(SEQ_AXIS))
+
+    a_dev = jax.device_put(a_idx, replicated)
+    b_dev = jax.device_put(b_idx, replicated)
+    sp = jax.device_put(jnp.asarray(bounds[:, 0]), sharded)
+    ep = jax.device_put(jnp.asarray(bounds[:, 1]), sharded)
+
+    def per_shard(a, b, sp, ep):
+        # One device: search the local block(s) inside this shard.  shard_map
+        # guarantees the search runs device-local with no collectives; the
+        # only cross-device traffic is the final result gather.
+        fn = lambda s, e: wavefront_search_device(
+            a, b, s, e, a_sequences,
+            frontier_cap=frontier_cap, emit_cap=emit_cap)
+        return jax.vmap(fn)(sp, ep)
+
+    search_all = jax.jit(jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), P(), P(SEQ_AXIS), P(SEQ_AXIS)),
+        out_specs=P(SEQ_AXIS)))
+
+    values, counts, n_emit, overflow = search_all(a_dev, b_dev, sp, ep)
+
+    values = np.asarray(values)
+    counts = np.asarray(counts)
+    n_emit = np.asarray(n_emit)
+    overflowed = bool(np.asarray(overflow).any())
+
+    all_v = np.concatenate([values[d, : n_emit[d]] for d in range(n_dev)])
+    all_c = np.concatenate([counts[d, : n_emit[d]] for d in range(n_dev)])
+    v, c = compact_rank_array(all_v.astype(np.int64), all_c.astype(np.int64))
+    return v, c, overflowed
+
+
+def sharded_backward_search(index: DeviceFMIndex, patterns: jax.Array,
+                            lengths: jax.Array, max_len: int,
+                            mesh: Optional[Mesh] = None):
+    """Pattern verification sharded across the mesh (the reference's parallel
+    queryFMI, bwt_merge.cpp:240-260): patterns split over devices, index
+    replicated, one all-gather of the per-device count vectors."""
+    from ..ops.rank_jax import backward_search
+
+    mesh = mesh or make_mesh()
+    q = patterns.shape[0]
+    n_dev = mesh.devices.size
+    pad = (-q) % n_dev
+    if pad:
+        patterns = jnp.pad(patterns, ((0, pad), (0, 0)))
+        lengths = jnp.pad(lengths, (0, pad), constant_values=1)
+
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P(SEQ_AXIS))
+    idx = jax.device_put(index, replicated)
+    patterns = jax.device_put(patterns, sharded)
+    lengths = jax.device_put(lengths, sharded)
+
+    sp, ep = jax.jit(backward_search, static_argnames=("max_len",))(
+        idx, patterns, lengths, max_len)
+    counts = jnp.maximum(0, ep - sp + 1)
+    return counts[:q]

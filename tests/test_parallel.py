@@ -1,0 +1,91 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh: sharded rank-array
+search and sharded pattern verification vs single-device oracles."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from bwtmerge_tpu.models import oracle
+from bwtmerge_tpu.models.fmi import FMI
+from bwtmerge_tpu.ops import search_np
+from bwtmerge_tpu.ops.rank_jax import DeviceFMIndex
+from bwtmerge_tpu.parallel import (
+    make_mesh,
+    sequence_shards,
+    sharded_backward_search,
+    sharded_rank_array,
+)
+
+
+def _fmi(seqs):
+    return FMI.from_runs(oracle.build_bwt(seqs))
+
+
+class TestSequenceShards:
+    def test_partition_covers_all(self):
+        bounds = sequence_shards(13, 4)
+        assert bounds.shape == (4, 2)
+        covered = []
+        for sp, ep in bounds:
+            covered.extend(range(sp, ep + 1))
+        assert covered == list(range(13))
+
+    def test_more_shards_than_sequences(self):
+        bounds = sequence_shards(3, 8)
+        lens = [max(0, ep - sp + 1) for sp, ep in bounds]
+        assert sum(lens) == 3
+        assert all(l in (0, 1) for l in lens)
+
+
+class TestShardedRankArray:
+    def test_matches_single_device(self, rng):
+        a_seqs = oracle.random_collection(rng, 8, 10, 60)
+        b_seqs = oracle.random_collection(rng, 12, 10, 60)
+        a, b = _fmi(a_seqs), _fmi(b_seqs)
+        want = search_np.build_rank_array(
+            a.rank_index, a.alpha.C.astype(np.int64),
+            b.rank_index, b.alpha.C.astype(np.int64),
+            a.sequences(), b.sequences())
+
+        mesh = make_mesh(8)
+        a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+        v, c, overflow = sharded_rank_array(
+            a_idx, b_idx, a.sequences(), b.sequences(), mesh=mesh,
+            frontier_cap=2048, emit_cap=32768)
+        assert not overflow
+        assert np.array_equal(v, want[0])
+        assert np.array_equal(c, want[1])
+
+    def test_overflow_flag(self, rng):
+        a_seqs = oracle.random_collection(rng, 8, 10, 60)
+        b_seqs = oracle.random_collection(rng, 12, 10, 60)
+        a, b = _fmi(a_seqs), _fmi(b_seqs)
+        a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+        _, _, overflow = sharded_rank_array(
+            a_idx, b_idx, a.sequences(), b.sequences(), mesh=make_mesh(2),
+            frontier_cap=128, emit_cap=64)
+        assert overflow
+
+
+class TestShardedVerification:
+    def test_counts_match_host(self, rng):
+        seqs = oracle.random_collection(rng, 10, 10, 60)
+        fmi = _fmi(seqs)
+        idx = DeviceFMIndex.build(fmi.runs, fmi.alpha.counts())
+
+        pats = [np.asarray(s[:5]) for s in seqs[:7]]
+        max_len = 5
+        pat = np.zeros((len(pats), max_len), dtype=np.int32)
+        lens = np.zeros(len(pats), dtype=np.int32)
+        for i, p in enumerate(pats):
+            pat[i, : p.size] = p
+            lens[i] = p.size
+
+        counts = sharded_backward_search(
+            idx, jnp.asarray(pat), jnp.asarray(lens), max_len, mesh=make_mesh(8))
+        want = np.array([fmi.count(p) for p in pats])
+        assert np.array_equal(np.asarray(counts), want)
