@@ -61,10 +61,18 @@ def merge_fmi(a: FMI, b: FMI, config: Optional[MergeConfig] = None) -> FMI:
     config.timer.verbose = config.verbose
 
     with config.timer.phase("search (rank array)"):
-        ra_values, ra_counts = _build_ra(a, b, config)
+        ra = _build_ra_spill(a, b, config)
 
     with config.timer.phase("merge (interleave)"):
-        merged_runs = _interleave(a.runs, b.runs, ra_values, ra_counts, config)
+        if ra.n_spill_files:
+            # out-of-core: stream the k-way-merged rank array through the
+            # stateful native interleave (bounded host memory)
+            from ..native import interleave_streaming
+
+            merged_runs = interleave_streaming(a.runs, b.runs, ra.stream())
+        else:
+            ra_values, ra_counts = ra.finish()
+            merged_runs = _interleave(a.runs, b.runs, ra_values, ra_counts, config)
 
     with config.timer.phase("index build"):
         alpha = type(a.alpha)(
@@ -78,26 +86,46 @@ def merge_fmi(a: FMI, b: FMI, config: Optional[MergeConfig] = None) -> FMI:
     return result
 
 
-def _build_ra(a: FMI, b: FMI, config: MergeConfig):
-    if config.backend == "jax":
-        from ..ops.search_jax import build_rank_array_jax
+def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
+    """Run the search phase, emitting into a spill-backed accumulator.
 
-        return build_rank_array_jax(a, b, config)
-    # numpy backend: search sequence blocks independently and merge —
-    # the reference's sequence-block parallelism (fmi.cpp:351-357).
+    The accumulator's knobs map the reference's buffer hierarchy
+    (fmi.h:49-51): compact_every ~ thread buffer, spill threshold ~ total
+    merge-buffer budget.
+    """
     from ..utils.ranges import get_bounds
+    from .spill import RankArraySpill
 
+    compact_every = config.thread_buffer_mb * 1024 * 1024 // 16  # 16 B/run
+    spill = RankArraySpill(
+        temp_dir=config.temp_dir,
+        spill_threshold_runs=config.run_buffer_runs * config.merge_buffers,
+        compact_every=max(compact_every, 1024),
+    )
+
+    if config.backend == "jax":
+        from ..ops.rank_jax import DeviceFMIndex
+        from ..ops.search_jax import wavefront_search
+
+        a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+        blocks = get_bounds((0, b.sequences() - 1), max(1, config.sequence_blocks))
+        for blk in blocks:
+            wavefront_search(a_idx, b_idx, blk, a.sequences(), spill.emit)
+        return spill
+
+    # numpy backend: search sequence blocks independently —
+    # the reference's sequence-block parallelism (fmi.cpp:351-357).
     blocks = get_bounds((0, b.sequences() - 1), config.sequence_blocks)
-    ra = (np.zeros(0, np.int64), np.zeros(0, np.int64))
     for blk in blocks:
-        part = search_np.build_rank_array(
+        values, counts = search_np.build_rank_array(
             a.rank_index, a.alpha.C.astype(np.int64),
             b.rank_index, b.alpha.C.astype(np.int64),
             a.sequences(), b.sequences(),
             sigma=a.alpha.sigma, b_seq_range=blk,
         )
-        ra = search_np.merge_rank_arrays(ra, part)
-    return ra
+        spill.emit(values, counts)
+    return spill
 
 
 def _interleave(a_runs: RunArrays, b_runs: RunArrays, ra_values, ra_counts,

@@ -1,0 +1,200 @@
+"""Out-of-core rank array: disk spills + streaming k-way merge.
+
+The framework analog of the reference's buffer hierarchy (MergeBuffer,
+fmi.cpp:139-218) and k-way disk merger (RankArray, support.h:576-638):
+
+  RankArraySpill.emit()  <- per-depth / per-shard (a_pos, count) run chunks
+     in-memory compaction ladder (sort + sum duplicates, vectorized)
+     -> spill_threshold_runs exceeded: delta+varint spill file in temp_dir
+  RankArraySpill.stream() -> bounded-memory ascending (values, counts)
+     chunks from a vectorized k-way merge of all spill files + the resident
+     array (numpy merges whole chunk frontiers at once instead of the
+     reference's per-run binary heap, support.h:612-629)
+
+Spill files use the native RLArray cell codec (native/src/spill.cpp); a crash
+leaves .bwtmerge_tpu_<pid>_<k> files like the reference leaves
+.bwtmerge_<host>_<pid>_<k> (utils.cpp:124-134).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..ops.search_np import compact_rank_array, merge_rank_arrays
+
+
+class _SpillFile:
+    """One sorted-unique spill file with stateful chunked decoding."""
+
+    def __init__(self, path: str, n_runs: int):
+        self.path = path
+        self.n_runs = n_runs
+        self._data: Optional[np.ndarray] = None
+        self._state = np.zeros(2, dtype=np.int64)  # byte offset, prev value
+        self.head_values = np.zeros(0, np.int64)
+        self.head_counts = np.zeros(0, np.int64)
+        self.exhausted = False
+
+    def _ensure_open(self) -> None:
+        if self._data is None:
+            self._data = np.fromfile(self.path, dtype=np.uint8)
+
+    def refill(self, chunk_runs: int) -> None:
+        """Top up the in-memory head to ~chunk_runs runs."""
+        if self.exhausted or self.head_values.size >= chunk_runs:
+            return
+        from ..native import ra_decode_chunk
+
+        self._ensure_open()
+        need = chunk_runs - self.head_values.size
+        values, counts = ra_decode_chunk(self._data, self._state, need)
+        if values.size < need:
+            self.exhausted = True
+            self._data = None
+        self.head_values = np.concatenate([self.head_values, values])
+        self.head_counts = np.concatenate([self.head_counts, counts])
+
+    def take_until(self, bound: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Remove and return all head runs with value <= bound."""
+        k = int(np.searchsorted(self.head_values, bound, side="right"))
+        out = (self.head_values[:k], self.head_counts[:k])
+        self.head_values = self.head_values[k:]
+        self.head_counts = self.head_counts[k:]
+        return out
+
+    def done(self) -> bool:
+        return self.exhausted and self.head_values.size == 0
+
+    def delete(self) -> None:
+        try:
+            os.remove(self.path)
+        except OSError:
+            pass
+
+
+class RankArraySpill:
+    """Rank-array accumulator with bounded host memory.
+
+    emit() chunks are compacted in memory; when the resident array exceeds
+    `spill_threshold_runs`, it is delta+varint-encoded to a temp file.
+    stream() yields globally sorted unique (values, counts) chunks.
+    """
+
+    def __init__(self, temp_dir: str = ".", spill_threshold_runs: int = 64 * 1024 * 1024,
+                 compact_every: int = 16 * 1024 * 1024):
+        self.temp_dir = temp_dir
+        self.spill_threshold_runs = spill_threshold_runs
+        self.compact_every = compact_every
+        self._chunks: List[Tuple[np.ndarray, np.ndarray]] = []
+        self._pending = 0
+        self._base: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self._files: List[_SpillFile] = []
+        self._file_seq = 0
+        self.total_spilled_bytes = 0
+
+    # -- accumulation ---------------------------------------------------------
+
+    def emit(self, values: np.ndarray, counts: np.ndarray) -> None:
+        if values.size == 0:
+            return
+        self._chunks.append((values, counts))
+        self._pending += values.size
+        if self._pending >= self.compact_every:
+            self._compact()
+        if self._base is not None and self._base[0].size >= self.spill_threshold_runs:
+            self._spill()
+
+    def _compact(self) -> None:
+        if not self._chunks:
+            return
+        values = np.concatenate([c[0] for c in self._chunks])
+        counts = np.concatenate([c[1] for c in self._chunks])
+        part = compact_rank_array(values, counts)
+        self._base = part if self._base is None else merge_rank_arrays(self._base, part)
+        self._chunks = []
+        self._pending = 0
+
+    def _spill(self) -> None:
+        from ..native import ra_encode
+
+        values, counts = self._base
+        path = os.path.join(self.temp_dir,
+                            f".bwtmerge_tpu_{os.getpid()}_{self._file_seq}")
+        self._file_seq += 1
+        data = ra_encode(values, counts)
+        with open(path, "wb") as f:
+            f.write(data)
+        self.total_spilled_bytes += len(data)
+        self._files.append(_SpillFile(path, values.size))
+        self._base = None
+
+    # -- consumption ----------------------------------------------------------
+
+    def stream(self, chunk_runs: int = 4 * 1024 * 1024
+               ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yield ascending sorted-unique (values, counts) chunks; values never
+        overlap across chunks.  Consumes and deletes the spill files."""
+        self._compact()
+        sources: List[_SpillFile] = list(self._files)
+        resident = self._base
+        self._base = None
+        self._files = []
+
+        res_pos = 0
+        res_v, res_c = (resident if resident is not None
+                        else (np.zeros(0, np.int64), np.zeros(0, np.int64)))
+
+        try:
+            while True:
+                for f in sources:
+                    f.refill(chunk_runs)
+                live = [f for f in sources if not f.done()]
+                res_live = res_pos < res_v.size
+
+                if not live and not res_live:
+                    return
+
+                # Merge bound: smallest "last head value" over live sources —
+                # every run <= bound is present in some head, so the merged
+                # prefix up to bound is complete and safe to yield.
+                bounds = [int(f.head_values[-1]) for f in live if f.head_values.size]
+                if res_live:
+                    bounds.append(int(res_v[min(res_pos + chunk_runs, res_v.size) - 1]))
+                bound = min(bounds)
+
+                parts_v, parts_c = [], []
+                for f in live:
+                    v, c = f.take_until(bound)
+                    if v.size:
+                        parts_v.append(v)
+                        parts_c.append(c)
+                if res_live:
+                    k = int(np.searchsorted(res_v, bound, side="right"))
+                    if k > res_pos:
+                        parts_v.append(res_v[res_pos:k])
+                        parts_c.append(res_c[res_pos:k])
+                        res_pos = k
+
+                if parts_v:
+                    merged = compact_rank_array(np.concatenate(parts_v),
+                                                np.concatenate(parts_c))
+                    if merged[0].size:
+                        yield merged
+        finally:
+            for f in sources:
+                f.delete()
+
+    def finish(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Fully materialized rank array (small inputs / tests)."""
+        parts = list(self.stream())
+        if not parts:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
+
+    @property
+    def n_spill_files(self) -> int:
+        return len(self._files)

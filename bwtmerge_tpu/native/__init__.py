@@ -13,6 +13,9 @@ try:
         rle_decode,
         rle_encode,
         interleave_native,
+        interleave_streaming,
+        ra_encode,
+        ra_decode_chunk,
     )
 except Exception as _e:  # pragma: no cover - fallback path
     raise ImportError(f"native runtime unavailable: {_e}") from _e

@@ -35,6 +35,13 @@ def _lib() -> ctypes.CDLL:
             _i64p, _i64p, ctypes.c_int64,
             _u8p, _i64p,
         ]
+        lib.ra_encode_size.restype = ctypes.c_int64
+        lib.ra_encode_size.argtypes = [_i64p, _i64p, ctypes.c_int64]
+        lib.ra_encode.restype = ctypes.c_int64
+        lib.ra_encode.argtypes = [_i64p, _i64p, ctypes.c_int64, _u8p]
+        lib.ra_decode_chunk.restype = ctypes.c_int64
+        lib.ra_decode_chunk.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int64,
+                                        _i64p, _i64p, _i64p]
         lib._bwtmerge_configured = True
     return lib
 
@@ -95,3 +102,94 @@ def interleave_native(a_runs, b_runs, ra_values, ra_counts):
                                b_syms, b_lens, b_syms.size,
                                rv, rc, rv.size, out_syms, out_lens)
     return RunArrays(out_syms[:n].copy(), out_lens[:n].copy())
+
+
+def ra_encode(values, counts) -> bytes:
+    """Sorted (value, count) runs -> delta+varint byte stream (RLArray cell
+    layout, support.h:505-516)."""
+    values, counts = _as_i64(values), _as_i64(counts)
+    lib = _lib()
+    size = lib.ra_encode_size(values, counts, values.size)
+    out = np.empty(size, dtype=np.uint8)
+    written = lib.ra_encode(values, counts, values.size, out)
+    assert written == size
+    return out.tobytes()
+
+
+def ra_decode_chunk(data: np.ndarray, state: np.ndarray, max_runs: int):
+    """Decode up to max_runs runs resuming from state = [byte_offset,
+    prev_value] (updated in place).  Returns (values, counts) int64 arrays."""
+    values = np.empty(max_runs, dtype=np.int64)
+    counts = np.empty(max_runs, dtype=np.int64)
+    n = _lib().ra_decode_chunk(data, data.size, max_runs, state, values, counts)
+    return values[:n], counts[:n]
+
+
+def _configure_stream_interleave(lib) -> None:
+    if getattr(lib, "_bwtmerge_stream_configured", False):
+        return
+    lib.interleave_state_init.restype = None
+    lib.interleave_state_init.argtypes = [_i64p, ctypes.c_int64, _i64p,
+                                          ctypes.c_int64, _i64p]
+    lib.interleave_chunk.restype = ctypes.c_int64
+    lib.interleave_chunk.argtypes = [
+        _u8p, _i64p, ctypes.c_int64,
+        _u8p, _i64p, ctypes.c_int64,
+        _i64p, _i64p, ctypes.c_int64, ctypes.c_int64,
+        _i64p, _u8p, _i64p,
+    ]
+    lib._bwtmerge_stream_configured = True
+
+
+def interleave_streaming(a_runs, b_runs, ra_chunks):
+    """Merged RunArrays from an iterator of ascending rank-array chunks.
+
+    Bounded-memory companion of interleave_native: the rank array is consumed
+    chunk by chunk (RankArraySpill.stream), never materialized whole.
+    """
+    from ..models.runs import RunArrays
+
+    lib = _lib()
+    _configure_stream_interleave(lib)
+
+    a_syms, a_lens = _as_u8(a_runs.syms), _as_i64(a_runs.lens)
+    b_syms, b_lens = _as_u8(b_runs.syms), _as_i64(b_runs.lens)
+    state = np.zeros(7, dtype=np.int64)
+    lib.interleave_state_init(a_lens, a_lens.size, b_lens, b_lens.size, state)
+
+    out_syms_parts = []
+    out_lens_parts = []
+    a_consumed_runs = 0
+
+    def run_chunk(rv, rc, finish):
+        nonlocal a_consumed_runs
+        rv, rc = _as_i64(rv), _as_i64(rc)
+        # Emitted-run bound: fragments of A touched this chunk (min of the
+        # position span and the runs remaining, plus one split per RA run) +
+        # fragments of B likewise; finish adds A's tail.
+        a_span = int(rv[-1] - state[4]) if rv.size else 0
+        a_remaining = a_lens.size - int(state[0])
+        b_remaining = b_lens.size - int(state[2])
+        cap_a = min(a_span, a_remaining) + rv.size + 2
+        cap_b = min(int(rc.sum()), b_remaining) + rv.size + 2
+        cap = cap_a + cap_b + (a_remaining + 2 if finish else 0)
+        cap = max(cap, 16)
+        out_s = np.empty(cap, dtype=np.uint8)
+        out_l = np.empty(cap, dtype=np.int64)
+        n = lib.interleave_chunk(a_syms, a_lens, a_syms.size,
+                                 b_syms, b_lens, b_syms.size,
+                                 rv, rc, rv.size, 1 if finish else 0,
+                                 state, out_s, out_l)
+        assert n <= cap, "interleave chunk overflow"
+        a_consumed_runs = int(state[0])
+        if n:
+            out_syms_parts.append(out_s[:n].copy())
+            out_lens_parts.append(out_l[:n].copy())
+
+    for rv, rc in ra_chunks:
+        run_chunk(rv, rc, finish=False)
+    run_chunk(np.zeros(0, np.int64), np.zeros(0, np.int64), finish=True)
+
+    if not out_syms_parts:
+        return RunArrays.empty()
+    return RunArrays(np.concatenate(out_syms_parts), np.concatenate(out_lens_parts))

