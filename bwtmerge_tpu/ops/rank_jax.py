@@ -1,31 +1,26 @@
-"""Device-resident FM-index: batched rank/LF over an RLE BWT in JAX.
+"""Device-resident FM-index: batched rank/LF over a BWT in JAX.
 
 TPU-first replacement for the reference's per-query block decode
-(BWT::rank, bwt.cpp:318-341: one sd_vector rank + a <=64-byte sequential
-Run::read scan per query).  The BWT lives on device as a TWO-LEVEL segmented
-structure (the vector analog of the reference's 64-byte blocks + per-block
-samples, bwt.h:49-50,174-176):
+(BWT::rank, bwt.cpp:318-341).  The device layout is chosen from measured v5e
+gather economics: every XLA gather row costs ~34 ns regardless of width, and
+a binary search is ~17 chained gathers.  So rank must be ONE gather of ONE
+fused record, found by pure arithmetic:
 
-  hdr:        int32[NB]          first text position of each segment
-  seg_starts: int32[NB, SEG]     run start positions within the segment
-  seg_syms:   int32[NB, SEG]     run symbols
-  seg_lens:   int32[NB, SEG]     run lengths
-  seg_occ:    int32[NB, LANES]   per-char occ at each segment start
+  rec: int32[NBLK, 16]   one 64-byte record per 32-position block:
+       rec[b, 0:8]  = occ counts of each char in positions [0, 32*b)
+       rec[b, 8:16] = the block's 32 symbols, 4 packed per int32 (LSB first)
 
-A rank query is then:
-  1. binary search `hdr` (small — ~0.8 MB per 1e8 runs — stays in cache)
-  2. ONE contiguous row gather of the segment (SEG*12 B, 1-3 HBM lines)
-  3. VPU masked reductions for the intra-segment partial counts
+  rank(i, c) = rec[i>>5, c] + popcount(syms[0 : i&31] == c)
 
-versus a naive searchsorted over all runs = ~log2(R) dependent scattered HBM
-gathers per query, which measured 25x slower on a v5e.  All queries are
-batched [Q]-vectors; this is the per-step primitive of the whole merge engine
-(SURVEY.md §3.2).
+One gather (block id = shift, no search) + VPU unpack/mask/sum.  This is the
+exact vector analog of the reference's 64-byte-block + samples design
+(bwt.h:49-50,174-176) with the samples fused INTO the block so a query costs
+a single HBM row.
 
-Positions are int32 by design: a per-chip BWT shard never exceeds 2^31
-positions (HBM bounds the shard long before that); global positions at
-terabase scale live in host int64 and are re-based per shard
-(parallel/mesh.py).  int32 is the TPU's native integer width.
+The dense layout spends 2 B/position (vs RLE) — the classic space/speed trade
+flipped toward the TPU's strengths; terabase inputs are handled by sharding
+(parallel/mesh.py), not per-chip compression.  Positions are int32: a
+per-chip shard never exceeds 2^31 positions.
 """
 
 from __future__ import annotations
@@ -40,148 +35,118 @@ import numpy as np
 from ..models.runs import RunArrays
 
 SIGMA = 6
-LANES = 8   # sigma padded to the VPU-friendly width
-SEG = 64    # runs per segment (one 768 B row of starts+syms+lens)
+LANES = 8        # occ lanes (sigma padded)
+BLK = 32         # positions per block
+REC = 16         # int32 words per record: 8 occ + 8 packed-symbol words
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class DeviceFMIndex:
-    """Segmented run-length FM-index resident in device memory."""
+    """Block-fused FM-index resident in device memory."""
 
-    hdr: jax.Array         # int32[NB]
-    seg_starts: jax.Array  # int32[NB, SEG]
-    seg_syms: jax.Array    # int32[NB, SEG]
-    seg_lens: jax.Array    # int32[NB, SEG]
-    seg_occ: jax.Array     # int32[NB, LANES]
-    C: jax.Array           # int32[LANES+1] cumulative char counts
-    size: int              # static: total positions
-    n_runs: int            # static: real (unpadded) run count
+    rec: jax.Array   # int32[NBLK, REC]
+    C: jax.Array     # int32[LANES+1] cumulative char counts (C[sigma]=size)
+    size: int        # static: total positions
+    n_runs: int      # static: run count of the source RLE (informational)
 
     # -- pytree plumbing ------------------------------------------------------
 
     def tree_flatten(self):
-        return ((self.hdr, self.seg_starts, self.seg_syms, self.seg_lens,
-                 self.seg_occ, self.C), (self.size, self.n_runs))
+        return ((self.rec, self.C), (self.size, self.n_runs))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        hdr, seg_starts, seg_syms, seg_lens, seg_occ, C = children
+        rec, C = children
         size, n_runs = aux
-        return cls(hdr=hdr, seg_starts=seg_starts, seg_syms=seg_syms,
-                   seg_lens=seg_lens, seg_occ=seg_occ, C=C,
-                   size=size, n_runs=n_runs)
+        return cls(rec=rec, C=C, size=size, n_runs=n_runs)
 
     # -- construction ---------------------------------------------------------
 
     @classmethod
     def build(cls, runs: RunArrays, C: np.ndarray | None = None) -> "DeviceFMIndex":
-        """Upload a host RLE BWT into the segmented device layout."""
-        r = runs.n_runs
+        """Upload a host RLE BWT into the block-fused device layout."""
         size = runs.size()
         if size >= 2**31:
             raise ValueError(
                 f"BWT shard of {size} positions exceeds int32 device layout; "
                 "shard it first (parallel/mesh.py)")
-        nb = max(1, -(-max(r, 1) // SEG))
-        rp = nb * SEG
+        nblk = size // BLK + 1  # extra block so i == size resolves
+        dense = np.full(nblk * BLK, SIGMA, dtype=np.uint8)  # pad char SIGMA: counts nothing
+        if size:
+            dense[:size] = runs.decode()
 
-        starts = np.full(rp, size + 1, dtype=np.int32)  # pad: past any query
-        lens = np.zeros(rp, dtype=np.int32)
-        syms = np.zeros(rp, dtype=np.int32)
-        if r:
-            starts[:r] = np.concatenate(([0], np.cumsum(runs.lens[:-1])))
-            lens[:r] = runs.lens
-            syms[:r] = runs.syms
+        by_block = dense.reshape(nblk, BLK)
+        onehot = by_block[:, :, None] == np.arange(LANES, dtype=np.uint8)[None, None, :]
+        per_block = onehot.sum(axis=1, dtype=np.int64)          # [NBLK, LANES]
+        occ = np.zeros((nblk, LANES), dtype=np.int64)
+        np.cumsum(per_block[:-1], axis=0, out=occ[1:])
 
-        occ_seg = np.zeros((nb, LANES), dtype=np.int64)
-        if r:
-            onehot = np.zeros((rp, LANES), dtype=np.int64)
-            onehot[np.arange(r), runs.syms] = runs.lens
-            seg_tot = onehot.reshape(nb, SEG, LANES).sum(axis=1)
-            occ_seg[1:] = np.cumsum(seg_tot[:-1], axis=0)
+        packed = by_block.reshape(nblk, BLK // 4, 4).astype(np.uint32)
+        packed = (packed[:, :, 0] | (packed[:, :, 1] << 8) |
+                  (packed[:, :, 2] << 16) | (packed[:, :, 3] << 24))
+
+        rec = np.empty((nblk, REC), dtype=np.int32)
+        rec[:, :LANES] = occ.astype(np.int32)
+        rec[:, LANES:] = packed.view(np.int32)
 
         counts = runs.counts(SIGMA) if C is None else np.asarray(C)
         c_arr = np.zeros(LANES + 1, dtype=np.int32)
         c_arr[: counts.size + 1] = np.concatenate(([0], np.cumsum(counts)))
         c_arr[counts.size + 1:] = c_arr[counts.size]
 
-        return cls(
-            hdr=jnp.asarray(starts.reshape(nb, SEG)[:, 0]),
-            seg_starts=jnp.asarray(starts.reshape(nb, SEG)),
-            seg_syms=jnp.asarray(syms.reshape(nb, SEG)),
-            seg_lens=jnp.asarray(lens.reshape(nb, SEG)),
-            seg_occ=jnp.asarray(occ_seg.astype(np.int32)),
-            C=jnp.asarray(c_arr),
-            size=size,
-            n_runs=r,
-        )
+        return cls(rec=jnp.asarray(rec), C=jnp.asarray(c_arr),
+                   size=size, n_runs=runs.n_runs)
 
-    # -- the segment probe (shared by every query) ----------------------------
+    # -- the block probe (shared by every query) ------------------------------
 
     def _probe(self, i: jax.Array):
-        """For each query position i: the segment row and intra-segment run.
-
-        Returns (row_syms [Q,SEG], row_lens [Q,SEG], occ_base [Q,LANES],
-        k [Q] run-in-segment index, partial [Q] positions consumed inside
-        that run, in_run [Q,SEG] mask of runs strictly before k).
-        """
+        """One gather per query: (occ_base [Q,LANES], syms [Q,BLK], off [Q])."""
         i = i.astype(jnp.int32)
-        j = jnp.searchsorted(self.hdr, i, side="right") - 1
-        j = jnp.clip(j, 0, self.hdr.shape[0] - 1)
-        row_starts = self.seg_starts[j]                      # [Q, SEG]
-        row_syms = self.seg_syms[j]
-        row_lens = self.seg_lens[j]
-        occ_base = self.seg_occ[j]                           # [Q, LANES]
-        within = row_starts <= i[:, None]                    # [Q, SEG]
-        k = jnp.maximum(jnp.sum(within.astype(jnp.int32), axis=1) - 1, 0)
-        start_k = jnp.take_along_axis(row_starts, k[:, None], axis=1)[:, 0]
-        len_k = jnp.take_along_axis(row_lens, k[:, None], axis=1)[:, 0]
-        partial = jnp.clip(i - start_k, 0, len_k)
-        before = within & (row_starts < start_k[:, None])    # runs before k
-        return row_syms, row_lens, occ_base, k, partial, before
+        row = self.rec[i >> 5]                                # [Q, REC] gather
+        occ_base = row[:, :LANES]
+        words = row[:, LANES:].astype(jnp.uint32)             # [Q, 8]
+        shifts = jnp.asarray([0, 8, 16, 24], jnp.uint32)
+        syms = ((words[:, :, None] >> shifts[None, None, :]) & 0xFF)
+        syms = syms.reshape(i.shape[0], BLK).astype(jnp.int32)
+        return occ_base, syms, i & (BLK - 1)
 
     # -- core queries (all batched) -------------------------------------------
 
     @jax.jit
     def ranks_all(self, i: jax.Array) -> jax.Array:
         """rank(i, c) for every c: int32[Q, LANES].  i in [0, size]."""
-        row_syms, row_lens, occ_base, k, partial, before = self._probe(i)
-        sym_k = jnp.take_along_axis(row_syms, k[:, None], axis=1)[:, 0]
-        # intra-segment occ: sum of lens of runs before k, per char lane
+        occ_base, syms, off = self._probe(i)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+        before = pos < off[:, None]                           # [Q, BLK]
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
-        onehot = (row_syms[:, :, None] == lanes)             # [Q, SEG, LANES]
-        masked = jnp.where(onehot & before[:, :, None], row_lens[:, :, None], 0)
-        intra = jnp.sum(masked, axis=1)                      # [Q, LANES]
-        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (i.shape[0], LANES), 1)
-        return occ_base + intra + jnp.where(lane_ids == sym_k[:, None],
-                                            partial[:, None], 0)
+        hits = (syms[:, :, None] == lanes) & before[:, :, None]
+        return occ_base + jnp.sum(hits.astype(jnp.int32), axis=1)
 
     @jax.jit
     def rank(self, i: jax.Array, c: jax.Array) -> jax.Array:
         """rank(i, c) per (i, c) pair: int32[Q]."""
-        row_syms, row_lens, occ_base, k, partial, before = self._probe(i)
+        occ_base, syms, off = self._probe(i)
         c = c.astype(jnp.int32)
-        sym_k = jnp.take_along_axis(row_syms, k[:, None], axis=1)[:, 0]
-        intra = jnp.sum(jnp.where((row_syms == c[:, None]) & before,
-                                  row_lens, 0), axis=1)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+        hits = (syms == c[:, None]) & (pos < off[:, None])
         base = jnp.take_along_axis(occ_base, c[:, None], axis=1)[:, 0]
-        return base + intra + jnp.where(sym_k == c, partial, 0)
+        return base + jnp.sum(hits.astype(jnp.int32), axis=1)
 
     @jax.jit
     def inverse_select(self, i: jax.Array):
         """(rank(i, BWT[i]), BWT[i]) per position (bwt.cpp:445-464)."""
-        row_syms, row_lens, occ_base, k, partial, before = self._probe(i)
-        sym = jnp.take_along_axis(row_syms, k[:, None], axis=1)[:, 0]
-        intra = jnp.sum(jnp.where((row_syms == sym[:, None]) & before,
-                                  row_lens, 0), axis=1)
+        occ_base, syms, off = self._probe(i)
+        sym = jnp.take_along_axis(syms, off[:, None], axis=1)[:, 0]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+        hits = (syms == sym[:, None]) & (pos < off[:, None])
         base = jnp.take_along_axis(occ_base, sym[:, None], axis=1)[:, 0]
-        return base + intra + partial, sym
+        return base + jnp.sum(hits.astype(jnp.int32), axis=1), sym
 
     @jax.jit
     def access(self, i: jax.Array) -> jax.Array:
-        row_syms, _, _, k, _, _ = self._probe(i)
-        return jnp.take_along_axis(row_syms, k[:, None], axis=1)[:, 0]
+        _, syms, off = self._probe(i)
+        return jnp.take_along_axis(syms, off[:, None], axis=1)[:, 0]
 
     # -- LF layer (fmi.h:146-193) ---------------------------------------------
 

@@ -61,16 +61,17 @@ def _expand_step(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     child_a = a_idx.C[cs][None, :] + ra[:, 1:SIGMA]
     keep = (child_ep >= child_sp) & valid[:, None]
 
-    # prefix-sum scatter compaction (dense, no host sync)
+    # Compaction by stable multi-operand sort on the dead/alive key: packs
+    # live children to the front in one fused op.  Measured on v5e: one
+    # 4-operand sort beats three prefix-sum scatters ~3x (scatters serialize
+    # per element; sort is a fully vectorized bitonic network).
     keep_f = keep.reshape(-1)
-    cap = f * (SIGMA - 1)
-    dest = jnp.cumsum(keep_f) - 1
-    count = dest[-1] + 1 if cap else jnp.int32(0)
-    dest = jnp.where(keep_f, dest, cap)  # dead lanes scatter out of range (dropped)
-
-    out_a = jnp.zeros(cap, jnp.int32).at[dest].set(child_a.reshape(-1), mode="drop")
-    out_sp = jnp.zeros(cap, jnp.int32).at[dest].set(child_sp.reshape(-1), mode="drop")
-    out_ep = jnp.full(cap, -1, jnp.int32).at[dest].set(child_ep.reshape(-1), mode="drop")
+    count = jnp.sum(keep_f.astype(jnp.int32))
+    key = jnp.where(keep_f, jnp.int32(0), jnp.int32(1))
+    _, out_a, out_sp, out_ep = jax.lax.sort(
+        (key, child_a.reshape(-1), child_sp.reshape(-1),
+         jnp.where(keep_f, child_ep.reshape(-1), -1)),
+        num_keys=1, is_stable=True)
     return out_a, out_sp, out_ep, count
 
 
@@ -170,12 +171,20 @@ def wavefront_search_device(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
         lane = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
         valid = lane < count
 
-        # emit current frontier runs at offset n_emit
-        dest = jnp.where(valid, n_emit + lane, emit_cap)
-        values = values.at[dest].set(a_pos, mode="drop")
-        counts = counts.at[dest].set(b_ep - b_sp + 1, mode="drop")
+        # Emit the frontier as one contiguous window at offset n_emit: a
+        # dynamic_update_slice (fast copy), not a scatter.  The tail beyond
+        # `count` writes garbage that the NEXT emission overwrites; the final
+        # tail past n_emit is never read.  Overflow guard: DUS clamps the
+        # start when it would run past the buffer, corrupting earlier data —
+        # detect and flag instead (callers discard on overflow).
+        safe = n_emit + cap <= emit_cap
+        start = jnp.where(safe, n_emit, 0)
+        window = min(cap, emit_cap)  # degenerate emit_cap < cap overflows below
+        values = jax.lax.dynamic_update_slice(values, a_pos[:window], (start,))
+        counts = jax.lax.dynamic_update_slice(
+            counts, (b_ep - b_sp + 1)[:window], (start,))
         new_emit = n_emit + count
-        overflow = overflow | (new_emit > emit_cap)
+        overflow = overflow | ~safe
 
         out_a, out_sp, out_ep, child_count = _expand_step(
             a_idx, b_idx, a_pos, b_sp, b_ep, valid)
