@@ -53,31 +53,54 @@ def main() -> None:
     t_setup = time.monotonic()
     import jax
 
+    # Persistent compile cache: the remote TPU compile path is slow (~30 s per
+    # program) and occasionally flaky; warm runs skip it entirely.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(CACHE, "xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
     from bwtmerge_tpu.ops.rank_jax import DeviceFMIndex
-    from bwtmerge_tpu.ops.search_jax import RankArrayAccumulator, wavefront_search
+    from bwtmerge_tpu.ops.search_jax import wavefront_search_device
 
     a = _fixture("bench_a", A_READS, 1)
     b = _fixture("bench_b", B_READS, 2)
 
     a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
     b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
-    jax.block_until_ready(a_idx.occ)
+    _ = np.asarray(a_idx.rec[0])  # force upload
     setup_s = time.monotonic() - t_setup
 
-    def run_search():
-        acc = RankArrayAccumulator()
-        wavefront_search(a_idx, b_idx, (0, b.sequences() - 1), a.sequences(),
-                         acc.emit, min_bucket=1 << 15, growth=4)
-        return acc.finish()
+    # Whole search phase = ONE compiled program (frontier never exceeds the
+    # number of B sequences; emissions never exceed |B| + sequences).
+    fcap = 1 << max(10, (b.sequences() - 1).bit_length())
+    ecap = b.size() + b.sequences() + fcap + 16
 
-    # warmup: compiles every bucket size used
+    from bwtmerge_tpu.ops.search_jax import sort_ra_device
+
+    def run_search():
+        v, c, n, ovf = wavefront_search_device(
+            a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
+            a.sequences(), frontier_cap=fcap, emit_cap=ecap)
+        v, c = sort_ra_device(v, c, n)  # device sort; host does segment sums
+        n = int(n)
+        assert not bool(ovf), "device search overflowed its static buffers"
+        return (np.asarray(v[:n], dtype=np.int64),
+                np.asarray(c[:n], dtype=np.int64))
+
     t0 = time.monotonic()
-    run_search()
+    run_search()  # compile + first run
     warmup_s = time.monotonic() - t0
 
     t0 = time.monotonic()
-    values, counts = run_search()
+    raw_values, raw_counts = run_search()
     search_s = time.monotonic() - t0
+
+    from bwtmerge_tpu.ops.search_np import compact_sorted_rank_array
+
+    t0 = time.monotonic()
+    values, counts = compact_sorted_rank_array(raw_values, raw_counts)
+    compact_s = time.monotonic() - t0
     assert int(counts.sum()) == b.size(), "rank array does not cover B"
 
     t0 = time.monotonic()
@@ -89,7 +112,7 @@ def main() -> None:
 
     inserted_mbases = b.size() / 1e6
     search_rate = inserted_mbases / search_s
-    e2e_rate = inserted_mbases / (search_s + interleave_s)
+    e2e_rate = inserted_mbases / (search_s + compact_s + interleave_s)
 
     print(json.dumps({
         "metric": "rank-array phase merge throughput",
@@ -100,6 +123,7 @@ def main() -> None:
             "device": str(jax.devices()[0]),
             "a_bases": a.size(), "b_bases": b.size(),
             "search_s": round(search_s, 3),
+            "compact_s": round(compact_s, 3),
             "interleave_s": round(interleave_s, 3),
             "end_to_end_Mbases_s": round(e2e_rate, 3),
             "warmup_compile_s": round(warmup_s, 1),

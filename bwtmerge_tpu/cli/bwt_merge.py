@@ -48,9 +48,56 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output format (default native)")
     p.add_argument("--backend", default="jax", choices=("numpy", "jax"),
                    help="compute backend (default jax)")
+    p.add_argument("--checkpoint", default=None, metavar="DIR",
+                   help="checkpoint each pairwise merge to DIR and resume an "
+                        "interrupted k-way merge from the last completed fold")
     p.add_argument("--list-formats", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--quiet", action="store_true", help="suppress progress output")
     return p
+
+
+def _load_checkpoint(ckpt_dir, inputs):
+    """Returns (next_input_index, FMI | None, pre_counts | None)."""
+    import json
+    import os
+
+    if not ckpt_dir:
+        return 1, None, None
+    state_path = os.path.join(ckpt_dir, "state.json")
+    if not os.path.exists(state_path):
+        return 1, None, None
+    with open(state_path) as f:
+        state = json.load(f)
+    completed = int(state.get("completed", 0))
+    if state.get("inputs") != inputs or completed < 1:
+        print("bwt_merge: checkpoint input list does not match; starting fresh",
+              file=sys.stderr)
+        return 1, None, None
+    ckpt = os.path.join(ckpt_dir, f"fold_{completed}.native")
+    if not os.path.exists(ckpt):
+        return 1, None, None
+    index = load_fmi(ckpt, "native")
+    pre = np.asarray(state.get("pre", []), dtype=np.int64)
+    return completed + 1, index, pre if pre.size else None
+
+
+def _save_checkpoint(ckpt_dir, inputs, completed, index, pre) -> None:
+    import json
+    import os
+
+    if not ckpt_dir:
+        return
+    os.makedirs(ckpt_dir, exist_ok=True)
+    ckpt = os.path.join(ckpt_dir, f"fold_{completed}.native")
+    serialize_fmi(index, ckpt, "native")
+    tmp = os.path.join(ckpt_dir, "state.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"inputs": inputs, "completed": completed,
+                   "pre": pre.tolist()}, f)
+    os.replace(tmp, os.path.join(ckpt_dir, "state.json"))
+    prev = os.path.join(ckpt_dir, f"fold_{completed - 1}.native")
+    if os.path.exists(prev):
+        os.remove(prev)
 
 
 def main(argv=None) -> int:
@@ -109,11 +156,24 @@ def main(argv=None) -> int:
         print(f"Read {len(patterns)} patterns of total length {chars}")
         print("")
 
-    index = load_fmi(inputs[0], in_formats[0])
-    verify_fmi(index, "Input", patterns, pre, verbose=not args.quiet)
+    # Resume from a checkpointed fold when available (the reference's de-facto
+    # restartability — any pairwise boundary is a native-format checkpoint —
+    # made explicit, SURVEY.md §5).
+    start_at, index, pre_restore = _load_checkpoint(args.checkpoint, inputs)
+    if index is None:
+        index = load_fmi(inputs[0], in_formats[0])
+        verify_fmi(index, "Input", patterns, pre, verbose=not args.quiet)
+        start_at = 1
+    else:
+        if not args.quiet:
+            print(f"Resuming after {start_at - 1} merged increment(s) "
+                  f"from {args.checkpoint}")
+        if pre_restore is not None and pre_restore.size == pre.size:
+            pre[:] = pre_restore
 
     bytes_added = 0
-    for name, fmt in zip(inputs[1:], in_formats[1:]):
+    for i in range(start_at, len(inputs)):
+        name, fmt = inputs[i], in_formats[i]
         increment = load_fmi(name, fmt)
         bytes_added += increment.size()
         verify_fmi(increment, "Input", patterns, pre, verbose=not args.quiet)
@@ -122,6 +182,7 @@ def main(argv=None) -> int:
         if not args.quiet:
             secs = time.monotonic() - merge_start
             print(f"Merged {name}: {in_megabytes(increment.size()) / max(secs, 1e-9):.2f} MB/s")
+        _save_checkpoint(args.checkpoint, inputs, i, index, pre)
 
     serialize_fmi(index, output, args.output_format)
     verify_fmi(index, "Output", patterns, post, verbose=not args.quiet)

@@ -72,6 +72,24 @@ class FMI:
         rnk, sym = self.rank_index.inverse_select(positions)
         return self.alpha.C.astype(np.int64)[sym] + rnk, sym
 
+    def psi(self, positions) -> np.ndarray:
+        """Psi(i): inverse of LF via select (utils.h:357-363), batched.
+
+        For i in [C[c], C[c+1]): Psi(i) = select(i - C[c] + 1, c).
+        """
+        i = np.asarray(positions, dtype=np.int64)
+        C = self.alpha.C.astype(np.int64)
+        comp = np.searchsorted(C, i, side="right") - 1
+        out = np.empty(i.shape, dtype=np.int64)
+        for c in np.unique(comp):
+            mask = comp == c
+            out[mask] = self.rank_index.select(i[mask] - C[c] + 1, int(c))
+        return out
+
+    def extract(self, first: int, last: int) -> np.ndarray:
+        """Decode BWT[first..last] (closed range; BWT::extract bwt.h:134-164)."""
+        return self.rank_index.access(np.arange(first, last + 1, dtype=np.int64))
+
     def find(self, pattern) -> Tuple[int, int]:
         """Backward search; returns the closed SA range (fmi.h:195-209).
 

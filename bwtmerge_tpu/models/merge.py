@@ -83,6 +83,8 @@ def merge_fmi(a: FMI, b: FMI, config: Optional[MergeConfig] = None) -> FMI:
         result = FMI(runs=merged_runs, alpha=alpha)
         result.rank_index  # build eagerly, like BWT::build after merge
 
+    if config.verbose:
+        config.timer.report(b.size())
     return result
 
 

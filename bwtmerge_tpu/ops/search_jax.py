@@ -200,6 +200,20 @@ def wavefront_search_device(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     return values, counts, n_emit, overflow
 
 
+@jax.jit
+def sort_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array):
+    """Sort emitted RA runs by a-position ON DEVICE (live prefix n; dead lanes
+    sort to the back as int32-max).  The host then only needs a linear
+    segment-sum (compact_sorted_rank_array) — the 3.4M-run argsort that
+    dominated host post-processing moves to a ~15 ms device sort."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (values.shape[0], 1), 0)[:, 0]
+    live = lane < n
+    key = jnp.where(live, values, jnp.int32(2**31 - 1))
+    v, c = jax.lax.sort((key, jnp.where(live, counts, 0)), num_keys=1,
+                        is_stable=False)
+    return v, c
+
+
 # -- host-side RA accumulation ------------------------------------------------
 
 

@@ -88,12 +88,19 @@ def compact_rank_array(values: np.ndarray, counts: np.ndarray) -> Tuple[np.ndarr
     if values.size == 0:
         return values.astype(np.int64), counts.astype(np.int64)
     order = np.argsort(values, kind="stable")
-    v = values[order]
-    k = counts[order]
-    uniq, inverse = np.unique(v, return_inverse=True)
-    summed = np.zeros(uniq.size, dtype=np.int64)
-    np.add.at(summed, inverse, k)
-    return uniq.astype(np.int64), summed
+    return compact_sorted_rank_array(values[order], counts[order])
+
+
+def compact_sorted_rank_array(v: np.ndarray, k: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """compact_rank_array for already-sorted values (e.g. sorted on device):
+    segment-head detection + one reduceat, no argsort."""
+    if v.size == 0:
+        return v.astype(np.int64), k.astype(np.int64)
+    starts = np.empty(v.size, dtype=bool)
+    starts[0] = True
+    np.not_equal(v[1:], v[:-1], out=starts[1:])
+    idx = np.flatnonzero(starts)
+    return v[idx].astype(np.int64), np.add.reduceat(k.astype(np.int64), idx)
 
 
 def merge_rank_arrays(a: Tuple[np.ndarray, np.ndarray],

@@ -137,3 +137,63 @@ class TestBwtInspect:
         # totals: native + sga count sequences twice (rope has no counts)
         n_seqs = len(a_seqs) * 2
         assert f"Total: {n_seqs} sequences" in out
+
+
+class TestCheckpointResume:
+    def test_checkpoint_and_resume(self, tmp_path, rng):
+        colls = [oracle.random_collection(rng, 4, 10, 40) for _ in range(3)]
+        alpha = Alphabet()
+        paths = []
+        for i, seqs in enumerate(colls):
+            p = str(tmp_path / f"in{i}.sga")
+            write_bwt(p, "sga", oracle.build_bwt(seqs), alpha)
+            paths.append(p)
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "merged.native")
+
+        rc = bwt_merge.main([*paths, out, "-i", "sga", "--backend", "numpy",
+                             "--quiet", "--checkpoint", ckpt])
+        assert rc == 0
+        import os, json
+        state = json.load(open(os.path.join(ckpt, "state.json")))
+        assert state["completed"] == 2
+        assert os.path.exists(os.path.join(ckpt, "fold_2.native"))
+        assert not os.path.exists(os.path.join(ckpt, "fold_1.native"))
+        want, _, _ = read_bwt(out, "native")
+
+        # resume: all folds done -> output reproduced without re-merging
+        os.remove(out)
+        rc = bwt_merge.main([*paths, out, "-i", "sga", "--backend", "numpy",
+                             "--quiet", "--checkpoint", ckpt])
+        assert rc == 0
+        runs, _, _ = read_bwt(out, "native")
+        assert runs == want
+
+    def test_resume_midway(self, tmp_path, rng):
+        colls = [oracle.random_collection(rng, 4, 10, 40) for _ in range(3)]
+        alpha = Alphabet()
+        paths = []
+        for i, seqs in enumerate(colls):
+            p = str(tmp_path / f"in{i}.sga")
+            write_bwt(p, "sga", oracle.build_bwt(seqs), alpha)
+            paths.append(p)
+        ckpt = str(tmp_path / "ckpt")
+
+        # first run: only inputs 0+1 (simulates doing fold 1 then dying);
+        # craft the state to look like a 3-way merge interrupted after fold 1
+        out2 = str(tmp_path / "partial.native")
+        rc = bwt_merge.main([paths[0], paths[1], out2, "-i", "sga",
+                             "--backend", "numpy", "--quiet"])
+        assert rc == 0
+        import os, json, shutil
+        os.makedirs(ckpt)
+        shutil.copy(out2, os.path.join(ckpt, "fold_1.native"))
+        json.dump({"inputs": paths, "completed": 1, "pre": []},
+                  open(os.path.join(ckpt, "state.json"), "w"))
+
+        out = str(tmp_path / "merged.native")
+        rc = bwt_merge.main([*paths, out, "-i", "sga", "--backend", "numpy",
+                             "--quiet", "--checkpoint", ckpt])
+        assert rc == 0
+        runs, _, _ = read_bwt(out, "native")
+        assert runs == oracle.merge_collections(colls)
