@@ -111,6 +111,24 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
 
         a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
         b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+
+        if config.devices > 1:
+            # data-parallel over the device mesh: sequence blocks sharded,
+            # indexes replicated (fmi.cpp:351-357 across chips, not threads)
+            from ..parallel.mesh import make_mesh, sharded_rank_array
+
+            mesh = make_mesh(config.devices)
+            fcap = 1 << max(12, (b.sequences() - 1).bit_length())
+            ecap = (b.size() + b.sequences()) // mesh.devices.size + fcap + 16
+            values, counts, overflow = sharded_rank_array(
+                a_idx, b_idx, a.sequences(), b.sequences(), mesh=mesh,
+                frontier_cap=fcap, emit_cap=ecap)
+            if not overflow:
+                spill.emit(values, counts)
+                return spill
+            # static buffers too small for this input: fall through to the
+            # streaming host driver below
+
         blocks = get_bounds((0, b.sequences() - 1), max(1, config.sequence_blocks))
         for blk in blocks:
             wavefront_search(a_idx, b_idx, blk, a.sequences(), spill.emit)

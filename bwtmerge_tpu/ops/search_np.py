@@ -100,7 +100,13 @@ def compact_sorted_rank_array(v: np.ndarray, k: np.ndarray) -> Tuple[np.ndarray,
     starts[0] = True
     np.not_equal(v[1:], v[:-1], out=starts[1:])
     idx = np.flatnonzero(starts)
-    return v[idx].astype(np.int64), np.add.reduceat(k.astype(np.int64), idx)
+    if idx.size == v.size:  # all unique — common for device-compacted chunks
+        return v.astype(np.int64), k.astype(np.int64)
+    # segment sums via cumsum differences (vectorized; reduceat loops per run)
+    cs = np.cumsum(k, dtype=np.int64)
+    last = np.concatenate((idx[1:] - 1, [v.size - 1]))
+    sums = np.diff(np.concatenate(([0], cs[last])))
+    return v[idx].astype(np.int64), sums
 
 
 def merge_rank_arrays(a: Tuple[np.ndarray, np.ndarray],

@@ -1,6 +1,8 @@
-"""Multi-chip parallelism: device meshes, sequence-block sharding, sharded
-search and verification (TPU analog of the reference's thread layer)."""
+"""Multi-chip / multi-host parallelism: device meshes, sequence-block
+sharding, sharded search and verification, jax.distributed bring-up
+(TPU analog of the reference's thread layer; SURVEY.md §5)."""
 
+from .distributed import initialize_multihost, multihost_rank_array, process_info
 from .mesh import (
     SEQ_AXIS,
     make_mesh,
@@ -11,6 +13,9 @@ from .mesh import (
 
 __all__ = [
     "SEQ_AXIS",
+    "initialize_multihost",
+    "multihost_rank_array",
+    "process_info",
     "make_mesh",
     "sequence_shards",
     "sharded_backward_search",

@@ -89,3 +89,39 @@ class TestShardedVerification:
             idx, jnp.asarray(pat), jnp.asarray(lens), max_len, mesh=make_mesh(8))
         want = np.array([fmi.count(p) for p in pats])
         assert np.array_equal(np.asarray(counts), want)
+
+
+class TestShardedMerge:
+    def test_merge_fmi_devices8(self, rng):
+        from bwtmerge_tpu.models.merge import MergeConfig, merge_fmi
+
+        a_seqs = oracle.random_collection(rng, 8, 10, 60)
+        b_seqs = oracle.random_collection(rng, 12, 10, 60)
+        a, b = _fmi(a_seqs), _fmi(b_seqs)
+        cfg = MergeConfig(backend="jax", devices=8)
+        merged = merge_fmi(a, b, cfg)
+        assert merged.runs == oracle.merge_collections([a_seqs, b_seqs])
+
+
+class TestMultihostSingleProcess:
+    def test_degrades_to_local(self, rng):
+        """multihost_rank_array with one process == local rank array."""
+        from bwtmerge_tpu.parallel.distributed import (
+            multihost_rank_array, process_info)
+
+        assert process_info() == (0, 1)
+        a_seqs = oracle.random_collection(rng, 8, 10, 60)
+        b_seqs = oracle.random_collection(rng, 10, 10, 60)
+        a, b = _fmi(a_seqs), _fmi(b_seqs)
+        a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+        v, c, ovf = multihost_rank_array(
+            a_idx, b_idx, a.sequences(), b.sequences(),
+            frontier_cap=2048, emit_cap=32768)
+        assert not ovf
+        want = search_np.build_rank_array(
+            a.rank_index, a.alpha.C.astype(np.int64),
+            b.rank_index, b.alpha.C.astype(np.int64),
+            a.sequences(), b.sequences())
+        assert np.array_equal(v, want[0])
+        assert np.array_equal(c, want[1])
