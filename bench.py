@@ -63,12 +63,20 @@ def main() -> None:
     from bwtmerge_tpu.ops.rank_jax import DeviceFMIndex
     from bwtmerge_tpu.ops.search_jax import wavefront_search_device
 
+    def lap(msg, t=[t_setup]):
+        now = time.monotonic()
+        print(f"# setup: {msg} {now - t[0]:.1f}s", file=sys.stderr)
+        t[0] = now
+
     a = _fixture("bench_a", A_READS, 1)
     b = _fixture("bench_b", B_READS, 2)
+    lap("fixtures")
 
     a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
     b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+    lap("index build+dispatch")
     _ = np.asarray(a_idx.rec[0])  # force upload
+    lap("upload")
     setup_s = time.monotonic() - t_setup
 
     # Whole search phase = ONE compiled program (frontier never exceeds the
@@ -76,17 +84,20 @@ def main() -> None:
     fcap = 1 << max(10, (b.sequences() - 1).bit_length())
     ecap = b.size() + b.sequences() + fcap + 16
 
-    from bwtmerge_tpu.ops.search_jax import sort_ra_device
+    from bwtmerge_tpu.ops.search_jax import EXC_CAP, pack_ra_device, unpack_ra
 
     def run_search():
         v, c, n, ovf = wavefront_search_device(
             a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
             a.sequences(), frontier_cap=fcap, emit_cap=ecap)
-        v, c = sort_ra_device(v, c, n)  # device sort; host does segment sums
-        n = int(n)
+        # sort + byte-pack on device: 8 B/run -> 2 B/run over the host link
+        d8, c8, exc_i, exc_d, exc_c, n_exc = pack_ra_device(v, c, n)
+        n, n_exc = int(n), int(n_exc)
         assert not bool(ovf), "device search overflowed its static buffers"
-        return (np.asarray(v[:n], dtype=np.int64),
-                np.asarray(c[:n], dtype=np.int64))
+        assert n_exc <= EXC_CAP, "packed-transfer exception table overflow"
+        return unpack_ra(np.asarray(d8[:n]), np.asarray(c8[:n]),
+                         np.asarray(exc_i), np.asarray(exc_d),
+                         np.asarray(exc_c), n, n_exc)
 
     t0 = time.monotonic()
     run_search()  # compile + first run
@@ -132,5 +143,44 @@ def main() -> None:
     }))
 
 
+def _supervise() -> int:
+    """Run main() in a worker subprocess with timeout + retries.
+
+    The remote TPU attachment occasionally wedges mid-upload or mid-compile
+    (observed ~1-in-3 runs); a wedged PJRT client never recovers within the
+    process, so the retry unit must be a fresh process.  The parent never
+    imports jax.  Fixture construction and the persistent XLA compile cache
+    live on disk, so retries are cheap.
+    """
+    import subprocess
+
+    deadline_per_try = int(os.environ.get("BENCH_TRY_TIMEOUT_S", "420"))
+    for attempt in range(3):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker"],
+                timeout=deadline_per_try, capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            print(f"# bench attempt {attempt + 1} timed out after "
+                  f"{deadline_per_try}s; retrying", file=sys.stderr)
+            continue
+        sys.stderr.write(proc.stderr)
+        line = next((ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("{")), None)
+        if proc.returncode == 0 and line:
+            print(line)
+            return 0
+        print(f"# bench attempt {attempt + 1} failed (rc={proc.returncode})",
+              file=sys.stderr)
+    print(json.dumps({"metric": "rank-array phase merge throughput",
+                      "value": 0.0, "unit": "Mbases/s/chip",
+                      "vs_baseline": 0.0,
+                      "extra": {"error": "all bench attempts failed"}}))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        main()
+    else:
+        sys.exit(_supervise())

@@ -162,7 +162,8 @@ def main(argv=None) -> int:
     start_at, index, pre_restore = _load_checkpoint(args.checkpoint, inputs)
     if index is None:
         index = load_fmi(inputs[0], in_formats[0])
-        verify_fmi(index, "Input", patterns, pre, verbose=not args.quiet)
+        verify_fmi(index, "Input", patterns, pre, verbose=not args.quiet,
+                   use_device=args.backend == "jax")
         start_at = 1
     else:
         if not args.quiet:
@@ -176,7 +177,8 @@ def main(argv=None) -> int:
         name, fmt = inputs[i], in_formats[i]
         increment = load_fmi(name, fmt)
         bytes_added += increment.size()
-        verify_fmi(increment, "Input", patterns, pre, verbose=not args.quiet)
+        verify_fmi(increment, "Input", patterns, pre, verbose=not args.quiet,
+                   use_device=args.backend == "jax")
         merge_start = time.monotonic()
         index = merge_fmi(index, increment, config)
         if not args.quiet:
@@ -185,7 +187,8 @@ def main(argv=None) -> int:
         _save_checkpoint(args.checkpoint, inputs, i, index, pre)
 
     serialize_fmi(index, output, args.output_format)
-    verify_fmi(index, "Output", patterns, post, verbose=not args.quiet)
+    verify_fmi(index, "Output", patterns, post, verbose=not args.quiet,
+               use_device=args.backend == "jax")
 
     status = 0
     if patterns:

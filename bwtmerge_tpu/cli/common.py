@@ -42,15 +42,24 @@ def check_format(tag: str, tool: str, kind: str) -> None:
 
 
 def verify_fmi(fmi: FMI, role: str, patterns: List[str],
-               results: np.ndarray, verbose: bool = True) -> None:
+               results: np.ndarray, verbose: bool = True,
+               use_device: bool = False) -> None:
     """Query every pattern and ACCUMULATE counts into `results`
-    (reference verifyFMI, bwt_merge.cpp:263-285)."""
+    (reference verifyFMI, bwt_merge.cpp:263-285).  With use_device, the
+    queries run as one batched device backward search (the device analog of
+    the reference's ParallelLoop over patterns, bwt_merge.cpp:276-279)."""
     if not patterns:
         return
     import time
 
     start = time.monotonic()
-    counts = fmi.verify(patterns)
+    if use_device:
+        from ..ops.rank_jax import DeviceFMIndex, batch_count
+
+        idx = DeviceFMIndex.build(fmi.runs, fmi.alpha.counts())
+        counts = batch_count(idx, patterns, fmi.alpha.char2comp)
+    else:
+        counts = fmi.verify(patterns)
     results += counts
     seconds = time.monotonic() - start
     if verbose:

@@ -112,22 +112,27 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
         a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
         b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
 
-        if config.devices > 1:
-            # data-parallel over the device mesh: sequence blocks sharded,
-            # indexes replicated (fmi.cpp:351-357 across chips, not threads)
-            from ..parallel.mesh import make_mesh, sharded_rank_array
+        # Preferred path: whole search as one compiled program per device
+        # (sequence blocks sharded over the mesh, indexes replicated — the
+        # reference's fmi.cpp:351-357 across chips, not threads).  Per-depth
+        # host round trips are expensive on remote-attached TPUs, so the
+        # host-driven streaming driver below is only the fallback for inputs
+        # whose frontier/emission sizes overflow the static device buffers.
+        from ..parallel.mesh import make_mesh, sharded_rank_array
 
-            mesh = make_mesh(config.devices)
-            fcap = 1 << max(12, (b.sequences() - 1).bit_length())
-            ecap = (b.size() + b.sequences()) // mesh.devices.size + fcap + 16
+        mesh = make_mesh(config.devices)
+        n_dev = mesh.devices.size
+        fcap = 1 << max(12, (b.sequences() - 1).bit_length())
+        ecap = (b.size() + b.sequences()) // n_dev + fcap + 16
+        # ~128 MB emission budget per device keeps HBM safe; beyond that,
+        # stream through the host driver instead.
+        if ecap * 8 <= 128 * 1024 * 1024:
             values, counts, overflow = sharded_rank_array(
                 a_idx, b_idx, a.sequences(), b.sequences(), mesh=mesh,
                 frontier_cap=fcap, emit_cap=ecap)
             if not overflow:
                 spill.emit(values, counts)
                 return spill
-            # static buffers too small for this input: fall through to the
-            # streaming host driver below
 
         blocks = get_bounds((0, b.sequences() - 1), max(1, config.sequence_blocks))
         for blk in blocks:

@@ -65,38 +65,48 @@ class DeviceFMIndex:
 
     @classmethod
     def build(cls, runs: RunArrays, C: np.ndarray | None = None) -> "DeviceFMIndex":
-        """Upload a host RLE BWT into the block-fused device layout."""
+        """Build the block-fused device layout ON DEVICE from a 4-bit-packed
+        upload.
+
+        The host only packs the decoded text two positions per byte (0.5
+        B/position); the record table (2 B/position) is derived on device —
+        4x fewer bytes over the host link and no large host-side temporary
+        tables.  Packed sizes are bucketed so XLA compiles O(log) program
+        variants, not one per input.
+        """
         size = runs.size()
         if size >= 2**31:
             raise ValueError(
                 f"BWT shard of {size} positions exceeds int32 device layout; "
                 "shard it first (parallel/mesh.py)")
         nblk = size // BLK + 1  # extra block so i == size resolves
-        dense = np.full(nblk * BLK, SIGMA, dtype=np.uint8)  # pad char SIGMA: counts nothing
+        npos = nblk * BLK
+
+        # bucket the padded position count to {2^k, 3*2^(k-2)} so at most two
+        # XLA build programs exist per octave (waste <= 33%)
+        padded = 1 << 16
+        while padded < npos:
+            padded *= 2
+        if padded // 4 * 3 >= npos:
+            padded = padded // 4 * 3
+
+        dense = np.full(padded, SIGMA, dtype=np.uint8)  # pad char: counts nothing
         if size:
             dense[:size] = runs.decode()
-
-        by_block = dense.reshape(nblk, BLK)
-        onehot = by_block[:, :, None] == np.arange(LANES, dtype=np.uint8)[None, None, :]
-        per_block = onehot.sum(axis=1, dtype=np.int64)          # [NBLK, LANES]
-        occ = np.zeros((nblk, LANES), dtype=np.int64)
-        np.cumsum(per_block[:-1], axis=0, out=occ[1:])
-
-        packed = by_block.reshape(nblk, BLK // 4, 4).astype(np.uint32)
-        packed = (packed[:, :, 0] | (packed[:, :, 1] << 8) |
-                  (packed[:, :, 2] << 16) | (packed[:, :, 3] << 24))
-
-        rec = np.empty((nblk, REC), dtype=np.int32)
-        rec[:, :LANES] = occ.astype(np.int32)
-        rec[:, LANES:] = packed.view(np.int32)
+        nibbles = (dense[0::2] | (dense[1::2] << 4)).astype(np.uint8)
 
         counts = runs.counts(SIGMA) if C is None else np.asarray(C)
         c_arr = np.zeros(LANES + 1, dtype=np.int32)
         c_arr[: counts.size + 1] = np.concatenate(([0], np.cumsum(counts)))
         c_arr[counts.size + 1:] = c_arr[counts.size]
 
-        return cls(rec=jnp.asarray(rec), C=jnp.asarray(c_arr),
+        rec = _build_rec_device(jnp.asarray(nibbles))[: nblk]
+        return cls(rec=rec, C=jnp.asarray(c_arr),
                    size=size, n_runs=runs.n_runs)
+
+    # -- device-side record construction --------------------------------------
+
+    # (free function below; kept out of the class so jit caches by shape only)
 
     # -- the block probe (shared by every query) ------------------------------
 
@@ -168,6 +178,31 @@ class DeviceFMIndex:
     def char_range(self, c: jax.Array):
         """Closed SA range of character c: (C[c], C[c+1]-1)."""
         return self.C[c], self.C[c + 1] - 1
+
+
+@jax.jit
+def _build_rec_device(nibbles: jax.Array) -> jax.Array:
+    """4-bit-packed text -> block-fused record table, entirely on device.
+
+    nibbles: uint8[P/2] (position 2i in the low nibble).  Returns
+    int32[P/BLK, REC].  Pad positions hold SIGMA, which no occ lane counts.
+    """
+    lo = (nibbles & 0xF).astype(jnp.int32)
+    hi = (nibbles >> 4).astype(jnp.int32)
+    dense = jnp.stack([lo, hi], axis=1).reshape(-1)          # [P]
+    nblk = dense.shape[0] // BLK
+    by_block = dense.reshape(nblk, BLK)
+
+    cols = []
+    for c in range(LANES):
+        cols.append(jnp.sum((by_block == c).astype(jnp.int32), axis=1))
+    per_block = jnp.stack(cols, axis=1)                      # [nblk, LANES]
+    occ = jnp.cumsum(per_block, axis=0) - per_block          # exclusive
+
+    w = by_block.reshape(nblk, BLK // 4, 4)
+    packed = (w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16)
+              | (w[:, :, 3] << 24))                          # [nblk, BLK//4]
+    return jnp.concatenate([occ, packed], axis=1)
 
 
 # -- backward search ----------------------------------------------------------

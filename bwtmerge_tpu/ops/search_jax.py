@@ -200,6 +200,55 @@ def wavefront_search_device(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     return values, counts, n_emit, overflow
 
 
+EXC_CAP = 8192  # packed-transfer exception slots (gap/count > 254)
+
+
+@jax.jit
+def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array):
+    """Sort + delta/byte-pack the emitted RA runs ON DEVICE for transfer.
+
+    Remote-attached TPUs move device->host bytes at tens of MB/s, so the RA
+    stream is packed before it crosses: sorted values become u8 deltas and u8
+    counts (the common case for read collections — mean gap is small), with
+    rare wide gaps/counts spilled to a fixed exception table.  8 B/run
+    becomes 2 B/run.  Returns (d8, c8, exc_idx, exc_delta, exc_count,
+    n_exc) — unpack with unpack_ra on the host; n_exc > EXC_CAP means the
+    exception table overflowed and the caller must fall back to the unpacked
+    transfer.
+    """
+    v, c = sort_ra_device(values, counts, n)
+    first = v[0]
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), v[:-1]])
+    lane = jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], 1), 0)[:, 0]
+    live = lane < n
+    delta = jnp.where(live, v - prev, 0)  # delta[0] = values[0]
+    cnt = jnp.where(live, c, 0)
+
+    wide = live & ((delta > 254) | (cnt > 254))
+    d8 = jnp.where(wide, 255, jnp.minimum(delta, 254)).astype(jnp.uint8)
+    c8 = jnp.where(wide, 255, jnp.minimum(cnt, 254)).astype(jnp.uint8)
+
+    n_exc = jnp.sum(wide.astype(jnp.int32))
+    key = jnp.where(wide, lane, jnp.int32(2**31 - 1))
+    _, exc_idx, exc_delta, exc_count = jax.lax.sort(
+        (key, lane, delta, cnt), num_keys=1, is_stable=False)
+    return (d8, c8, exc_idx[:EXC_CAP], exc_delta[:EXC_CAP],
+            exc_count[:EXC_CAP], n_exc)
+
+
+def unpack_ra(d8: np.ndarray, c8: np.ndarray, exc_idx: np.ndarray,
+              exc_delta: np.ndarray, exc_count: np.ndarray,
+              n: int, n_exc: int):
+    """Host-side inverse of pack_ra_device -> sorted (values, counts)."""
+    delta = d8[:n].astype(np.int64)
+    counts = c8[:n].astype(np.int64)
+    if n_exc:
+        idx = exc_idx[:n_exc]
+        delta[idx] = exc_delta[:n_exc]
+        counts[idx] = exc_count[:n_exc]
+    return np.cumsum(delta), counts
+
+
 @jax.jit
 def sort_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array):
     """Sort emitted RA runs by a-position ON DEVICE (live prefix n; dead lanes

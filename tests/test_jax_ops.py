@@ -157,3 +157,50 @@ class TestJaxMergeEndToEnd:
         for s in (a_seqs[0], b_seqs[0]):
             p = s[: min(4, s.size)]
             assert merged.count(p) == a.count(p) + b.count(p)
+
+
+class TestPackedTransfer:
+    def test_pack_unpack_round_trip(self, pair):
+        import numpy as np
+        from bwtmerge_tpu.ops.search_jax import (
+            EXC_CAP, pack_ra_device, unpack_ra, wavefront_search_device)
+        from bwtmerge_tpu.ops.search_np import compact_sorted_rank_array
+
+        _, _, a, b = pair
+        a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+        v, c, n, ovf = wavefront_search_device(
+            a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
+            a.sequences(), frontier_cap=4096, emit_cap=65536)
+        assert not bool(ovf)
+        d8, c8, ei, ed, ec, n_exc = pack_ra_device(v, c, n)
+        n, n_exc = int(n), int(n_exc)
+        assert n_exc <= EXC_CAP
+        got_v, got_c = unpack_ra(np.asarray(d8[:n]), np.asarray(c8[:n]),
+                                 np.asarray(ei), np.asarray(ed),
+                                 np.asarray(ec), n, n_exc)
+        got = compact_sorted_rank_array(got_v, got_c)
+
+        want = search_np.build_rank_array(
+            a.rank_index, a.alpha.C.astype(np.int64),
+            b.rank_index, b.alpha.C.astype(np.int64),
+            a.sequences(), b.sequences())
+        assert np.array_equal(got[0], want[0])
+        assert np.array_equal(got[1], want[1])
+
+    def test_wide_gaps_go_through_exceptions(self, rng):
+        import numpy as np
+        from bwtmerge_tpu.ops.search_jax import pack_ra_device, unpack_ra
+
+        # sparse large values -> every delta is wide
+        values = np.sort(rng.choice(10_000_000, size=300, replace=False))
+        counts = rng.integers(1, 1000, size=300)
+        E = 512
+        v = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(values, jnp.int32))
+        c = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(counts, jnp.int32))
+        d8, c8, ei, ed, ec, n_exc = pack_ra_device(v, c, jnp.int32(300))
+        got_v, got_c = unpack_ra(np.asarray(d8[:300]), np.asarray(c8[:300]),
+                                 np.asarray(ei), np.asarray(ed),
+                                 np.asarray(ec), 300, int(n_exc))
+        assert np.array_equal(got_v, values)
+        assert np.array_equal(got_c, counts)
