@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None, metavar="DIR",
                    help="checkpoint each pairwise merge to DIR and resume an "
                         "interrupted k-way merge from the last completed fold")
+    p.add_argument("--stream", action="store_true",
+                   help="stream the final merged BWT straight to the output "
+                        "file (never materialized in memory; native/sga only)")
     p.add_argument("--list-formats", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--quiet", action="store_true", help="suppress progress output")
     return p
@@ -172,7 +175,13 @@ def main(argv=None) -> int:
         if pre_restore is not None and pre_restore.size == pre.size:
             pre[:] = pre_restore
 
+    from ..formats.streaming import STREAM_WRITERS
+
+    stream_last = args.stream and args.output_format in STREAM_WRITERS \
+        and not args.checkpoint
+
     bytes_added = 0
+    streamed_out = False
     for i in range(start_at, len(inputs)):
         name, fmt = inputs[i], in_formats[i]
         increment = load_fmi(name, fmt)
@@ -180,15 +189,30 @@ def main(argv=None) -> int:
         verify_fmi(increment, "Input", patterns, pre, verbose=not args.quiet,
                    use_device=args.backend == "jax")
         merge_start = time.monotonic()
-        index = merge_fmi(index, increment, config)
+        if stream_last and i == len(inputs) - 1:
+            # final fold: stream straight to the output file
+            from ..models.merge import merge_fmi_to_file
+
+            merge_fmi_to_file(index, increment, output,
+                              args.output_format, config)
+            streamed_out = True
+        else:
+            index = merge_fmi(index, increment, config)
         if not args.quiet:
             secs = time.monotonic() - merge_start
             print(f"Merged {name}: {in_megabytes(increment.size()) / max(secs, 1e-9):.2f} MB/s")
-        _save_checkpoint(args.checkpoint, inputs, i, index, pre)
+        if not streamed_out:
+            _save_checkpoint(args.checkpoint, inputs, i, index, pre)
 
-    serialize_fmi(index, output, args.output_format)
-    verify_fmi(index, "Output", patterns, post, verbose=not args.quiet,
-               use_device=args.backend == "jax")
+    if streamed_out:
+        if patterns:
+            index = load_fmi(output, args.output_format)
+            verify_fmi(index, "Output", patterns, post, verbose=not args.quiet,
+                       use_device=args.backend == "jax")
+    else:
+        serialize_fmi(index, output, args.output_format)
+        verify_fmi(index, "Output", patterns, post, verbose=not args.quiet,
+                   use_device=args.backend == "jax")
 
     status = 0
     if patterns:

@@ -88,6 +88,39 @@ def merge_fmi(a: FMI, b: FMI, config: Optional[MergeConfig] = None) -> FMI:
     return result
 
 
+def merge_fmi_to_file(a: FMI, b: FMI, path: str, fmt: str = "native",
+                      config: Optional[MergeConfig] = None) -> None:
+    """Fully streaming merge: A + B -> serialized BWT file.
+
+    Unlike merge_fmi, the merged sequence is NEVER materialized: rank-array
+    chunks stream from the spill ladder through the stateful native
+    interleave into a chunked format writer.  Peak host memory is the two
+    inputs + O(output_bytes/64) sample tables + buffers.
+    """
+    config = (config or MergeConfig()).sanitize()
+    if a.alpha != b.alpha:
+        raise ValueError("cannot merge BWTs with different alphabets")
+    config.timer.verbose = config.verbose
+
+    from ..formats.streaming import write_bwt_stream
+    from ..native import interleave_stream_chunks
+
+    with config.timer.phase("search (rank array)"):
+        ra = _build_ra_spill(a, b, config)
+
+    with config.timer.phase("merge (interleave+write)"):
+        alpha = type(a.alpha)(
+            char2comp=a.alpha.char2comp.copy(),
+            comp2char=a.alpha.comp2char.copy(),
+            C=(a.alpha.C.astype(np.int64) + b.alpha.C.astype(np.int64)).astype(np.uint64),
+        )
+        chunks = interleave_stream_chunks(a.runs, b.runs, ra.stream())
+        write_bwt_stream(path, fmt, chunks, alpha)
+
+    if config.verbose:
+        config.timer.report(b.size())
+
+
 def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
     """Run the search phase, emitting into a spill-backed accumulator.
 

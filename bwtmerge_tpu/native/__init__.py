@@ -12,8 +12,10 @@ try:
         rle_hash,
         rle_decode,
         rle_encode,
+        rle_encode_at,
         interleave_native,
         interleave_streaming,
+        interleave_stream_chunks,
         ra_encode,
         ra_decode_chunk,
     )

@@ -141,14 +141,12 @@ def _configure_stream_interleave(lib) -> None:
     lib._bwtmerge_stream_configured = True
 
 
-def interleave_streaming(a_runs, b_runs, ra_chunks):
-    """Merged RunArrays from an iterator of ascending rank-array chunks.
-
-    Bounded-memory companion of interleave_native: the rank array is consumed
-    chunk by chunk (RankArraySpill.stream), never materialized whole.
-    """
-    from ..models.runs import RunArrays
-
+def interleave_stream_chunks(a_runs, b_runs, ra_chunks):
+    """Generator of merged (syms, lens) run chunks from ascending rank-array
+    chunks — the fully streaming merge phase: neither the rank array nor the
+    merged output is ever materialized whole.  Chunks are maximal-run clean:
+    the stateful C++ emitter withholds the trailing run until the next chunk
+    coalesces with it."""
     lib = _lib()
     _configure_stream_interleave(lib)
 
@@ -157,12 +155,7 @@ def interleave_streaming(a_runs, b_runs, ra_chunks):
     state = np.zeros(7, dtype=np.int64)
     lib.interleave_state_init(a_lens, a_lens.size, b_lens, b_lens.size, state)
 
-    out_syms_parts = []
-    out_lens_parts = []
-    a_consumed_runs = 0
-
     def run_chunk(rv, rc, finish):
-        nonlocal a_consumed_runs
         rv, rc = _as_i64(rv), _as_i64(rc)
         # Emitted-run bound: fragments of A touched this chunk (min of the
         # position span and the runs remaining, plus one split per RA run) +
@@ -181,15 +174,47 @@ def interleave_streaming(a_runs, b_runs, ra_chunks):
                                  rv, rc, rv.size, 1 if finish else 0,
                                  state, out_s, out_l)
         assert n <= cap, "interleave chunk overflow"
-        a_consumed_runs = int(state[0])
-        if n:
-            out_syms_parts.append(out_s[:n].copy())
-            out_lens_parts.append(out_l[:n].copy())
+        return out_s[:n].copy(), out_l[:n].copy()
 
     for rv, rc in ra_chunks:
-        run_chunk(rv, rc, finish=False)
-    run_chunk(np.zeros(0, np.int64), np.zeros(0, np.int64), finish=True)
+        s, l = run_chunk(rv, rc, finish=False)
+        if s.size:
+            yield s, l
+    s, l = run_chunk(np.zeros(0, np.int64), np.zeros(0, np.int64), finish=True)
+    if s.size:
+        yield s, l
 
-    if not out_syms_parts:
+
+def interleave_streaming(a_runs, b_runs, ra_chunks):
+    """Merged RunArrays from an iterator of ascending rank-array chunks
+    (materializing wrapper over interleave_stream_chunks)."""
+    from ..models.runs import RunArrays
+
+    parts = list(interleave_stream_chunks(a_runs, b_runs, ra_chunks))
+    if not parts:
         return RunArrays.empty()
-    return RunArrays(np.concatenate(out_syms_parts), np.concatenate(out_lens_parts))
+    return RunArrays(np.concatenate([p[0] for p in parts]),
+                     np.concatenate([p[1] for p in parts]))
+
+
+def _configure_encode_at(lib) -> None:
+    if getattr(lib, "_bwtmerge_encat_configured", False):
+        return
+    lib.rle_encode_size_at.restype = ctypes.c_int64
+    lib.rle_encode_size_at.argtypes = [_u8p, _i64p, ctypes.c_int64, ctypes.c_int64]
+    lib.rle_encode_at.restype = ctypes.c_int64
+    lib.rle_encode_at.argtypes = [_u8p, _i64p, ctypes.c_int64, _u8p, ctypes.c_int64]
+    lib._bwtmerge_encat_configured = True
+
+
+def rle_encode_at(syms, lens, start_offset: int) -> bytes:
+    """Run arrays -> native RLE bytes resuming the 64-byte block rule at the
+    given global byte offset (for chunked/streaming writers)."""
+    syms, lens = _as_u8(syms), _as_i64(lens)
+    lib = _lib()
+    _configure_encode_at(lib)
+    size = lib.rle_encode_size_at(syms, lens, syms.size, start_offset)
+    out = np.empty(size, dtype=np.uint8)
+    written = lib.rle_encode_at(syms, lens, syms.size, out, start_offset)
+    assert written == size
+    return out.tobytes()

@@ -27,20 +27,23 @@ inline int64_t bit_length(uint64_t v) { return v ? 64 - __builtin_clzll(v) : 1; 
 
 template <bool WRITE>
 inline int64_t encode_impl(const uint8_t* syms, const int64_t* lens, int64_t n,
-                           uint8_t* out) {
-  int64_t pos = 0;
+                           uint8_t* out, int64_t start_offset = 0) {
+  // start_offset: global byte offset of out[0] — the 64-byte-block splitting
+  // rule is position-dependent, so chunked writers must resume mid-stream.
+  // out is indexed from 0; pos tracks the GLOBAL offset for the block rule.
+  int64_t pos = start_offset;
   for (int64_t r = 0; r < n; r++) {
     uint8_t c = syms[r];
     int64_t length = lens[r];
     while (length > 0) {
       if (length < MAX_RUN) {
-        if (WRITE) out[pos] = static_cast<uint8_t>(c + SIGMA * (length - 1));
+        if (WRITE) out[pos - start_offset] = static_cast<uint8_t>(c + SIGMA * (length - 1));
         pos++;
         break;
       }
       int64_t remaining = BLOCK - (pos % BLOCK);
       int64_t basic = (remaining > 1) ? MAX_RUN : MAX_RUN - 1;
-      if (WRITE) out[pos] = static_cast<uint8_t>(c + SIGMA * (basic - 1));
+      if (WRITE) out[pos - start_offset] = static_cast<uint8_t>(c + SIGMA * (basic - 1));
       pos++;
       length -= basic;
       remaining--;
@@ -52,17 +55,17 @@ inline int64_t encode_impl(const uint8_t* syms, const int64_t* lens, int64_t n,
         }
         uint64_t v = static_cast<uint64_t>(ext);
         while (v > DATA_MASK) {
-          if (WRITE) out[pos] = static_cast<uint8_t>((v & DATA_MASK) | NEXT_BYTE);
+          if (WRITE) out[pos - start_offset] = static_cast<uint8_t>((v & DATA_MASK) | NEXT_BYTE);
           pos++;
           v >>= DATA_BITS;
         }
-        if (WRITE) out[pos] = static_cast<uint8_t>(v);
+        if (WRITE) out[pos - start_offset] = static_cast<uint8_t>(v);
         pos++;
         length -= ext;
       }
     }
   }
-  return pos;
+  return pos - start_offset;
 }
 
 }  // namespace
@@ -74,6 +77,16 @@ EXPORT int64_t rle_encode_size(const uint8_t* syms, const int64_t* lens, int64_t
 EXPORT int64_t rle_encode(const uint8_t* syms, const int64_t* lens, int64_t n,
                           uint8_t* out) {
   return encode_impl<true>(syms, lens, n, out);
+}
+
+EXPORT int64_t rle_encode_size_at(const uint8_t* syms, const int64_t* lens,
+                                  int64_t n, int64_t start_offset) {
+  return encode_impl<false>(syms, lens, n, nullptr, start_offset);
+}
+
+EXPORT int64_t rle_encode_at(const uint8_t* syms, const int64_t* lens, int64_t n,
+                             uint8_t* out, int64_t start_offset) {
+  return encode_impl<true>(syms, lens, n, out, start_offset);
 }
 
 EXPORT int64_t rle_decode_count(const uint8_t* data, int64_t bytes) {

@@ -197,3 +197,18 @@ class TestCheckpointResume:
         assert rc == 0
         runs, _, _ = read_bwt(out, "native")
         assert runs == oracle.merge_collections(colls)
+
+
+class TestStreamedOutput:
+    def test_stream_flag_matches_batch(self, tmp_path, collections, sga_files):
+        a_seqs, b_seqs = collections
+        pat_path, _ = _patterns_file(tmp_path, collections)
+        out_b = str(tmp_path / "batch.native")
+        out_s = str(tmp_path / "stream.native")
+        rc = bwt_merge.main([*sga_files, out_b, "-i", "sga", "--backend",
+                             "numpy", "--quiet"])
+        assert rc == 0
+        rc = bwt_merge.main([*sga_files, out_s, "-i", "sga", "--backend",
+                             "numpy", "--quiet", "--stream", "-v", pat_path])
+        assert rc == 0
+        assert open(out_b, "rb").read() == open(out_s, "rb").read()
