@@ -61,7 +61,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from bwtmerge_tpu.ops.rank_jax import DeviceFMIndex
-    from bwtmerge_tpu.ops.search_jax import wavefront_search_device
+    from bwtmerge_tpu.ops.search_jax import wavefront_search_device2
 
     def lap(msg, t=[t_setup]):
         now = time.monotonic()
@@ -87,7 +87,7 @@ def main() -> None:
     from bwtmerge_tpu.ops.search_jax import EXC_CAP, pack_ra_device, unpack_ra
 
     def run_search():
-        v, c, n, ovf = wavefront_search_device(
+        v, c, n, ovf = wavefront_search_device2(
             a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
             a.sequences(), frontier_cap=fcap, emit_cap=ecap)
         # sort + byte-pack on device: 8 B/run -> 2 B/run over the host link

@@ -132,6 +132,99 @@ def wavefront_search(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
         b_ep = np.asarray(out_ep)
 
 
+# -- singleton-specialized fully-jitted driver --------------------------------
+#
+# Deep in the search almost every frontier node is a SINGLETON (|b_range|=1):
+# a singleton has exactly ONE child (the char BWT_B[p], via one LF step) and
+# needs TWO rank-row gathers instead of three — and no 5-way child fan-out.
+# This is the device analog of the reference's node-size strategy switch
+# (fmi.cpp:296-321).  A range node's children can be singletons but never the
+# reverse, so the search runs in two phases: the general range loop until the
+# whole frontier is singleton, then a lean singles-only loop (2 gathers + a
+# 3-operand compaction sort over F lanes instead of 3 gathers + a 4-operand
+# sort over 5F lanes).
+
+
+@functools.partial(jax.jit, static_argnames=("frontier_cap", "emit_cap"))
+def wavefront_search_device2(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
+                             b_sp0: jax.Array, b_ep0: jax.Array,
+                             a_sequences: int,
+                             frontier_cap: int = 4096,
+                             emit_cap: int = 65536):
+    """Two-phase singleton-specialized search; same contract as
+    wavefront_search_device (drop-in, ~2x faster on read collections)."""
+    cap = frontier_cap
+    zero = (b_sp0 * 0).astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+
+    a_pos0 = (jnp.zeros(cap, jnp.int32) + zero).at[0].set(a_sequences + zero)
+    sp0 = jnp.zeros(cap, jnp.int32).at[0].set(b_sp0)
+    ep0 = jnp.full(cap, -1, jnp.int32).at[0].set(b_ep0)
+    count0 = jnp.where(b_ep0 >= b_sp0, jnp.int32(1), jnp.int32(0))
+    values0 = jnp.zeros(emit_cap, jnp.int32) + zero
+    counts0 = jnp.zeros(emit_cap, jnp.int32) + zero
+    window = min(cap, emit_cap)
+
+    def emit(values, counts, n_emit, ovf, a_pos, cnts):
+        safe = n_emit + cap <= emit_cap
+        start = jnp.where(safe, n_emit, 0)
+        values = jax.lax.dynamic_update_slice(values, a_pos[:window], (start,))
+        counts = jax.lax.dynamic_update_slice(counts, cnts[:window], (start,))
+        return values, counts, ovf | ~safe
+
+    # ---- phase 1: general range loop, exits once all-singleton
+    def cond1(st):
+        a_pos, b_sp, b_ep, count, values, counts, n_emit, ovf = st
+        valid = lane < count
+        has_range = jnp.sum((valid & (b_ep > b_sp)).astype(jnp.int32)) > 0
+        return (count > 0) & has_range & ~ovf
+
+    def body1(st):
+        a_pos, b_sp, b_ep, count, values, counts, n_emit, ovf = st
+        valid = lane < count
+        values, counts, ovf = emit(values, counts, n_emit, ovf, a_pos,
+                                   jnp.where(valid, b_ep - b_sp + 1, 0))
+        n_emit = n_emit + count
+        out_a, out_sp, out_ep, child_count = _expand_step(
+            a_idx, b_idx, a_pos, b_sp, b_ep, valid)
+        ovf = ovf | (child_count > cap)
+        child_count = jnp.minimum(child_count, cap)
+        return (out_a[:cap], out_sp[:cap], out_ep[:cap], child_count,
+                values, counts, n_emit, ovf)
+
+    st = (a_pos0, sp0, ep0, count0, values0, counts0, zero, zero != 0)
+    a_pos, b_sp, b_ep, count, values, counts, n_emit, ovf = \
+        jax.lax.while_loop(cond1, body1, st)
+
+    # ---- phase 2: singles only (every live node has b_ep == b_sp)
+    def cond2(st):
+        sa, spos, count, values, counts, n_emit, ovf = st
+        return (count > 0) & ~ovf
+
+    def body2(st):
+        sa, spos, count, values, counts, n_emit, ovf = st
+        live = lane < count
+        values, counts, ovf = emit(values, counts, n_emit, ovf, sa,
+                                   jnp.where(live, 1, 0))
+        n_emit = n_emit + count
+
+        lf_b, c_b = b_idx.LF_step(spos)          # 1 row gather: child b-pos
+        rows = a_idx.ranks_all(sa)               # 1 row gather: child a-pos
+        child_a = (a_idx.C[c_b]
+                   + jnp.take_along_axis(rows, c_b[:, None], axis=1)[:, 0])
+        alive = live & (c_b != 0)
+
+        key = jnp.where(alive, jnp.int32(0), jnp.int32(1))
+        _, sa2, spos2 = jax.lax.sort((key, child_a, lf_b), num_keys=1,
+                                     is_stable=False)
+        return (sa2, spos2, jnp.sum(alive.astype(jnp.int32)),
+                values, counts, n_emit, ovf)
+
+    st2 = (a_pos, b_sp, count, values, counts, n_emit, ovf)
+    _, _, _, values, counts, n_emit, ovf = jax.lax.while_loop(cond2, body2, st2)
+    return values, counts, n_emit, ovf
+
+
 # -- fully-jitted driver (multi-chip / dryrun path) ---------------------------
 
 

@@ -76,7 +76,7 @@ def multihost_rank_array(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
         # reuse the single-host path on the sub-range by searching it as one
         # sharded call: shift the block into per-device shards
         from ..ops.search_np import compact_rank_array
-        from ..ops.search_jax import wavefront_search_device
+        from ..ops.search_jax import wavefront_search_device2
         import jax.numpy as jnp
 
         bounds = sequence_shards(ep - sp + 1, local_mesh.devices.size)
@@ -86,7 +86,7 @@ def multihost_rank_array(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
         for dev_sp, dev_ep in bounds:
             if dev_ep < dev_sp:
                 continue
-            v, c, n, ovf = wavefront_search_device(
+            v, c, n, ovf = wavefront_search_device2(
                 a_idx, b_idx, jnp.int32(dev_sp), jnp.int32(dev_ep),
                 a_sequences, frontier_cap=frontier_cap, emit_cap=emit_cap)
             overflow = overflow or bool(ovf)

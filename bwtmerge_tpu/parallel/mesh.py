@@ -29,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.rank_jax import DeviceFMIndex
-from ..ops.search_jax import wavefront_search_device
+from ..ops.search_jax import wavefront_search_device2
 
 SEQ_AXIS = "seq"
 
@@ -93,7 +93,7 @@ def sharded_rank_array(
         # One device: search the local block(s) inside this shard.  shard_map
         # guarantees the search runs device-local with no collectives; the
         # only cross-device traffic is the final result gather.
-        fn = lambda s, e: wavefront_search_device(
+        fn = lambda s, e: wavefront_search_device2(
             a, b, s, e, a_sequences,
             frontier_cap=frontier_cap, emit_cap=emit_cap)
         return jax.vmap(fn)(sp, ep)

@@ -204,3 +204,57 @@ class TestPackedTransfer:
                                  np.asarray(ec), 300, int(n_exc))
         assert np.array_equal(got_v, values)
         assert np.array_equal(got_c, counts)
+
+
+class TestSingletonSpecializedDriver:
+    def test_matches_numpy(self, pair):
+        from bwtmerge_tpu.ops.search_jax import wavefront_search_device2
+
+        _, _, a, b = pair
+        want = search_np.build_rank_array(
+            a.rank_index, a.alpha.C.astype(np.int64),
+            b.rank_index, b.alpha.C.astype(np.int64),
+            a.sequences(), b.sequences())
+        a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+        v, c, n, ovf = wavefront_search_device2(
+            a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
+            a.sequences(), frontier_cap=2048, emit_cap=65536)
+        assert not bool(ovf)
+        got = search_np.compact_rank_array(
+            np.asarray(v[:int(n)], dtype=np.int64),
+            np.asarray(c[:int(n)], dtype=np.int64))
+        assert np.array_equal(got[0], want[0])
+        assert np.array_equal(got[1], want[1])
+
+    def test_overflow_flags(self, pair):
+        from bwtmerge_tpu.ops.search_jax import wavefront_search_device2
+
+        _, _, a, b = pair
+        a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+        _, _, _, ovf = wavefront_search_device2(
+            a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
+            a.sequences(), frontier_cap=128, emit_cap=64)
+        assert bool(ovf)
+
+    def test_single_sequence_block(self, pair):
+        from bwtmerge_tpu.ops.search_jax import wavefront_search_device2
+
+        _, _, a, b = pair
+        # block of exactly one sequence: root is itself a singleton-sized range
+        want = search_np.build_rank_array(
+            a.rank_index, a.alpha.C.astype(np.int64),
+            b.rank_index, b.alpha.C.astype(np.int64),
+            a.sequences(), b.sequences(), b_seq_range=(2, 2))
+        a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+        v, c, n, ovf = wavefront_search_device2(
+            a_idx, b_idx, jnp.int32(2), jnp.int32(2),
+            a.sequences(), frontier_cap=1024, emit_cap=16384)
+        assert not bool(ovf)
+        got = search_np.compact_rank_array(
+            np.asarray(v[:int(n)], dtype=np.int64),
+            np.asarray(c[:int(n)], dtype=np.int64))
+        assert np.array_equal(got[0], want[0])
+        assert np.array_equal(got[1], want[1])
