@@ -126,6 +126,11 @@ def main(argv=None) -> int:
         check_format(fmt, "bwt_merge", "input")
     check_format(args.output_format, "bwt_merge", "output")
 
+    if args.backend == "jax":
+        from ..utils.jax_setup import enable_compile_cache
+
+        enable_compile_cache()
+
     config = MergeConfig(backend=args.backend, temp_dir=args.temp_dir,
                          verbose=not args.quiet)
     if args.run_buffer is not None:

@@ -156,7 +156,9 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
         mesh = make_mesh(config.devices)
         n_dev = mesh.devices.size
         fcap = 1 << max(12, (b.sequences() - 1).bit_length())
-        ecap = (b.size() + b.sequences()) // n_dev + fcap + 16
+        # power-of-two emission cap: distinct (fcap, ecap) pairs each compile
+        # a search program, so k-way merges must reuse shapes across folds
+        ecap = 1 << ((b.size() + b.sequences()) // n_dev + fcap + 16).bit_length()
         # ~128 MB emission budget per device keeps HBM safe; beyond that,
         # stream through the host driver instead.
         if ecap * 8 <= 128 * 1024 * 1024:
