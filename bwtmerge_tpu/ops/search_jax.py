@@ -14,15 +14,18 @@ Shared-prefix batching (the reference's key trick, paper.tex:182-184) is
 inherent: a node carries a whole lexicographic range of B-suffixes, so highly
 repetitive read collections advance in few nodes.
 
-Two drivers share the step kernel:
+Three drivers share the machinery:
 
-  * `wavefront_search` — production path: host loop over depths, frontier
-    padded to power-of-two buckets (one XLA program per bucket size), RA runs
-    streamed to the host accumulator each depth (the device->host stream IS
-    the rank array — the same data the reference spills into run buffers).
-  * `wavefront_search_device` — fully-jitted lax.while_loop with static
-    frontier/emission capacities; used by the multi-chip sharded path where
-    the whole search must live inside one compiled program per device.
+  * `wavefront_search_device2` — the production path: the WHOLE search as one
+    compiled two-phase lax.while_loop (general range phase, then a lean
+    singleton-only phase), emissions accumulated on device; used by the
+    sharded mesh path and bench.
+  * `wavefront_search_device` — the single-phase variant (kept as the simpler
+    reference implementation of the same contract).
+  * `wavefront_search` — host-driven fallback for inputs whose frontier or
+    emission volume exceeds the static device buffers: one compiled step per
+    depth, frontier padded to power-of-two buckets, RA runs streamed to the
+    host spill ladder each depth.
 """
 
 from __future__ import annotations
