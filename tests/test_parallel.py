@@ -125,3 +125,63 @@ class TestMultihostSingleProcess:
             a.sequences(), b.sequences())
         assert np.array_equal(v, want[0])
         assert np.array_equal(c, want[1])
+
+
+class TestBlockShardedIndex:
+    def test_ranks_match_replicated(self, rng):
+        import jax.numpy as jnp
+        from bwtmerge_tpu.ops.rank_sharded import ShardedFMIndex
+
+        seqs = oracle.random_collection(rng, 10, 20, 80)
+        fmi = _fmi(seqs)
+        mesh = make_mesh(8)
+        sharded = ShardedFMIndex.build(fmi.runs, fmi.alpha.counts(), mesh=mesh)
+        local = DeviceFMIndex.build(fmi.runs, fmi.alpha.counts())
+
+        q = rng.integers(0, fmi.size() + 1, size=256).astype(np.int32)
+        want = np.asarray(local.ranks_all(jnp.asarray(q)))
+        got = np.asarray(sharded.ranks_all(jnp.asarray(q), mesh))
+        assert np.array_equal(got, want)
+
+    def test_backward_search_blocked(self, rng):
+        from bwtmerge_tpu.ops.rank_sharded import (
+            ShardedFMIndex, sharded_backward_search_blocked)
+
+        seqs = oracle.random_collection(rng, 8, 10, 60)
+        fmi = _fmi(seqs)
+        mesh = make_mesh(8)
+        sharded = ShardedFMIndex.build(fmi.runs, fmi.alpha.counts(), mesh=mesh)
+
+        pats = [np.asarray(s[:6]) for s in seqs[:5]]
+        max_len = 6
+        pat = np.zeros((len(pats), max_len), dtype=np.int64)
+        lens = np.zeros(len(pats), dtype=np.int64)
+        for i, p in enumerate(pats):
+            pat[i, : p.size] = p
+            lens[i] = p.size
+        counts = sharded_backward_search_blocked(sharded, mesh, pat, lens)
+        want = np.array([fmi.count(p) for p in pats])
+        assert np.array_equal(counts, want)
+
+    def test_wavefront_sharded_index(self, rng):
+        from bwtmerge_tpu.ops.rank_sharded import (
+            ShardedFMIndex, wavefront_search_sharded)
+
+        a_seqs = oracle.random_collection(rng, 8, 10, 60)
+        b_seqs = oracle.random_collection(rng, 10, 10, 60)
+        a, b = _fmi(a_seqs), _fmi(b_seqs)
+        want = search_np.build_rank_array(
+            a.rank_index, a.alpha.C.astype(np.int64),
+            b.rank_index, b.alpha.C.astype(np.int64),
+            a.sequences(), b.sequences())
+
+        mesh = make_mesh(8)
+        a_sh = ShardedFMIndex.build(a.runs, a.alpha.counts(), mesh=mesh)
+        b_sh = ShardedFMIndex.build(b.runs, b.alpha.counts(), mesh=mesh)
+        v, c, ovf = wavefront_search_sharded(
+            a_sh, b_sh, mesh, 0, b.sequences() - 1, a.sequences(),
+            frontier_cap=2048, emit_cap=32768)
+        assert not ovf
+        got = search_np.compact_rank_array(v, c)
+        assert np.array_equal(got[0], want[0])
+        assert np.array_equal(got[1], want[1])
