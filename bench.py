@@ -109,6 +109,17 @@ def main() -> None:
         raw_values, raw_counts = run_search()
         search_s = min(search_s, time.monotonic() - t0)
 
+    # device-only time: blocking on the scalar emission count completes the
+    # whole compiled program without pulling the big RA buffers over the link
+    device_search_s = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        _, _, n_only, _ = wavefront_search_device2(
+            a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
+            a.sequences(), frontier_cap=fcap, emit_cap=ecap)
+        int(n_only)
+        device_search_s = min(device_search_s, time.monotonic() - t0)
+
     from bwtmerge_tpu.ops.search_np import compact_sorted_rank_array
 
     t0 = time.monotonic()
@@ -136,6 +147,8 @@ def main() -> None:
             "device": str(jax.devices()[0]),
             "a_bases": a.size(), "b_bases": b.size(),
             "search_s": round(search_s, 3),
+            "device_search_s": round(device_search_s, 3),
+            "device_Mbases_s": round(b.size() / 1e6 / device_search_s, 3),
             "compact_s": round(compact_s, 3),
             "interleave_s": round(interleave_s, 3),
             "end_to_end_Mbases_s": round(e2e_rate, 3),

@@ -369,4 +369,10 @@ def write_bwt(path: str, fmt: str, runs: RunArrays, alpha: Alphabet,
         sequences = int(counts[0])
     if bases is None:
         bases = int(counts.sum())
+    # The native format serializes the alphabet's C array verbatim; make sure
+    # it reflects these runs even when the caller passes a bare mapping-only
+    # Alphabet (C defaults to zeros).
+    if not np.array_equal(np.asarray(alpha.C, dtype=np.int64)[1:],
+                          np.cumsum(counts[: alpha.sigma])):
+        alpha = Alphabet.from_counts(counts, alpha.char2comp, alpha.comp2char)
     FORMATS[fmt].write(path, runs, alpha, sequences, bases)

@@ -123,13 +123,17 @@ class StreamingNativeWriter:
             f.write(struct.pack("<Q", n_blocks))
         sdsl.write_sd_vector(f, (block_end_pos - 1).astype(np.uint64),
                              self.text_pos)
-        sdsl.write_int_vector(f, self.alpha.char2comp.astype(np.uint64), 8,
+        # serialize a C array derived from the ACTUAL streamed counts (the
+        # caller's alpha provides the char mappings; its C may be stale)
+        alpha = Alphabet.from_counts(self.char_counts, self.alpha.char2comp,
+                                     self.alpha.comp2char)
+        sdsl.write_int_vector(f, alpha.char2comp.astype(np.uint64), 8,
                               fixed_width=True)
-        sdsl.write_int_vector(f, self.alpha.comp2char.astype(np.uint64), 8,
+        sdsl.write_int_vector(f, alpha.comp2char.astype(np.uint64), 8,
                               fixed_width=True)
-        sdsl.write_int_vector(f, self.alpha.C.astype(np.uint64), 64,
+        sdsl.write_int_vector(f, alpha.C.astype(np.uint64), 64,
                               fixed_width=True)
-        f.write(struct.pack("<Q", self.alpha.sigma))
+        f.write(struct.pack("<Q", alpha.sigma))
 
         header = NativeHeader(sequences=self.sequences, bases=self.text_pos)
         header.set_order(identify_alphabet(self.alpha))

@@ -212,3 +212,22 @@ class TestStreamedOutput:
                              "numpy", "--quiet", "--stream", "-v", pat_path])
         assert rc == 0
         assert open(out_b, "rb").read() == open(out_s, "rb").read()
+
+
+class TestMixedFormats:
+    def test_kway_mixed_input_formats(self, tmp_path, rng):
+        """configs[2] shape: mixed ropebwt + native + sga inputs."""
+        colls = [oracle.random_collection(rng, 4, 10, 40) for _ in range(3)]
+        alpha = Alphabet()
+        fmts = ["ropebwt", "native", "sga"]
+        paths = []
+        for i, (seqs, fmt) in enumerate(zip(colls, fmts)):
+            p = str(tmp_path / f"in{i}.{fmt}")
+            write_bwt(p, fmt, oracle.build_bwt(seqs), alpha)
+            paths.append(p)
+        out = str(tmp_path / "merged.native")
+        rc = bwt_merge.main([*paths, out, "-i", ",".join(fmts),
+                             "--backend", "numpy", "--quiet"])
+        assert rc == 0
+        runs, _, _ = read_bwt(out, "native")
+        assert runs == oracle.merge_collections(colls)
