@@ -159,9 +159,9 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
         # power-of-two emission cap: distinct (fcap, ecap) pairs each compile
         # a search program, so k-way merges must reuse shapes across folds
         ecap = 1 << ((b.size() + b.sequences()) // n_dev + fcap + 16).bit_length()
-        # ~128 MB emission budget per device keeps HBM safe; beyond that,
+        # ~512 MB emission budget per device keeps HBM safe; beyond that,
         # stream through the host driver instead.
-        if ecap * 8 <= 128 * 1024 * 1024:
+        if ecap * 8 <= 512 * 1024 * 1024:
             values, counts, overflow = sharded_rank_array(
                 a_idx, b_idx, a.sequences(), b.sequences(), mesh=mesh,
                 frontier_cap=fcap, emit_cap=ecap)

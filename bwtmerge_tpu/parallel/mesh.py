@@ -90,12 +90,18 @@ def sharded_rank_array(
     ep = jax.device_put(jnp.asarray(bounds[:, 1]), sharded)
 
     def per_shard(a, b, sp, ep):
-        # One device: search the local block(s) inside this shard.  shard_map
-        # guarantees the search runs device-local with no collectives; the
-        # only cross-device traffic is the final result gather.
-        fn = lambda s, e: wavefront_search_device2(
-            a, b, s, e, a_sequences,
-            frontier_cap=frontier_cap, emit_cap=emit_cap)
+        # One device: search the local block(s), then sort + byte-pack the
+        # emitted RA runs in place (8 B/run -> 2 B/run over the host link).
+        # shard_map guarantees everything runs device-local; the only
+        # cross-device traffic is the final result gather.
+        from ..ops.search_jax import pack_ra_device
+
+        def fn(s, e):
+            v, c, n, ovf = wavefront_search_device2(
+                a, b, s, e, a_sequences,
+                frontier_cap=frontier_cap, emit_cap=emit_cap)
+            d8, c8, exc_i, exc_d, exc_c, n_exc = pack_ra_device(v, c, n)
+            return d8, c8, exc_i, exc_d, exc_c, n, n_exc, ovf
         return jax.vmap(fn)(sp, ep)
 
     search_all = jax.jit(jax.shard_map(
@@ -103,16 +109,30 @@ def sharded_rank_array(
         in_specs=(P(), P(), P(SEQ_AXIS), P(SEQ_AXIS)),
         out_specs=P(SEQ_AXIS)))
 
-    values, counts, n_emit, overflow = search_all(a_dev, b_dev, sp, ep)
+    from ..ops.search_jax import EXC_CAP, unpack_ra
 
-    values = np.asarray(values)
-    counts = np.asarray(counts)
+    d8, c8, exc_i, exc_d, exc_c, n_emit, n_exc, overflow = search_all(
+        a_dev, b_dev, sp, ep)
+
     n_emit = np.asarray(n_emit)
-    overflowed = bool(np.asarray(overflow).any())
+    n_exc = np.asarray(n_exc)
+    overflowed = bool(np.asarray(overflow).any()) or bool((n_exc > EXC_CAP).any())
+    if overflowed:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), True
 
-    all_v = np.concatenate([values[d, : n_emit[d]] for d in range(n_dev)])
-    all_c = np.concatenate([counts[d, : n_emit[d]] for d in range(n_dev)])
-    v, c = compact_rank_array(all_v.astype(np.int64), all_c.astype(np.int64))
+    parts_v, parts_c = [], []
+    for d in range(n_dev):
+        n = int(n_emit[d])
+        if n == 0:
+            continue
+        v, c = unpack_ra(np.asarray(d8[d, :n]), np.asarray(c8[d, :n]),
+                         np.asarray(exc_i[d]), np.asarray(exc_d[d]),
+                         np.asarray(exc_c[d]), n, int(n_exc[d]))
+        parts_v.append(v)
+        parts_c.append(c)
+    if not parts_v:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), False
+    v, c = compact_rank_array(np.concatenate(parts_v), np.concatenate(parts_c))
     return v, c, overflowed
 
 
