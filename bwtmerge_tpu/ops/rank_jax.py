@@ -93,7 +93,13 @@ class DeviceFMIndex:
         dense = np.full(padded, SIGMA, dtype=np.uint8)  # pad char: counts nothing
         if size:
             dense[:size] = runs.decode()
-        nibbles = (dense[0::2] | (dense[1::2] << 4)).astype(np.uint8)
+        # block-planar nibble packing: byte k of block b holds positions
+        # (b*32 + k) in the low nibble and (b*32 + 16 + k) in the high nibble.
+        # Chosen so the device unpack is a [nblk,16]+[nblk,16] concat — no
+        # tiny trailing dims for XLA to tile-pad (a [N,2] interleave temp
+        # padded 64x and OOMed at 25M positions).
+        blk = dense.reshape(-1, BLK)
+        nibbles = (blk[:, :16] | (blk[:, 16:] << 4)).astype(np.uint8).reshape(-1)
 
         counts = runs.counts(SIGMA) if C is None else np.asarray(C)
         c_arr = np.zeros(LANES + 1, dtype=np.int32)
@@ -111,52 +117,42 @@ class DeviceFMIndex:
     # -- the block probe (shared by every query) ------------------------------
 
     def _probe(self, i: jax.Array):
-        """One gather per query: (occ_base [Q,LANES], syms [Q,BLK], off [Q])."""
+        """One gather per query: (occ_base [Q,LANES], syms [Q,BLK] permuted,
+        before [Q,BLK] mask of positions < i within the block, off [Q])."""
         i = i.astype(jnp.int32)
         row = self.rec[i >> 5]                                # [Q, REC] gather
-        occ_base = row[:, :LANES]
-        words = row[:, LANES:].astype(jnp.uint32)             # [Q, 8]
-        shifts = jnp.asarray([0, 8, 16, 24], jnp.uint32)
-        syms = ((words[:, :, None] >> shifts[None, None, :]) & 0xFF)
-        syms = syms.reshape(i.shape[0], BLK).astype(jnp.int32)
-        return occ_base, syms, i & (BLK - 1)
+        return _decode_row(row, i)
 
     # -- core queries (all batched) -------------------------------------------
 
     @jax.jit
     def ranks_all(self, i: jax.Array) -> jax.Array:
         """rank(i, c) for every c: int32[Q, LANES].  i in [0, size]."""
-        occ_base, syms, off = self._probe(i)
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
-        before = pos < off[:, None]                           # [Q, BLK]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
-        hits = (syms[:, :, None] == lanes) & before[:, :, None]
-        return occ_base + jnp.sum(hits.astype(jnp.int32), axis=1)
+        occ_base, syms, before, _ = self._probe(i)
+        return occ_base + _count_lanes(syms, before)
 
     @jax.jit
     def rank(self, i: jax.Array, c: jax.Array) -> jax.Array:
         """rank(i, c) per (i, c) pair: int32[Q]."""
-        occ_base, syms, off = self._probe(i)
+        occ_base, syms, before, _ = self._probe(i)
         c = c.astype(jnp.int32)
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
-        hits = (syms == c[:, None]) & (pos < off[:, None])
+        hits = (syms == c[:, None]) & before
         base = jnp.take_along_axis(occ_base, c[:, None], axis=1)[:, 0]
         return base + jnp.sum(hits.astype(jnp.int32), axis=1)
 
     @jax.jit
     def inverse_select(self, i: jax.Array):
         """(rank(i, BWT[i]), BWT[i]) per position (bwt.cpp:445-464)."""
-        occ_base, syms, off = self._probe(i)
-        sym = jnp.take_along_axis(syms, off[:, None], axis=1)[:, 0]
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
-        hits = (syms == sym[:, None]) & (pos < off[:, None])
+        occ_base, syms, before, off = self._probe(i)
+        sym = jnp.take_along_axis(syms, _lane_of(off), axis=1)[:, 0]
+        hits = (syms == sym[:, None]) & before
         base = jnp.take_along_axis(occ_base, sym[:, None], axis=1)[:, 0]
         return base + jnp.sum(hits.astype(jnp.int32), axis=1), sym
 
     @jax.jit
     def access(self, i: jax.Array) -> jax.Array:
-        _, syms, off = self._probe(i)
-        return jnp.take_along_axis(syms, off[:, None], axis=1)[:, 0]
+        _, syms, _, off = self._probe(i)
+        return jnp.take_along_axis(syms, _lane_of(off), axis=1)[:, 0]
 
     # -- LF layer (fmi.h:146-193) ---------------------------------------------
 
@@ -180,28 +176,70 @@ class DeviceFMIndex:
         return self.C[c], self.C[c + 1] - 1
 
 
+
+# Permuted in-block symbol layout: unpacking the 8 words by shift amount
+# (concat of four [Q, 8] slices — no tiny trailing dims for XLA to tile-pad)
+# places position p = 4w + b at lane l = 8b + w.  _POS_OF_LANE maps lanes
+# back to positions for the prefix mask; _lane_of maps an offset to its lane.
+_POS_OF_LANE = (4 * (np.arange(BLK, dtype=np.int32) % 8)
+                + np.arange(BLK, dtype=np.int32) // 8).reshape(1, BLK)
+
+
+def _pos_of_lane():
+    return jnp.asarray(_POS_OF_LANE)
+
+
+def _lane_of(off: jax.Array) -> jax.Array:
+    """Lane index of position offset `off` (per query), shaped [Q, 1]."""
+    return (8 * (off % 4) + off // 4)[:, None]
+
+
+def _decode_row(row: jax.Array, i: jax.Array):
+    """Shared record decode: (occ_base, permuted syms, before-mask, off)."""
+    occ_base = row[:, :LANES]
+    words = row[:, LANES:].astype(jnp.uint32)                 # [Q, 8]
+    syms = jnp.concatenate(
+        [((words >> s) & 0xFF).astype(jnp.int32) for s in (0, 8, 16, 24)],
+        axis=1)                                               # [Q, BLK] permuted
+    off = i.astype(jnp.int32) & (BLK - 1)
+    before = _pos_of_lane() < off[:, None]
+    return occ_base, syms, before, off
+
+
+def _count_lanes(syms: jax.Array, before: jax.Array) -> jax.Array:
+    """Per-char counts of masked symbols: int32[Q, LANES]; all temps 2-D."""
+    cols = []
+    for c in range(LANES):
+        cols.append(jnp.sum(((syms == c) & before).astype(jnp.int32),
+                            axis=1, keepdims=True))
+    return jnp.concatenate(cols, axis=1)
+
+
 @jax.jit
 def _build_rec_device(nibbles: jax.Array) -> jax.Array:
     """4-bit-packed text -> block-fused record table, entirely on device.
 
-    nibbles: uint8[P/2] (position 2i in the low nibble).  Returns
+    nibbles: uint8[P/2], block-planar (see DeviceFMIndex.build).  Returns
     int32[P/BLK, REC].  Pad positions hold SIGMA, which no occ lane counts.
+    All intermediates keep trailing dims >= 16 — XLA tile-pads small minor
+    dimensions up to 128 lanes, which blew a [P,2] temp to 64x its size.
     """
-    lo = (nibbles & 0xF).astype(jnp.int32)
-    hi = (nibbles >> 4).astype(jnp.int32)
-    dense = jnp.stack([lo, hi], axis=1).reshape(-1)          # [P]
-    nblk = dense.shape[0] // BLK
-    by_block = dense.reshape(nblk, BLK)
+    nib2 = nibbles.reshape(-1, 16)                           # [nblk, 16]
+    by_block = jnp.concatenate([(nib2 & 0xF).astype(jnp.int32),
+                                (nib2 >> 4).astype(jnp.int32)], axis=1)
 
+    nblk = by_block.shape[0]
     cols = []
     for c in range(LANES):
-        cols.append(jnp.sum((by_block == c).astype(jnp.int32), axis=1))
-    per_block = jnp.stack(cols, axis=1)                      # [nblk, LANES]
+        cols.append(jnp.sum((by_block == c).astype(jnp.int32), axis=1,
+                            keepdims=True))
+    per_block = jnp.concatenate(cols, axis=1)                # [nblk, LANES]
     occ = jnp.cumsum(per_block, axis=0) - per_block          # exclusive
 
-    w = by_block.reshape(nblk, BLK // 4, 4)
-    packed = (w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16)
-              | (w[:, :, 3] << 24))                          # [nblk, BLK//4]
+    # word w of a block packs positions (4w, 4w+1, 4w+2, 4w+3) LSB-first;
+    # strided slices keep every temp at [nblk, 8]
+    packed = (by_block[:, 0::4] | (by_block[:, 1::4] << 8)
+              | (by_block[:, 2::4] << 16) | (by_block[:, 3::4] << 24))
     return jnp.concatenate([occ, packed], axis=1)
 
 

@@ -83,22 +83,7 @@ class ShardedFMIndex:
 
         def shard_fn(rec_local, C, i):
             # rec_local: [slab, REC] this shard's slab; i: [Q] (replicated)
-            d = jax.lax.axis_index(SEQ_AXIS)
-            j = (i.astype(jnp.int32) >> 5) - d * slab
-            owned = (j >= 0) & (j < slab)
-            row = rec_local[jnp.clip(j, 0, slab - 1)]          # [Q, REC]
-            occ_base = row[:, :LANES]
-            words = row[:, LANES:].astype(jnp.uint32)
-            shifts = jnp.asarray([0, 8, 16, 24], jnp.uint32)
-            syms = ((words[:, :, None] >> shifts[None, None, :]) & 0xFF)
-            syms = syms.reshape(i.shape[0], BLK).astype(jnp.int32)
-            off = i.astype(jnp.int32) & (BLK - 1)
-            pos = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
-            before = pos < off[:, None]
-            lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
-            hits = (syms[:, :, None] == lanes) & before[:, :, None]
-            res = occ_base + jnp.sum(hits.astype(jnp.int32), axis=1)
-            res = jnp.where(owned[:, None], res, 0)
+            res = _probe_local(rec_local, slab, i)
             return jax.lax.psum(res, SEQ_AXIS)
 
         fn = jax.shard_map(shard_fn, mesh=mesh,
@@ -144,21 +129,14 @@ def sharded_backward_search_blocked(index: ShardedFMIndex, mesh: Mesh,
 
 def _probe_local(rec_local: jax.Array, slab: int, i: jax.Array) -> jax.Array:
     """Shard-local ranks_all contribution (0 lanes for unowned queries)."""
+    from .rank_jax import _count_lanes, _decode_row
+
     d = jax.lax.axis_index(SEQ_AXIS)
     j = (i.astype(jnp.int32) >> 5) - d * slab
     owned = (j >= 0) & (j < slab)
     row = rec_local[jnp.clip(j, 0, slab - 1)]
-    occ_base = row[:, :LANES]
-    words = row[:, LANES:].astype(jnp.uint32)
-    shifts = jnp.asarray([0, 8, 16, 24], jnp.uint32)
-    syms = ((words[:, :, None] >> shifts[None, None, :]) & 0xFF)
-    syms = syms.reshape(i.shape[0], BLK).astype(jnp.int32)
-    off = i.astype(jnp.int32) & (BLK - 1)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
-    before = pos < off[:, None]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
-    hits = (syms[:, :, None] == lanes) & before[:, :, None]
-    res = occ_base + jnp.sum(hits.astype(jnp.int32), axis=1)
+    occ_base, syms, before, _ = _decode_row(row, i)
+    res = occ_base + _count_lanes(syms, before)
     return jnp.where(owned[:, None], res, 0)
 
 
