@@ -40,6 +40,7 @@ class MergeConfig:
     devices: int = 1
     temp_dir: str = "."
     backend: str = "numpy"
+    interleave: str = "native"  # 'native' (host C++) | 'device'
     verbose: bool = False
     timer: PhaseTimer = field(default_factory=PhaseTimer)
 
@@ -190,7 +191,11 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
 
 def _interleave(a_runs: RunArrays, b_runs: RunArrays, ra_values, ra_counts,
                 config: MergeConfig) -> RunArrays:
-    if config.backend == "jax":
+    # The merge phase is memory-bound stream processing, not batched compute:
+    # the native C++ walk wins for HOST-resident results on every backend
+    # (the device interleave would round-trip the merged stream over the
+    # host link).  interleave="device" opts into the on-device scatter path.
+    if getattr(config, "interleave", "native") == "device":
         from ..ops.interleave_jax import interleave_jax
 
         return interleave_jax(a_runs, b_runs, ra_values, ra_counts)

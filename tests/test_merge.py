@@ -116,3 +116,16 @@ class TestMerge:
         b_seqs = [base.copy() for _ in range(4)] + [base[5:45].copy()]
         merged = merge_fmi(_fmi(a_seqs), _fmi(b_seqs))
         assert merged.runs == oracle.merge_collections([a_seqs, b_seqs])
+
+
+class TestInterleaveBackendChoice:
+    def test_device_interleave_option(self, rng):
+        from bwtmerge_tpu.models import oracle
+        a_seqs = oracle.random_collection(rng, 5, 10, 50)
+        b_seqs = oracle.random_collection(rng, 4, 10, 50)
+        a = FMI.from_runs(oracle.build_bwt(a_seqs))
+        b = FMI.from_runs(oracle.build_bwt(b_seqs))
+        want = oracle.merge_collections([a_seqs, b_seqs])
+        for il in ("native", "device"):
+            cfg = MergeConfig(backend="jax", interleave=il)
+            assert merge_fmi(a, b, cfg).runs == want
