@@ -129,3 +129,26 @@ class TestInterleaveBackendChoice:
         for il in ("native", "device"):
             cfg = MergeConfig(backend="jax", interleave=il)
             assert merge_fmi(a, b, cfg).runs == want
+
+
+class TestDeviceOverflowFallback:
+    def test_fallback_to_host_driver(self, rng, monkeypatch):
+        """When the sharded device search overflows its static buffers, the
+        merge must fall back to the streaming host driver and still match."""
+        from bwtmerge_tpu.models import oracle
+        from bwtmerge_tpu.parallel import mesh as mesh_mod
+
+        a_seqs = oracle.random_collection(rng, 5, 10, 50)
+        b_seqs = oracle.random_collection(rng, 4, 10, 50)
+        a = FMI.from_runs(oracle.build_bwt(a_seqs))
+        b = FMI.from_runs(oracle.build_bwt(b_seqs))
+
+        calls = {"n": 0}
+        def fake_sharded(*args, **kwargs):
+            calls["n"] += 1
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64), True)
+        monkeypatch.setattr(mesh_mod, "sharded_rank_array", fake_sharded)
+
+        merged = merge_fmi(a, b, MergeConfig(backend="jax"))
+        assert calls["n"] == 1  # the device path was attempted and overflowed
+        assert merged.runs == oracle.merge_collections([a_seqs, b_seqs])
