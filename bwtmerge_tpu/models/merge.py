@@ -172,7 +172,10 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
 
         blocks = get_bounds((0, b.sequences() - 1), max(1, config.sequence_blocks))
         for blk in blocks:
-            wavefront_search(a_idx, b_idx, blk, a.sequences(), spill.emit)
+            # coarse buckets: each distinct frontier capacity compiles its own
+            # XLA program (expensive on real TPUs)
+            wavefront_search(a_idx, b_idx, blk, a.sequences(), spill.emit,
+                             min_bucket=1 << 15, growth=4)
         return spill
 
     # numpy backend: search sequence blocks independently —
