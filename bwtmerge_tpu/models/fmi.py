@@ -175,7 +175,7 @@ def serialize_fmi(fmi: FMI, path: str, fmt: str = "native") -> None:
     import sys
 
     from ..formats import FORMATS, write_bwt
-    from ..utils.alphabet import AlphabeticOrder, compatible, identify_alphabet
+    from ..utils.alphabet import compatible, identify_alphabet
 
     fmt_order = FORMATS[fmt].order()
     if not compatible(fmi.alpha, fmt_order):

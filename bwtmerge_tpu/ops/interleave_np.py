@@ -13,8 +13,6 @@ segmented scatter instead of per-position materialization.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 from ..models.runs import RunArrays

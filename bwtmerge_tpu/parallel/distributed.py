@@ -26,7 +26,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from ..ops.rank_jax import DeviceFMIndex
-from .mesh import make_mesh, sequence_shards, sharded_rank_array
+from .mesh import make_mesh, sequence_shards
 
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
