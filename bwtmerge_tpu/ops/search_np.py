@@ -87,6 +87,11 @@ def compact_rank_array(values: np.ndarray, counts: np.ndarray) -> Tuple[np.ndarr
     """
     if values.size == 0:
         return values.astype(np.int64), counts.astype(np.int64)
+    if np.all(values[1:] >= values[:-1]):
+        # already sorted (device-compacted chunks, single-source streams):
+        # skip the argsort — an O(n) check vs O(n log n) sort at tens of
+        # millions of runs
+        return compact_sorted_rank_array(np.asarray(values), np.asarray(counts))
     order = np.argsort(values, kind="stable")
     return compact_sorted_rank_array(values[order], counts[order])
 
