@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None, metavar="DIR",
                    help="checkpoint each pairwise merge to DIR and resume an "
                         "interrupted k-way merge from the last completed fold")
+    p.add_argument("--hash", action="store_true", dest="print_hash",
+                   help="print the FNV-1a content hash of the merged BWT "
+                        "(representation-independent equality check)")
     p.add_argument("--stream", action="store_true",
                    help="stream the final merged BWT straight to the output "
                         "file (never materialized in memory; native/sga only)")
@@ -210,7 +213,7 @@ def main(argv=None) -> int:
             _save_checkpoint(args.checkpoint, inputs, i, index, pre)
 
     if streamed_out:
-        if patterns:
+        if patterns or args.print_hash:
             index = load_fmi(output, args.output_format)
             verify_fmi(index, "Output", patterns, post, verbose=not args.quiet,
                        use_device=args.backend == "jax")
@@ -218,6 +221,9 @@ def main(argv=None) -> int:
         serialize_fmi(index, output, args.output_format)
         verify_fmi(index, "Output", patterns, post, verbose=not args.quiet,
                    use_device=args.backend == "jax")
+
+    if args.print_hash:
+        print(f"Hash:             {index.hash():016x}")
 
     status = 0
     if patterns:

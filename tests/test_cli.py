@@ -231,3 +231,20 @@ class TestMixedFormats:
         assert rc == 0
         runs, _, _ = read_bwt(out, "native")
         assert runs == oracle.merge_collections(colls)
+
+
+class TestHashFlag:
+    def test_hash_printed_and_representation_independent(self, tmp_path,
+                                                         collections,
+                                                         sga_files, capsys):
+        a_seqs, b_seqs = collections
+        out = str(tmp_path / "m.native")
+        rc = bwt_merge.main([*sga_files, out, "-i", "sga", "--backend",
+                             "numpy", "--hash"])
+        assert rc == 0
+        printed = [l for l in capsys.readouterr().out.splitlines()
+                   if l.startswith("Hash:")]
+        assert len(printed) == 1
+        want = FMI.from_runs(
+            oracle.merge_collections([a_seqs, b_seqs])).hash()
+        assert printed[0].split()[-1] == f"{want:016x}"
