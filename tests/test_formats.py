@@ -145,3 +145,28 @@ class TestSdslCompat:
             buf.seek(0)
             back, sz = sdsl.read_sd_vector(buf)
             assert sz == size and np.array_equal(back, positions)
+
+
+class TestCorruptInputs:
+    def test_corrupt_native_header_raises(self, tmp_path, bwt):
+        path = str(tmp_path / "x.native")
+        alpha = _alpha_for("native", bwt)
+        write_bwt(path, "native", bwt, alpha)
+        data = bytearray(open(path, "rb").read())
+        data[0] ^= 0xFF  # break the magic tag
+        open(path, "wb").write(bytes(data))
+        with pytest.raises(ValueError, match="native"):
+            read_bwt(path, "native")
+
+    def test_corrupt_sga_header_raises(self, tmp_path, bwt):
+        path = str(tmp_path / "x.sga")
+        write_bwt(path, "sga", bwt, _alpha_for("sga", bwt))
+        data = bytearray(open(path, "rb").read())
+        data[0] ^= 0xFF
+        open(path, "wb").write(bytes(data))
+        with pytest.raises(ValueError, match="SGA"):
+            read_bwt(path, "sga")
+
+    def test_unknown_format_tag(self, tmp_path):
+        with pytest.raises(ValueError, match="invalid BWT format"):
+            read_bwt(str(tmp_path / "nope"), "bogus")

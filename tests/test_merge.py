@@ -152,3 +152,16 @@ class TestDeviceOverflowFallback:
         merged = merge_fmi(a, b, MergeConfig(backend="jax"))
         assert calls["n"] == 1  # the device path was attempted and overflowed
         assert merged.runs == oracle.merge_collections([a_seqs, b_seqs])
+
+
+class TestEmptyCollectionMerge:
+    def test_merge_with_empty_b(self, rng):
+        from bwtmerge_tpu.models import oracle
+        from bwtmerge_tpu.models.runs import RunArrays
+
+        a_seqs = oracle.random_collection(rng, 5, 10, 50)
+        a = FMI.from_runs(oracle.build_bwt(a_seqs))
+        empty = FMI.from_runs(RunArrays.empty())
+        for backend in ("numpy", "jax"):
+            merged = merge_fmi(a, empty, MergeConfig(backend=backend))
+            assert merged.runs == a.runs
