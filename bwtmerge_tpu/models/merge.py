@@ -82,7 +82,10 @@ def merge_fmi(a: FMI, b: FMI, config: Optional[MergeConfig] = None) -> FMI:
             C=(a.alpha.C.astype(np.int64) + b.alpha.C.astype(np.int64)).astype(np.uint64),
         )
         result = FMI(runs=merged_runs, alpha=alpha)
-        result.rank_index  # build eagerly, like BWT::build after merge
+        if config.backend == "numpy":
+            # eager host rank build (BWT::build after merge) — the next fold
+            # queries it; the jax backend builds its own device index instead
+            result.rank_index
 
     if config.verbose:
         config.timer.report(b.size())
