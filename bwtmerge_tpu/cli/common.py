@@ -54,10 +54,9 @@ def verify_fmi(fmi: FMI, role: str, patterns: List[str],
 
     start = time.monotonic()
     if use_device:
-        from ..ops.rank_jax import DeviceFMIndex, batch_count
+        from ..ops.rank_jax import batch_count
 
-        idx = DeviceFMIndex.build(fmi.runs, fmi.alpha.counts())
-        counts = batch_count(idx, patterns, fmi.alpha.char2comp)
+        counts = batch_count(fmi.device_index, patterns, fmi.alpha.char2comp)
     else:
         counts = fmi.verify(patterns)
     results += counts

@@ -26,6 +26,7 @@ class FMI:
     runs: RunArrays
     alpha: Alphabet
     _rank: Optional[RankIndex] = field(default=None, repr=False, compare=False)
+    _device: object = field(default=None, repr=False, compare=False)
 
     # -- construction ----------------------------------------------------------
 
@@ -49,8 +50,19 @@ class FMI:
             self._rank = RankIndex.build(self.runs, self.alpha.sigma)
         return self._rank
 
+    @property
+    def device_index(self):
+        """Lazily built device FM-index (shared by verification and merge so
+        each BWT uploads once per process)."""
+        if self._device is None:
+            from ..ops.rank_jax import DeviceFMIndex
+
+            self._device = DeviceFMIndex.build(self.runs, self.alpha.counts())
+        return self._device
+
     def invalidate(self) -> None:
         self._rank = None
+        self._device = None
 
     # -- queries ---------------------------------------------------------------
 

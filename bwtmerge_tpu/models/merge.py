@@ -143,11 +143,10 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
     )
 
     if config.backend == "jax":
-        from ..ops.rank_jax import DeviceFMIndex
         from ..ops.search_jax import wavefront_search
 
-        a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
-        b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+        a_idx = a.device_index
+        b_idx = b.device_index
 
         # Preferred path: whole search as one compiled program per device
         # (sequence blocks sharded over the mesh, indexes replicated — the
