@@ -277,8 +277,14 @@ def backward_search(index: DeviceFMIndex, patterns: jax.Array,
     return sp, ep
 
 
-def batch_count(index: DeviceFMIndex, patterns_np, char2comp: np.ndarray) -> np.ndarray:
-    """Occurrence counts for a list of str/bytes patterns (host convenience)."""
+def batch_count(index: DeviceFMIndex, patterns_np, char2comp: np.ndarray,
+                chunk: int = 1 << 16) -> np.ndarray:
+    """Occurrence counts for a list of str/bytes patterns (host convenience).
+
+    Processes in fixed-size chunks (padded to `chunk`) so multi-million
+    pattern sets — the paper verifies 2M 32-mers per run (paper.tex:211-212)
+    — stream through one compiled program with bounded device memory.
+    """
     if not patterns_np:
         return np.zeros(0, dtype=np.int64)
     comps = []
@@ -292,10 +298,19 @@ def batch_count(index: DeviceFMIndex, patterns_np, char2comp: np.ndarray) -> np.
         comps.append(arr.astype(np.int32))
     max_len = max(c.size for c in comps)
     q = len(comps)
-    pat = np.zeros((q, max_len), dtype=np.int32)
-    lens = np.zeros(q, dtype=np.int32)
-    for j, c in enumerate(comps):
-        pat[j, : c.size] = c
-        lens[j] = c.size
-    sp, ep = backward_search(index, jnp.asarray(pat), jnp.asarray(lens), max_len)
-    return np.maximum(0, np.asarray(ep, dtype=np.int64) - np.asarray(sp, dtype=np.int64) + 1)
+    out = np.empty(q, dtype=np.int64)
+    q_pad = min(chunk, 1 << max(6, (q - 1).bit_length()))  # one program shape
+    for start in range(0, q, q_pad):
+        batch = comps[start:start + q_pad]
+        pat = np.zeros((q_pad, max_len), dtype=np.int32)
+        lens = np.ones(q_pad, dtype=np.int32)  # pad queries: 1-char dummies
+        for j, c in enumerate(batch):
+            pat[j, : c.size] = c
+            lens[j] = max(c.size, 1)
+        sp, ep = backward_search(index, jnp.asarray(pat), jnp.asarray(lens),
+                                 max_len)
+        n = len(batch)
+        out[start:start + n] = np.maximum(
+            0, np.asarray(ep[:n], dtype=np.int64)
+            - np.asarray(sp[:n], dtype=np.int64) + 1)
+    return out

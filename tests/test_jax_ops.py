@@ -258,3 +258,15 @@ class TestSingletonSpecializedDriver:
             np.asarray(c[:int(n)], dtype=np.int64))
         assert np.array_equal(got[0], want[0])
         assert np.array_equal(got[1], want[1])
+
+
+class TestChunkedBatchCount:
+    def test_many_patterns_chunked(self, pair):
+        _, _, a, _ = pair
+        idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        rng2 = np.random.default_rng(3)
+        pats = [rng2.integers(1, 6, size=int(rng2.integers(1, 5)))
+                for _ in range(300)]
+        want = np.array([a.count(p) for p in pats], dtype=np.int64)
+        got = batch_count(idx, pats, a.alpha.char2comp, chunk=64)
+        assert np.array_equal(got, want)
