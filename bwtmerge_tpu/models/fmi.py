@@ -123,7 +123,42 @@ class FMI:
         return max(0, ep - sp + 1)
 
     def batch_count(self, patterns: Sequence) -> np.ndarray:
-        return np.array([self.count(p) for p in patterns], dtype=np.int64)
+        """Vectorized backward search over a whole pattern batch — the host
+        analog of the reference's ParallelLoop over patterns
+        (bwt_merge.cpp:276-279): one rank call per character position for
+        ALL patterns at once instead of a Python loop per pattern."""
+        comps = [self._to_comps(p) for p in patterns]
+        if not comps:
+            return np.zeros(0, dtype=np.int64)
+        q = len(comps)
+        max_len = max((c.size for c in comps), default=0)
+        if max_len == 0:
+            return np.full(q, self.size(), dtype=np.int64)
+        pat = np.zeros((q, max_len), dtype=np.int64)
+        lens = np.zeros(q, dtype=np.int64)
+        for j, c in enumerate(comps):
+            pat[j, : c.size] = c
+            lens[j] = c.size
+        C = self.alpha.C.astype(np.int64)
+        rows = np.arange(q)
+        # empty patterns count every suffix (find() semantics)
+        empty = lens == 0
+        safe_last = np.where(empty, 0, pat[rows, np.maximum(lens - 1, 0)])
+        sp = np.where(empty, 0, C[safe_last])
+        ep = np.where(empty, self.size() - 1, C[safe_last + 1] - 1)
+        rank = self.rank_index
+        for t in range(max_len - 1):
+            idx = lens - 2 - t
+            active = (idx >= 0) & (ep >= sp)
+            if not active.any():
+                break
+            c = pat[rows, np.clip(idx, 0, max_len - 1)]
+            bounds = np.concatenate([np.where(active, sp, 0),
+                                     np.where(active, ep + 1, 0)])
+            ranks = rank.rank(bounds, np.concatenate([c, c]))
+            sp = np.where(active, C[c] + ranks[:q], sp)
+            ep = np.where(active, C[c] + ranks[q:] - 1, ep)
+        return np.maximum(0, ep - sp + 1)
 
     def _to_comps(self, pattern) -> np.ndarray:
         if isinstance(pattern, str):

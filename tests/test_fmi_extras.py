@@ -50,3 +50,15 @@ class TestHash:
         lens[1::2] = 1
         split = FMI.from_runs(RunArrays.from_runs(syms, lens))
         assert split.hash() == fmi.hash()
+
+
+class TestBatchCount:
+    def test_matches_sequential_count(self, rng):
+        seqs = oracle.random_collection(rng, 8, 5, 60)
+        fmi = _fmi(seqs)
+        pats = [seqs[0][:7], seqs[1][:3], np.array([1, 2, 3, 4, 5]),
+                np.array([], dtype=np.int64), seqs[2]]
+        want = np.array([fmi.count(p) for p in pats])
+        want[3] = fmi.size()  # empty pattern counts every suffix
+        got = fmi.batch_count(pats)
+        assert np.array_equal(got, want)
