@@ -104,7 +104,7 @@ def main() -> None:
     warmup_s = time.monotonic() - t0
 
     search_s = float("inf")
-    for _ in range(2):  # steady-state: best of 2 (the relay adds jitter)
+    for _ in range(3):  # steady-state: best of 3 (the relay adds jitter)
         t0 = time.monotonic()
         raw_values, raw_counts = run_search()
         search_s = min(search_s, time.monotonic() - t0)

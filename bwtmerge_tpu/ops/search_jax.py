@@ -160,44 +160,72 @@ def wavefront_search_device2(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     zero = (b_sp0 * 0).astype(jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
 
-    a_pos0 = (jnp.zeros(cap, jnp.int32) + zero).at[0].set(a_sequences + zero)
-    sp0 = jnp.zeros(cap, jnp.int32).at[0].set(b_sp0)
-    ep0 = jnp.full(cap, -1, jnp.int32).at[0].set(b_ep0)
     count0 = jnp.where(b_ep0 >= b_sp0, jnp.int32(1), jnp.int32(0))
     values0 = jnp.zeros(emit_cap, jnp.int32) + zero
     counts0 = jnp.zeros(emit_cap, jnp.int32) + zero
-    window = min(cap, emit_cap)
 
-    def emit(values, counts, n_emit, ovf, a_pos, cnts):
-        safe = n_emit + cap <= emit_cap
+    def emit(values, counts, n_emit, ovf, a_pos, cnts, c):
+        w = min(c, emit_cap)
+        safe = n_emit + c <= emit_cap
         start = jnp.where(safe, n_emit, 0)
-        values = jax.lax.dynamic_update_slice(values, a_pos[:window], (start,))
-        counts = jax.lax.dynamic_update_slice(counts, cnts[:window], (start,))
+        values = jax.lax.dynamic_update_slice(values, a_pos[:w], (start,))
+        counts = jax.lax.dynamic_update_slice(counts, cnts[:w], (start,))
         return values, counts, ovf | ~safe
 
-    # ---- phase 1: general range loop, exits once all-singleton
-    def cond1(st):
-        a_pos, b_sp, b_ep, count, values, counts, n_emit, ovf = st
-        valid = lane < count
-        has_range = jnp.sum((valid & (b_ep > b_sp)).astype(jnp.int32)) > 0
-        return (count > 0) & has_range & ~ovf
+    def range_loop(c, st, staged):
+        """General range loop at capacity `c`.  Exits when all-singleton,
+        overflow — or (staged mode) when the next expansion might not fit,
+        so a wider-capacity loop can take over without losing work."""
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)[:, 0]
 
-    def body1(st):
-        a_pos, b_sp, b_ep, count, values, counts, n_emit, ovf = st
-        valid = lane < count
-        values, counts, ovf = emit(values, counts, n_emit, ovf, a_pos,
-                                   jnp.where(valid, b_ep - b_sp + 1, 0))
-        n_emit = n_emit + count
-        out_a, out_sp, out_ep, child_count = _expand_step(
-            a_idx, b_idx, a_pos, b_sp, b_ep, valid)
-        ovf = ovf | (child_count > cap)
-        child_count = jnp.minimum(child_count, cap)
-        return (out_a[:cap], out_sp[:cap], out_ep[:cap], child_count,
-                values, counts, n_emit, ovf)
+        def cond(st):
+            a_pos, b_sp, b_ep, count, values, counts, n_emit, ovf = st
+            valid = lane_c < count
+            has_range = jnp.sum((valid & (b_ep > b_sp)).astype(jnp.int32)) > 0
+            go = (count > 0) & has_range & ~ovf
+            if staged:
+                go = go & (count * (SIGMA - 1) <= c)  # children surely fit
+            return go
 
-    st = (a_pos0, sp0, ep0, count0, values0, counts0, zero, zero != 0)
+        def body(st):
+            a_pos, b_sp, b_ep, count, values, counts, n_emit, ovf = st
+            valid = lane_c < count
+            values, counts, ovf = emit(values, counts, n_emit, ovf, a_pos,
+                                       jnp.where(valid, b_ep - b_sp + 1, 0), c)
+            n_emit = n_emit + count
+            out_a, out_sp, out_ep, child_count = _expand_step(
+                a_idx, b_idx, a_pos, b_sp, b_ep, valid)
+            ovf = ovf | (child_count > c)
+            child_count = jnp.minimum(child_count, c)
+            return (out_a[:c], out_sp[:c], out_ep[:c], child_count,
+                    values, counts, n_emit, ovf)
+
+        return jax.lax.while_loop(cond, body, st)
+
+    # ---- phase 0: small-capacity range loop — early depths have tiny
+    # frontiers (<= (SIGMA-1)^depth) and must not pay full-frontier gathers
+    cap0 = max(256, cap // 16)
+    if cap0 < cap:
+        st = ((jnp.zeros(cap0, jnp.int32) + zero).at[0].set(a_sequences + zero),
+              jnp.zeros(cap0, jnp.int32).at[0].set(b_sp0),
+              jnp.full(cap0, -1, jnp.int32).at[0].set(b_ep0),
+              count0, values0, counts0, zero, zero != 0)
+        a_p, b_s, b_e, count0, values0, counts0, n_emit0, ovf0 = \
+            range_loop(cap0, st, staged=True)
+        pad = cap - cap0
+        a_pos0 = jnp.concatenate([a_p, jnp.zeros(pad, jnp.int32)])
+        sp0 = jnp.concatenate([b_s, jnp.zeros(pad, jnp.int32)])
+        ep0 = jnp.concatenate([b_e, jnp.full(pad, -1, jnp.int32)])
+    else:
+        a_pos0 = (jnp.zeros(cap, jnp.int32) + zero).at[0].set(a_sequences + zero)
+        sp0 = jnp.zeros(cap, jnp.int32).at[0].set(b_sp0)
+        ep0 = jnp.full(cap, -1, jnp.int32).at[0].set(b_ep0)
+        n_emit0, ovf0 = zero, zero != 0
+
+    # ---- phase 1: general range loop at full capacity, exits all-singleton
+    st = (a_pos0, sp0, ep0, count0, values0, counts0, n_emit0, ovf0)
     a_pos, b_sp, b_ep, count, values, counts, n_emit, ovf = \
-        jax.lax.while_loop(cond1, body1, st)
+        range_loop(cap, st, staged=False)
 
     # ---- phase 2: singles only (every live node has b_ep == b_sp)
     def cond2(st):
@@ -208,7 +236,7 @@ def wavefront_search_device2(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
         sa, spos, count, values, counts, n_emit, ovf = st
         live = lane < count
         values, counts, ovf = emit(values, counts, n_emit, ovf, sa,
-                                   jnp.where(live, 1, 0))
+                                   jnp.where(live, 1, 0), cap)
         n_emit = n_emit + count
 
         lf_b, c_b = b_idx.LF_step(spos)          # 1 row gather: child b-pos
