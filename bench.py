@@ -91,13 +91,11 @@ def main() -> None:
             a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
             a.sequences(), frontier_cap=fcap, emit_cap=ecap)
         # sort + byte-pack on device: 8 B/run -> 2 B/run over the host link
-        d8, c8, exc_i, exc_d, exc_c, n_exc = pack_ra_device(v, c, n)
+        dc8, exc, n_exc = pack_ra_device(v, c, n)
         n, n_exc = int(n), int(n_exc)
         assert not bool(ovf), "device search overflowed its static buffers"
         assert n_exc <= EXC_CAP, "packed-transfer exception table overflow"
-        return unpack_ra(np.asarray(d8[:n]), np.asarray(c8[:n]),
-                         np.asarray(exc_i), np.asarray(exc_d),
-                         np.asarray(exc_c), n, n_exc)
+        return unpack_ra(np.asarray(dc8[:, :n]), np.asarray(exc), n, n_exc)
 
     t0 = time.monotonic()
     run_search()  # compile + first run

@@ -356,20 +356,27 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array):
     key = jnp.where(wide, lane, jnp.int32(2**31 - 1))
     _, exc_idx, exc_delta, exc_count = jax.lax.sort(
         (key, lane, delta, cnt), num_keys=1, is_stable=False)
-    return (d8, c8, exc_idx[:EXC_CAP], exc_delta[:EXC_CAP],
-            exc_count[:EXC_CAP], n_exc)
+    # single-buffer outputs: each device->host transfer pays ~50-100 ms of
+    # link latency, so the byte planes and the exception table ship as ONE
+    # array each
+    dc8 = jnp.stack([d8, c8])                                  # [2, E] u8
+    exc = jnp.stack([exc_idx[:EXC_CAP], exc_delta[:EXC_CAP],
+                     exc_count[:EXC_CAP]])                     # [3, EXC_CAP]
+    return dc8, exc, n_exc
 
 
-def unpack_ra(d8: np.ndarray, c8: np.ndarray, exc_idx: np.ndarray,
-              exc_delta: np.ndarray, exc_count: np.ndarray,
-              n: int, n_exc: int):
-    """Host-side inverse of pack_ra_device -> sorted (values, counts)."""
-    delta = d8[:n].astype(np.int64)
-    counts = c8[:n].astype(np.int64)
+def unpack_ra(dc8: np.ndarray, exc: np.ndarray, n: int, n_exc: int):
+    """Host-side inverse of pack_ra_device -> sorted (values, counts).
+
+    dc8: uint8[2, n] (delta plane, count plane); exc: int32[3, EXC_CAP]
+    (index, delta, count) rows for wide entries.
+    """
+    delta = dc8[0, :n].astype(np.int64)
+    counts = dc8[1, :n].astype(np.int64)
     if n_exc:
-        idx = exc_idx[:n_exc]
-        delta[idx] = exc_delta[:n_exc]
-        counts[idx] = exc_count[:n_exc]
+        idx = exc[0, :n_exc]
+        delta[idx] = exc[1, :n_exc]
+        counts[idx] = exc[2, :n_exc]
     return np.cumsum(delta), counts
 
 

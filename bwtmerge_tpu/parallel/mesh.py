@@ -100,8 +100,8 @@ def sharded_rank_array(
             v, c, n, ovf = wavefront_search_device2(
                 a, b, s, e, a_sequences,
                 frontier_cap=frontier_cap, emit_cap=emit_cap)
-            d8, c8, exc_i, exc_d, exc_c, n_exc = pack_ra_device(v, c, n)
-            return d8, c8, exc_i, exc_d, exc_c, n, n_exc, ovf
+            dc8, exc, n_exc = pack_ra_device(v, c, n)
+            return dc8, exc, n, n_exc, ovf
         return jax.vmap(fn)(sp, ep)
 
     search_all = jax.jit(jax.shard_map(
@@ -111,8 +111,7 @@ def sharded_rank_array(
 
     from ..ops.search_jax import EXC_CAP, unpack_ra
 
-    d8, c8, exc_i, exc_d, exc_c, n_emit, n_exc, overflow = search_all(
-        a_dev, b_dev, sp, ep)
+    dc8, exc, n_emit, n_exc, overflow = search_all(a_dev, b_dev, sp, ep)
 
     n_emit = np.asarray(n_emit)
     n_exc = np.asarray(n_exc)
@@ -120,14 +119,13 @@ def sharded_rank_array(
     if overflowed:
         return np.zeros(0, np.int64), np.zeros(0, np.int64), True
 
+    exc_h = np.asarray(exc)
     parts_v, parts_c = [], []
     for d in range(n_dev):
         n = int(n_emit[d])
         if n == 0:
             continue
-        v, c = unpack_ra(np.asarray(d8[d, :n]), np.asarray(c8[d, :n]),
-                         np.asarray(exc_i[d]), np.asarray(exc_d[d]),
-                         np.asarray(exc_c[d]), n, int(n_exc[d]))
+        v, c = unpack_ra(np.asarray(dc8[d, :, :n]), exc_h[d], n, int(n_exc[d]))
         parts_v.append(v)
         parts_c.append(c)
     if not parts_v:

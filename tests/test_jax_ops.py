@@ -173,12 +173,11 @@ class TestPackedTransfer:
             a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
             a.sequences(), frontier_cap=4096, emit_cap=65536)
         assert not bool(ovf)
-        d8, c8, ei, ed, ec, n_exc = pack_ra_device(v, c, n)
+        dc8, exc, n_exc = pack_ra_device(v, c, n)
         n, n_exc = int(n), int(n_exc)
         assert n_exc <= EXC_CAP
-        got_v, got_c = unpack_ra(np.asarray(d8[:n]), np.asarray(c8[:n]),
-                                 np.asarray(ei), np.asarray(ed),
-                                 np.asarray(ec), n, n_exc)
+        got_v, got_c = unpack_ra(np.asarray(dc8[:, :n]), np.asarray(exc),
+                                 n, n_exc)
         got = compact_sorted_rank_array(got_v, got_c)
 
         want = search_np.build_rank_array(
@@ -198,10 +197,9 @@ class TestPackedTransfer:
         E = 512
         v = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(values, jnp.int32))
         c = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(counts, jnp.int32))
-        d8, c8, ei, ed, ec, n_exc = pack_ra_device(v, c, jnp.int32(300))
-        got_v, got_c = unpack_ra(np.asarray(d8[:300]), np.asarray(c8[:300]),
-                                 np.asarray(ei), np.asarray(ed),
-                                 np.asarray(ec), 300, int(n_exc))
+        dc8, exc, n_exc = pack_ra_device(v, c, jnp.int32(300))
+        got_v, got_c = unpack_ra(np.asarray(dc8[:, :300]), np.asarray(exc),
+                                 300, int(n_exc))
         assert np.array_equal(got_v, values)
         assert np.array_equal(got_c, counts)
 
