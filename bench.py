@@ -84,18 +84,17 @@ def main() -> None:
     fcap = 1 << max(10, (b.sequences() - 1).bit_length())
     ecap = b.size() + b.sequences() + fcap + 16
 
-    from bwtmerge_tpu.ops.search_jax import EXC_CAP, pack_ra_device, unpack_ra
+    from bwtmerge_tpu.ops.search_jax import search_and_pack, unpack_search
 
     def run_search():
-        v, c, n, ovf = wavefront_search_device2(
+        # sort + byte-pack on device (8 B/run -> 2 B/run over the host link);
+        # exactly two device reads per search
+        dc8, meta_exc = search_and_pack(
             a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
             a.sequences(), frontier_cap=fcap, emit_cap=ecap)
-        # sort + byte-pack on device: 8 B/run -> 2 B/run over the host link
-        dc8, exc, n_exc = pack_ra_device(v, c, n)
-        n, n_exc = int(n), int(n_exc)
-        assert not bool(ovf), "device search overflowed its static buffers"
-        assert n_exc <= EXC_CAP, "packed-transfer exception table overflow"
-        return unpack_ra(np.asarray(dc8[:, :n]), np.asarray(exc), n, n_exc)
+        v, c, ovf = unpack_search(dc8, meta_exc)
+        assert not ovf, "device search overflowed its static buffers"
+        return v, c
 
     t0 = time.monotonic()
     run_search()  # compile + first run

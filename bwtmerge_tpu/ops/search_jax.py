@@ -360,9 +360,47 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array):
     # link latency, so the byte planes and the exception table ship as ONE
     # array each
     dc8 = jnp.stack([d8, c8])                                  # [2, E] u8
-    exc = jnp.stack([exc_idx[:EXC_CAP], exc_delta[:EXC_CAP],
-                     exc_count[:EXC_CAP]])                     # [3, EXC_CAP]
+
+    def fit(x):  # degenerate emit caps smaller than EXC_CAP pad with zeros
+        return (x[:EXC_CAP] if x.shape[0] >= EXC_CAP
+                else jnp.pad(x, (0, EXC_CAP - x.shape[0])))
+
+    exc = jnp.stack([fit(exc_idx), fit(exc_delta), fit(exc_count)])
     return dc8, exc, n_exc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("frontier_cap", "emit_cap"))
+def search_and_pack(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
+                    b_sp0: jax.Array, b_ep0: jax.Array, a_sequences: int,
+                    frontier_cap: int, emit_cap: int):
+    """Whole search + transfer packing with scalar metadata folded into the
+    exception buffer: the host needs exactly TWO device reads (meta+exc,
+    then the byte planes sliced to n) instead of five round trips.
+
+    Returns (dc8 uint8[2, emit_cap], meta_exc int32[4, EXC_CAP]) where
+    meta_exc[3, 0:3] = (n_emitted, n_exceptions, overflowed).
+    """
+    v, c, n, ovf = wavefront_search_device2(
+        a_idx, b_idx, b_sp0, b_ep0, a_sequences,
+        frontier_cap=frontier_cap, emit_cap=emit_cap)
+    dc8, exc, n_exc = pack_ra_device(v, c, n)
+    meta = jnp.zeros((1, EXC_CAP), jnp.int32)
+    meta = meta.at[0, 0].set(n).at[0, 1].set(n_exc)
+    meta = meta.at[0, 2].set(ovf.astype(jnp.int32))
+    return dc8, jnp.concatenate([exc, meta], axis=0)
+
+
+def unpack_search(dc8, meta_exc) -> tuple:
+    """Host side of search_and_pack -> (values, counts, overflowed)."""
+    meta_exc = np.asarray(meta_exc)
+    n = int(meta_exc[3, 0])
+    n_exc = int(meta_exc[3, 1])
+    overflowed = bool(meta_exc[3, 2]) or n_exc > EXC_CAP
+    if overflowed:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), True
+    v, c = unpack_ra(np.asarray(dc8[:, :n]), meta_exc, n, n_exc)
+    return v, c, False
 
 
 def unpack_ra(dc8: np.ndarray, exc: np.ndarray, n: int, n_exc: int):

@@ -268,3 +268,37 @@ class TestChunkedBatchCount:
         want = np.array([a.count(p) for p in pats], dtype=np.int64)
         got = batch_count(idx, pats, a.alpha.char2comp, chunk=64)
         assert np.array_equal(got, want)
+
+
+class TestSearchAndPack:
+    def test_two_read_path_matches(self, pair):
+        from bwtmerge_tpu.ops.search_jax import search_and_pack, unpack_search
+        from bwtmerge_tpu.ops.search_np import compact_sorted_rank_array
+
+        _, _, a, b = pair
+        a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+        dc8, meta_exc = search_and_pack(
+            a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
+            a.sequences(), frontier_cap=4096, emit_cap=65536)
+        v, c, ovf = unpack_search(dc8, meta_exc)
+        assert not ovf
+        got = compact_sorted_rank_array(v, c)
+        want = search_np.build_rank_array(
+            a.rank_index, a.alpha.C.astype(np.int64),
+            b.rank_index, b.alpha.C.astype(np.int64),
+            a.sequences(), b.sequences())
+        assert np.array_equal(got[0], want[0])
+        assert np.array_equal(got[1], want[1])
+
+    def test_overflow_reported(self, pair):
+        from bwtmerge_tpu.ops.search_jax import search_and_pack, unpack_search
+
+        _, _, a, b = pair
+        a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+        dc8, meta_exc = search_and_pack(
+            a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
+            a.sequences(), frontier_cap=256, emit_cap=64)
+        _, _, ovf = unpack_search(dc8, meta_exc)
+        assert ovf
