@@ -392,14 +392,17 @@ def search_and_pack(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
 
 
 def unpack_search(dc8, meta_exc) -> tuple:
-    """Host side of search_and_pack -> (values, counts, overflowed)."""
-    meta_exc = np.asarray(meta_exc)
+    """Host side of search_and_pack -> (values, counts, overflowed).
+
+    Both buffers come over in one device_get (a single fetch, not two
+    latency-serialized reads — slicing to n happens on the host)."""
+    dc8, meta_exc = jax.device_get((dc8, meta_exc))
     n = int(meta_exc[3, 0])
     n_exc = int(meta_exc[3, 1])
     overflowed = bool(meta_exc[3, 2]) or n_exc > EXC_CAP
     if overflowed:
         return np.zeros(0, np.int64), np.zeros(0, np.int64), True
-    v, c = unpack_ra(np.asarray(dc8[:, :n]), meta_exc, n, n_exc)
+    v, c = unpack_ra(dc8[:, :n], meta_exc, n, n_exc)
     return v, c, False
 
 
