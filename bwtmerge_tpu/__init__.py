@@ -11,8 +11,8 @@ __version__ = "0.1.0"
 
 from .utils.alphabet import Alphabet, AlphabeticOrder, create_alphabet, identify_alphabet
 from .models.runs import RunArrays
-from .models.fmi import FMI, load_fmi, serialize_fmi, load_fmi, serialize_fmi
-from .models.merge import MergeConfig, merge_fmi, merge_fmi_to_file, merge_fmi_to_file
+from .models.fmi import FMI, load_fmi, serialize_fmi
+from .models.merge import MergeConfig, merge_fmi, merge_fmi_to_file
 
 __all__ = [
     "Alphabet",

@@ -187,6 +187,12 @@ def main(argv=None) -> int:
 
     stream_last = args.stream and args.output_format in STREAM_WRITERS \
         and not args.checkpoint
+    if args.stream and not stream_last:
+        reason = ("--checkpoint holds the merged index in memory between folds"
+                  if args.checkpoint else
+                  f"output format '{args.output_format}' has no streaming writer")
+        print(f"Warning: --stream ignored ({reason}); "
+              "merging fully in memory", file=sys.stderr)
 
     bytes_added = 0
     streamed_out = False

@@ -35,6 +35,13 @@ def _lib() -> ctypes.CDLL:
             _i64p, _i64p, ctypes.c_int64,
             _u8p, _i64p,
         ]
+        lib.interleave_runs_parallel.restype = ctypes.c_int64
+        lib.interleave_runs_parallel.argtypes = [
+            _u8p, _i64p, ctypes.c_int64,
+            _u8p, _i64p, ctypes.c_int64,
+            _i64p, _i64p, ctypes.c_int64, ctypes.c_int64,
+            _u8p, _i64p,
+        ]
         lib.ra_encode_size.restype = ctypes.c_int64
         lib.ra_encode_size.argtypes = [_i64p, _i64p, ctypes.c_int64]
         lib.ra_encode.restype = ctypes.c_int64
@@ -88,19 +95,37 @@ def rle_hash(syms, lens) -> int:
     return int(_lib().rle_hash_runs(syms, lens, syms.size))
 
 
-def interleave_native(a_runs, b_runs, ra_values, ra_counts):
-    """Merged RunArrays of A and B according to the rank array (C++ streaming)."""
+def interleave_native(a_runs, b_runs, ra_values, ra_counts,
+                      threads: Optional[int] = None):
+    """Merged RunArrays of A and B according to the rank array.
+
+    Runs the C++ interleave sliced over `threads` workers (default: all
+    cores) — each slice's A/B/output offsets are prefix-sum expressions, the
+    parallel decomposition the reference's single consumer thread
+    (bwt.cpp:215-282) could not use.  Raises ValueError when the rank array
+    is inconsistent with the inputs (value > |A| or counts not covering |B|).
+    """
+    import os
+
     from ..models.runs import RunArrays
 
+    if threads is None:
+        threads = os.cpu_count() or 1
     a_syms, a_lens = _as_u8(a_runs.syms), _as_i64(a_runs.lens)
     b_syms, b_lens = _as_u8(b_runs.syms), _as_i64(b_runs.lens)
     rv, rc = _as_i64(ra_values), _as_i64(ra_counts)
-    cap = a_syms.size + b_syms.size + 2 * rv.size + 1
+    cap = a_syms.size + b_syms.size + 2 * rv.size + 1 + max(1, threads)
     out_syms = np.empty(cap, dtype=np.uint8)
     out_lens = np.empty(cap, dtype=np.int64)
-    n = _lib().interleave_runs(a_syms, a_lens, a_syms.size,
-                               b_syms, b_lens, b_syms.size,
-                               rv, rc, rv.size, out_syms, out_lens)
+    n = _lib().interleave_runs_parallel(
+        a_syms, a_lens, a_syms.size, b_syms, b_lens, b_syms.size,
+        rv, rc, rv.size, threads, out_syms, out_lens)
+    if n == -1:
+        raise ValueError(
+            "rank array inconsistent with inputs: values must be <= |A| and "
+            f"counts must sum to |B| ({int(rc.sum())} vs {int(b_lens.sum())})")
+    if n < 0:
+        raise RuntimeError(f"native interleave failed (code {n})")
     return RunArrays(out_syms[:n].copy(), out_lens[:n].copy())
 
 
@@ -135,7 +160,7 @@ def _configure_stream_interleave(lib) -> None:
     lib.interleave_chunk.argtypes = [
         _u8p, _i64p, ctypes.c_int64,
         _u8p, _i64p, ctypes.c_int64,
-        _i64p, _i64p, ctypes.c_int64, ctypes.c_int64,
+        _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         _i64p, _u8p, _i64p,
     ]
     lib._bwtmerge_stream_configured = True
@@ -159,7 +184,8 @@ def interleave_stream_chunks(a_runs, b_runs, ra_chunks):
         rv, rc = _as_i64(rv), _as_i64(rc)
         # Emitted-run bound: fragments of A touched this chunk (min of the
         # position span and the runs remaining, plus one split per RA run) +
-        # fragments of B likewise; finish adds A's tail.
+        # fragments of B likewise; finish adds A's tail.  The C++ stops with
+        # -2 (instead of corrupting the heap) if the bound is ever wrong.
         a_span = int(rv[-1] - state[4]) if rv.size else 0
         a_remaining = a_lens.size - int(state[0])
         b_remaining = b_lens.size - int(state[2])
@@ -172,8 +198,13 @@ def interleave_stream_chunks(a_runs, b_runs, ra_chunks):
         n = lib.interleave_chunk(a_syms, a_lens, a_syms.size,
                                  b_syms, b_lens, b_syms.size,
                                  rv, rc, rv.size, 1 if finish else 0,
-                                 state, out_s, out_l)
-        assert n <= cap, "interleave chunk overflow"
+                                 cap, state, out_s, out_l)
+        if n == -1:
+            raise ValueError(
+                "rank-array stream inconsistent with inputs (value beyond "
+                "|A| or counts beyond/not covering |B|)")
+        if n < 0:
+            raise RuntimeError(f"native interleave_chunk failed (code {n})")
         return out_s[:n].copy(), out_l[:n].copy()
 
     for rv, rc in ra_chunks:

@@ -3,11 +3,24 @@
 // The host backend of the merge phase: equivalent to the reference's
 // mergeBWT consumer loop (bwt.cpp:215-282) but over flat run arrays instead of
 // byte streams — walks RLE(A) and RLE(B) once, emitting the merged maximal
-// runs. Used when the merged output is assembled on the host; the device
-// backend (ops/interleave_jax.py) does the same job with segmented scatter.
+// runs.  Unlike the reference's single consumer thread, the parallel variant
+// splits the rank array into T slices whose A/B/output start offsets are all
+// prefix-sum expressions, so every slice interleaves independently (the same
+// decomposition the device backend uses, ops/interleave_jax.py).
+//
+// Error contract (negative return values; no partial-result trust):
+//   -1  rank array inconsistent with the inputs (value > |A| or count sum
+//       != |B| for the batch entry points; mid-stream exhaustion for the
+//       chunked entry point)
+//   -2  output capacity exceeded (callers size with the documented bound,
+//       so this indicates a caller bug rather than data-dependent overflow)
 
 #include <algorithm>
 #include <cstdint>
+#include <cstring>
+#include <memory>
+#include <thread>
+#include <vector>
 
 #define EXPORT extern "C" __attribute__((visibility("default")))
 
@@ -16,9 +29,11 @@ namespace {
 struct RunEmitter {
   uint8_t* out_syms;
   int64_t* out_lens;
+  int64_t cap;  // capacity of out_syms/out_lens; writes beyond set overflow
   int64_t count = 0;
   uint8_t cur_sym = 0;
   int64_t cur_len = 0;
+  bool overflow = false;
 
   inline void emit(uint8_t s, int64_t l) {
     if (l == 0) return;
@@ -33,6 +48,11 @@ struct RunEmitter {
 
   inline void flush() {
     if (cur_len > 0) {
+      if (count >= cap) {
+        overflow = true;
+        cur_len = 0;
+        return;
+      }
       out_syms[count] = cur_sym;
       out_lens[count] = cur_len;
       count++;
@@ -41,49 +61,224 @@ struct RunEmitter {
   }
 };
 
+struct Cursor {  // position within one RLE stream
+  int64_t run = 0;   // current run index
+  int64_t rem = 0;   // positions remaining in the current run
+};
+
+// Serial interleave of RA runs [t0, t1) given stream cursors; returns false on
+// emitter overflow or if a stream is exhausted while positions are still owed
+// (corrupt rank array).
+bool interleave_span(const uint8_t* a_syms, const int64_t* a_lens, int64_t na,
+                     const uint8_t* b_syms, const int64_t* b_lens, int64_t nb,
+                     const int64_t* ra_vals, const int64_t* ra_cnts,
+                     int64_t t0, int64_t t1, int64_t a_pos0, Cursor& a,
+                     Cursor& b, RunEmitter& out) {
+  int64_t a_pos = a_pos0;
+  for (int64_t t = t0; t < t1; t++) {
+    int64_t v = ra_vals[t];
+    int64_t k = ra_cnts[t];
+    while (a_pos < v) {
+      if (a.rem == 0) return false;  // RA value beyond |A|
+      int64_t take = std::min(v - a_pos, a.rem);
+      out.emit(a_syms[a.run], take);
+      a.rem -= take;
+      a_pos += take;
+      if (a.rem == 0 && ++a.run < na) a.rem = a_lens[a.run];
+    }
+    while (k > 0) {
+      if (b.rem == 0) return false;  // RA counts beyond |B|
+      int64_t take = std::min(k, b.rem);
+      out.emit(b_syms[b.run], take);
+      b.rem -= take;
+      k -= take;
+      if (b.rem == 0 && ++b.run < nb) b.rem = b_lens[b.run];
+    }
+  }
+  return !out.overflow;
+}
+
+void drain_a(const uint8_t* a_syms, const int64_t* a_lens, int64_t na,
+             Cursor& a, RunEmitter& out) {
+  while (a.run < na && a.rem > 0) {  // append the rest of A (bwt.cpp:266-276)
+    out.emit(a_syms[a.run], a.rem);
+    if (++a.run < na) a.rem = a_lens[a.run];
+  }
+}
+
+// Parallel exclusive prefix sum: dst[0] = 0, dst[i+1] = sum(src[0..i]).
+// Two passes (block sums, then offset fill), both threaded — the fill is
+// memory-bandwidth-bound and was the dominant cost of the parallel
+// interleave when done serially.
+void prefix_sum_parallel(const int64_t* src, int64_t n, int64_t* dst,
+                         int64_t T) {
+  T = std::max<int64_t>(1, std::min(T, n / (1 << 16) + 1));
+  std::vector<int64_t> partial(T + 1, 0);
+  {
+    std::vector<std::thread> ws;
+    ws.reserve(T);
+    for (int64_t i = 0; i < T; i++) {
+      ws.emplace_back([&, i] {
+        int64_t lo = n * i / T, hi = n * (i + 1) / T, s = 0;
+        for (int64_t j = lo; j < hi; j++) s += src[j];
+        partial[i + 1] = s;
+      });
+    }
+    for (auto& w : ws) w.join();
+  }
+  for (int64_t i = 0; i < T; i++) partial[i + 1] += partial[i];
+  dst[0] = 0;
+  {
+    std::vector<std::thread> ws;
+    ws.reserve(T);
+    for (int64_t i = 0; i < T; i++) {
+      ws.emplace_back([&, i] {
+        int64_t lo = n * i / T, hi = n * (i + 1) / T, s = partial[i];
+        for (int64_t j = lo; j < hi; j++) {
+          s += src[j];
+          dst[j + 1] = s;
+        }
+      });
+    }
+    for (auto& w : ws) w.join();
+  }
+}
+
+// Locate the cursor for absolute position `pos` via the exclusive prefix sums
+// `cum` (cum[i] = positions before run i; cum[n] = total).
+Cursor cursor_at(const int64_t* cum, int64_t n, int64_t pos) {
+  const int64_t* it = std::upper_bound(cum, cum + n + 1, pos);
+  int64_t run = (it - cum) - 1;
+  Cursor c;
+  c.run = run;
+  c.rem = (run < n) ? cum[run + 1] - pos : 0;
+  return c;
+}
+
 }  // namespace
 
 // Interleave A and B according to sorted-unique rank-array runs
-// (ra_vals strictly increasing, sum(ra_cnts) == |B|).
+// (ra_vals strictly increasing, sum(ra_cnts) == |B|, ra_vals[last] <= |A|).
 // Output arrays must have capacity >= na + nb + 2 * nra + 1.
-// Returns the number of merged maximal runs.
+// Returns the number of merged maximal runs, or a negative error code.
 EXPORT int64_t interleave_runs(const uint8_t* a_syms, const int64_t* a_lens,
                                int64_t na, const uint8_t* b_syms,
                                const int64_t* b_lens, int64_t nb,
                                const int64_t* ra_vals, const int64_t* ra_cnts,
                                int64_t nra, uint8_t* out_syms,
                                int64_t* out_lens) {
-  RunEmitter out{out_syms, out_lens};
-  int64_t ai = 0, bi = 0;
-  int64_t a_rem = (na > 0) ? a_lens[0] : 0;
-  int64_t b_rem = (nb > 0) ? b_lens[0] : 0;
-  int64_t a_pos = 0;  // text position consumed from A
-
-  for (int64_t t = 0; t < nra; t++) {
-    int64_t v = ra_vals[t];
-    int64_t k = ra_cnts[t];
-    while (a_pos < v) {
-      int64_t take = std::min(v - a_pos, a_rem);
-      out.emit(a_syms[ai], take);
-      a_rem -= take;
-      a_pos += take;
-      if (a_rem == 0 && ++ai < na) a_rem = a_lens[ai];
-    }
-    while (k > 0) {
-      int64_t take = std::min(k, b_rem);
-      out.emit(b_syms[bi], take);
-      b_rem -= take;
-      k -= take;
-      if (b_rem == 0 && ++bi < nb) b_rem = b_lens[bi];
-    }
+  RunEmitter out{out_syms, out_lens, na + nb + 2 * nra + 1};
+  Cursor a{0, na > 0 ? a_lens[0] : 0};
+  Cursor b{0, nb > 0 ? b_lens[0] : 0};
+  if (!interleave_span(a_syms, a_lens, na, b_syms, b_lens, nb, ra_vals,
+                       ra_cnts, 0, nra, 0, a, b, out)) {
+    return out.overflow ? -2 : -1;
   }
-  // Append the rest of A (bwt.cpp:266-276).
-  while (ai < na && a_rem > 0) {
-    out.emit(a_syms[ai], a_rem);
-    if (++ai < na) a_rem = a_lens[ai];
-  }
+  if (b.run < nb && b.rem > 0) return -1;  // counts did not cover |B|
+  drain_a(a_syms, a_lens, na, a, out);
   out.flush();
-  return out.count;
+  return out.overflow ? -2 : out.count;
+}
+
+// -- parallel batch interleave ------------------------------------------------
+//
+// Splits the RA into `n_threads` contiguous slices.  Every slice's starting
+// state is pure arithmetic: before RA run t, A has been consumed up to
+// position ra_vals[t-1] and B up to sum(ra_cnts[0:t]); run cursors come from
+// binary searches over the RLE length prefix sums.  Slices emit into disjoint
+// regions of the output (offsets from the same prefix sums), then the seams
+// are stitched by coalescing the boundary runs.
+//
+// Output capacity must be >= na + nb + 2 * nra + 1 + n_threads (each seam can
+// leave one extra run before stitching).  Returns merged run count or a
+// negative error code.
+EXPORT int64_t interleave_runs_parallel(
+    const uint8_t* a_syms, const int64_t* a_lens, int64_t na,
+    const uint8_t* b_syms, const int64_t* b_lens, int64_t nb,
+    const int64_t* ra_vals, const int64_t* ra_cnts, int64_t nra,
+    int64_t n_threads, uint8_t* out_syms, int64_t* out_lens) {
+  int64_t T = std::max<int64_t>(1, n_threads);
+  if (nra < 4 * T || T == 1) {
+    return interleave_runs(a_syms, a_lens, na, b_syms, b_lens, nb, ra_vals,
+                           ra_cnts, nra, out_syms, out_lens);
+  }
+
+  // prefix sums of the RLE lengths and the RA counts (threaded: at large
+  // inputs these three O(n) fills otherwise cost as much as the interleave)
+  std::vector<int64_t> a_cum(na + 1), b_cum(nb + 1), rc_cum(nra + 1);
+  prefix_sum_parallel(a_lens, na, a_cum.data(), T);
+  prefix_sum_parallel(b_lens, nb, b_cum.data(), T);
+  prefix_sum_parallel(ra_cnts, nra, rc_cum.data(), T);
+
+  if (rc_cum[nra] != b_cum[nb]) return -1;          // counts must cover |B|
+  if (nra > 0 && ra_vals[nra - 1] > a_cum[na]) return -1;
+
+  struct Slice {
+    int64_t t0, t1;        // RA run range
+    int64_t a_pos0;        // A text position at slice start
+    Cursor a, b;
+    std::unique_ptr<uint8_t[]> syms;   // uninitialized (new[]): zeroing the
+    std::unique_ptr<int64_t[]> lens;   // slice buffers costs a full pass
+    int64_t cap = 0;
+    int64_t count = 0;
+    bool ok = true;
+  };
+  std::vector<Slice> slices(T);
+  for (int64_t i = 0; i < T; i++) {
+    Slice& s = slices[i];
+    s.t0 = nra * i / T;
+    s.t1 = nra * (i + 1) / T;
+    s.a_pos0 = (s.t0 > 0) ? ra_vals[s.t0 - 1] : 0;
+    s.a = cursor_at(a_cum.data(), na, s.a_pos0);
+    s.b = cursor_at(b_cum.data(), nb, rc_cum[s.t0]);
+    // per-slice run bound: A fragments + B fragments + slack
+    int64_t a_end = (s.t1 > 0) ? ra_vals[s.t1 - 1] : 0;
+    Cursor a_hi = cursor_at(a_cum.data(), na, a_end);
+    Cursor b_hi = cursor_at(b_cum.data(), nb, rc_cum[s.t1]);
+    int64_t len = s.t1 - s.t0;
+    int64_t cap = (a_hi.run - s.a.run + 2) + (b_hi.run - s.b.run + 2) +
+                  2 * len + 4;
+    if (i == T - 1) cap += na - a_hi.run + 2;  // A tail
+    s.cap = cap;
+    s.syms.reset(new uint8_t[cap]);
+    s.lens.reset(new int64_t[cap]);
+  }
+
+  std::vector<std::thread> workers;
+  workers.reserve(T);
+  for (int64_t i = 0; i < T; i++) {
+    workers.emplace_back([&, i] {
+      Slice& s = slices[i];
+      RunEmitter out{s.syms.get(), s.lens.get(), s.cap};
+      s.ok = interleave_span(a_syms, a_lens, na, b_syms, b_lens, nb, ra_vals,
+                             ra_cnts, s.t0, s.t1, s.a_pos0, s.a, s.b, out);
+      if (s.ok && i == T - 1) drain_a(a_syms, a_lens, na, s.a, out);
+      out.flush();
+      s.ok = s.ok && !out.overflow;
+      s.count = out.count;
+    });
+  }
+  for (auto& w : workers) w.join();
+  for (auto& s : slices) {
+    if (!s.ok) return -1;
+  }
+
+  // stitch: copy slices into the shared output, coalescing seam runs
+  int64_t out_cap = na + nb + 2 * nra + 1 + T;
+  int64_t n = 0;
+  for (auto& s : slices) {
+    int64_t from = 0;
+    if (n > 0 && s.count > 0 && s.syms[0] == out_syms[n - 1]) {
+      out_lens[n - 1] += s.lens[0];
+      from = 1;
+    }
+    int64_t add = s.count - from;
+    if (n + add > out_cap) return -2;
+    std::memcpy(out_syms + n, s.syms.get() + from, add);
+    std::memcpy(out_lens + n, s.lens.get() + from, add * sizeof(int64_t));
+    n += add;
+  }
+  return n;
 }
 
 // -- stateful chunked interleave (out-of-core path) ---------------------------
@@ -93,7 +288,9 @@ EXPORT int64_t interleave_runs(const uint8_t* a_syms, const int64_t* a_lens,
 //   [0]=ai  [1]=a_rem  [2]=bi  [3]=b_rem  [4]=a_pos  [5]=cur_sym  [6]=cur_len
 // Initialize with interleave_state_init; call interleave_chunk per RA chunk;
 // finish with interleave_chunk(nra=0, finish=1) to drain A's tail and flush.
-// Output capacity per call must be >= chunk positions + 2*nra + 2.
+// out_cap is the capacity of out_syms/out_lens; the documented bound per call
+// is chunk positions + 2*nra + 2 (+ A-tail runs when finishing).  Returns the
+// emitted run count, or a negative error code (state is then unusable).
 
 EXPORT void interleave_state_init(const int64_t* a_lens, int64_t na,
                                   const int64_t* b_lens, int64_t nb,
@@ -111,43 +308,31 @@ EXPORT int64_t interleave_chunk(const uint8_t* a_syms, const int64_t* a_lens,
                                 int64_t na, const uint8_t* b_syms,
                                 const int64_t* b_lens, int64_t nb,
                                 const int64_t* ra_vals, const int64_t* ra_cnts,
-                                int64_t nra, int64_t finish, int64_t* state,
-                                uint8_t* out_syms, int64_t* out_lens) {
-  RunEmitter out{out_syms, out_lens};
-  int64_t ai = state[0], a_rem = state[1], bi = state[2], b_rem = state[3];
+                                int64_t nra, int64_t finish, int64_t out_cap,
+                                int64_t* state, uint8_t* out_syms,
+                                int64_t* out_lens) {
+  RunEmitter out{out_syms, out_lens, out_cap};
+  Cursor a{state[0], state[1]};
+  Cursor b{state[2], state[3]};
   int64_t a_pos = state[4];
   out.cur_sym = static_cast<uint8_t>(state[5]);
   out.cur_len = state[6];
 
-  for (int64_t t = 0; t < nra; t++) {
-    int64_t v = ra_vals[t];
-    int64_t k = ra_cnts[t];
-    while (a_pos < v) {
-      int64_t take = std::min(v - a_pos, a_rem);
-      out.emit(a_syms[ai], take);
-      a_rem -= take;
-      a_pos += take;
-      if (a_rem == 0 && ++ai < na) a_rem = a_lens[ai];
-    }
-    while (k > 0) {
-      int64_t take = std::min(k, b_rem);
-      out.emit(b_syms[bi], take);
-      b_rem -= take;
-      k -= take;
-      if (b_rem == 0 && ++bi < nb) b_rem = b_lens[bi];
-    }
+  if (!interleave_span(a_syms, a_lens, na, b_syms, b_lens, nb, ra_vals,
+                       ra_cnts, 0, nra, a_pos, a, b, out)) {
+    return out.overflow ? -2 : -1;
   }
+  if (nra > 0) a_pos = ra_vals[nra - 1];
   if (finish) {
-    while (ai < na && a_rem > 0) {
-      out.emit(a_syms[ai], a_rem);
-      if (++ai < na) a_rem = a_lens[ai];
-    }
+    if (b.run < nb && b.rem > 0) return -1;  // RA never covered all of B
+    drain_a(a_syms, a_lens, na, a, out);
     out.flush();
+    if (out.overflow) return -2;
   }
-  state[0] = ai;
-  state[1] = a_rem;
-  state[2] = bi;
-  state[3] = b_rem;
+  state[0] = a.run;
+  state[1] = a.rem;
+  state[2] = b.run;
+  state[3] = b.rem;
   state[4] = a_pos;
   state[5] = out.cur_sym;
   state[6] = out.cur_len;

@@ -328,23 +328,63 @@ EXC_CAP = 8192  # packed-transfer exception slots (gap/count > 254)
 
 
 @jax.jit
+def compact_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array):
+    """Sort + duplicate-sum compaction of raw RA emissions ON DEVICE.
+
+    The device analog of compact_rank_array (search_np.py:82-96) — the
+    reference's RLArray sort+merge (support.h:416-453) — but with zero
+    scatters: one value sort, a segment-head compaction sort, and gathers
+    into the inclusive count cumsum recover per-unique-value sums.
+
+    Returns (v int32[E], c int32[E], n_unique): strictly increasing unique
+    a-positions in the first n_unique lanes (dead lanes int32-max / 0).
+    """
+    e = values.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (e, 1), 0)[:, 0]
+    live = lane < n
+    key = jnp.where(live, values, jnp.int32(2**31 - 1))
+    v, c = jax.lax.sort((key, jnp.where(live, counts, 0)), num_keys=1,
+                        is_stable=False)
+
+    # segment heads of the sorted live prefix
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), v[:-1]])
+    head = live & (v != prev)          # after sort, live lanes are [0, n)
+    n_u = jnp.sum(head.astype(jnp.int32))
+
+    # pack head lanes to the front (stable: heads keep ascending value order)
+    hkey = jnp.where(head, jnp.int32(0), jnp.int32(1))
+    _, uv, start = jax.lax.sort((hkey, v, lane), num_keys=1, is_stable=True)
+
+    # segment sums by cumsum differences: segment k spans lanes
+    # [start[k], end_k) where end_k = start[k+1] (or n for the last segment)
+    cs = jnp.cumsum(c)                                  # inclusive, int32
+    nxt = jnp.concatenate([start[1:], start[-1:]])
+    end = jnp.where(lane == n_u - 1, n, nxt)
+    cs_end = cs[jnp.clip(end - 1, 0, e - 1)]
+    cs_before = jnp.where(start > 0, cs[jnp.clip(start - 1, 0, e - 1)], 0)
+    uc = jnp.where(lane < n_u, cs_end - cs_before, 0)
+    uv = jnp.where(lane < n_u, uv, jnp.int32(2**31 - 1))
+    return uv, uc, n_u
+
+
+@jax.jit
 def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array):
-    """Sort + delta/byte-pack the emitted RA runs ON DEVICE for transfer.
+    """Sort + compact + delta/byte-pack the emitted RA runs ON DEVICE.
 
     Remote-attached TPUs move device->host bytes at tens of MB/s, so the RA
-    stream is packed before it crosses: sorted values become u8 deltas and u8
-    counts (the common case for read collections — mean gap is small), with
-    rare wide gaps/counts spilled to a fixed exception table.  8 B/run
-    becomes 2 B/run.  Returns (d8, c8, exc_idx, exc_delta, exc_count,
-    n_exc) — unpack with unpack_ra on the host; n_exc > EXC_CAP means the
-    exception table overflowed and the caller must fall back to the unpacked
-    transfer.
+    stream is fully reduced before it crosses: raw emissions are sorted and
+    duplicate a-positions summed (compact_ra_device), then the unique sorted
+    values become u8 deltas and u8 counts (the common case for read
+    collections — mean gap is small), with rare wide gaps/counts spilled to a
+    fixed exception table.  8 B/raw-run becomes 2 B/unique-run.  Returns
+    (dc8, exc, n_unique, n_exc) — unpack with unpack_ra on the host; n_exc >
+    EXC_CAP means the exception table overflowed and the caller must fall
+    back to the unpacked transfer.
     """
-    v, c = sort_ra_device(values, counts, n)
-    first = v[0]
-    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), v[:-1]])
+    v, c, n_u = compact_ra_device(values, counts, n)
     lane = jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], 1), 0)[:, 0]
-    live = lane < n
+    live = lane < n_u
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), v[:-1]])
     delta = jnp.where(live, v - prev, 0)  # delta[0] = values[0]
     cnt = jnp.where(live, c, 0)
 
@@ -366,7 +406,7 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array):
                 else jnp.pad(x, (0, EXC_CAP - x.shape[0])))
 
     exc = jnp.stack([fit(exc_idx), fit(exc_delta), fit(exc_count)])
-    return dc8, exc, n_exc
+    return dc8, exc, n_u, n_exc
 
 
 @functools.partial(jax.jit,
@@ -374,19 +414,20 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array):
 def search_and_pack(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
                     b_sp0: jax.Array, b_ep0: jax.Array, a_sequences: int,
                     frontier_cap: int, emit_cap: int):
-    """Whole search + transfer packing with scalar metadata folded into the
-    exception buffer: the host needs exactly TWO device reads (meta+exc,
-    then the byte planes sliced to n) instead of five round trips.
+    """Whole search + compaction + transfer packing with scalar metadata
+    folded into the exception buffer: the host needs exactly TWO device reads
+    (meta+exc, then the byte planes sliced to n) instead of five round trips.
 
     Returns (dc8 uint8[2, emit_cap], meta_exc int32[4, EXC_CAP]) where
-    meta_exc[3, 0:3] = (n_emitted, n_exceptions, overflowed).
+    meta_exc[3, 0:3] = (n_unique, n_exceptions, overflowed).  The unpacked
+    result is the SORTED UNIQUE rank array (duplicates summed on device).
     """
     v, c, n, ovf = wavefront_search_device2(
         a_idx, b_idx, b_sp0, b_ep0, a_sequences,
         frontier_cap=frontier_cap, emit_cap=emit_cap)
-    dc8, exc, n_exc = pack_ra_device(v, c, n)
+    dc8, exc, n_u, n_exc = pack_ra_device(v, c, n)
     meta = jnp.zeros((1, EXC_CAP), jnp.int32)
-    meta = meta.at[0, 0].set(n).at[0, 1].set(n_exc)
+    meta = meta.at[0, 0].set(n_u).at[0, 1].set(n_exc)
     meta = meta.at[0, 2].set(ovf.astype(jnp.int32))
     return dc8, jnp.concatenate([exc, meta], axis=0)
 

@@ -100,8 +100,8 @@ def sharded_rank_array(
             v, c, n, ovf = wavefront_search_device2(
                 a, b, s, e, a_sequences,
                 frontier_cap=frontier_cap, emit_cap=emit_cap)
-            dc8, exc, n_exc = pack_ra_device(v, c, n)
-            return dc8, exc, n, n_exc, ovf
+            dc8, exc, n_u, n_exc = pack_ra_device(v, c, n)
+            return dc8, exc, n_u, n_exc, ovf
         return jax.vmap(fn)(sp, ep)
 
     search_all = jax.jit(jax.shard_map(

@@ -113,3 +113,49 @@ class TestNativeInterleave:
         cc_out = native.interleave_native(a, b, values, counts.astype(np.int64))
         assert np_out == cc_out
         assert cc_out.is_maximal()
+
+    def test_parallel_matches_serial(self, rng):
+        from bwtmerge_tpu.models import oracle
+
+        # large enough that the parallel path engages (nra >= 4 * threads)
+        a_seqs = oracle.random_collection(rng, 30, 30, 120)
+        b_seqs = oracle.random_collection(rng, 30, 30, 120)
+        a = oracle.build_bwt(a_seqs)
+        b = oracle.build_bwt(b_seqs)
+        ra = oracle.rank_array_oracle(a_seqs, b_seqs)
+        values, counts = np.unique(ra, return_counts=True)
+        counts = counts.astype(np.int64)
+        serial = native.interleave_native(a, b, values, counts, threads=1)
+        for t in (2, 3, 8):
+            par = native.interleave_native(a, b, values, counts, threads=t)
+            assert par == serial, f"threads={t}"
+            assert par.is_maximal()
+
+    def test_corrupt_rank_array_raises(self, rng):
+        from bwtmerge_tpu.models import oracle
+
+        a_seqs = oracle.random_collection(rng, 4, 10, 40)
+        b_seqs = oracle.random_collection(rng, 4, 10, 40)
+        a = oracle.build_bwt(a_seqs)
+        b = oracle.build_bwt(b_seqs)
+        ra = oracle.rank_array_oracle(a_seqs, b_seqs)
+        values, counts = np.unique(ra, return_counts=True)
+        counts = counts.astype(np.int64)
+
+        import pytest
+
+        # counts not covering |B| (a corrupt spill must error, not hang)
+        with pytest.raises(ValueError):
+            native.interleave_native(a, b, values[:-1], counts[:-1])
+        # value beyond |A|
+        bad_v = values.copy()
+        bad_v[-1] = a.size() + 7
+        with pytest.raises(ValueError):
+            native.interleave_native(a, b, bad_v, counts)
+        # chunked path: counts overrunning |B| mid-stream
+        from bwtmerge_tpu.native import interleave_streaming
+
+        over_c = counts.copy()
+        over_c[0] += b.size()
+        with pytest.raises(ValueError):
+            interleave_streaming(a, b, iter([(values, over_c)]))

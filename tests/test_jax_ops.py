@@ -173,12 +173,15 @@ class TestPackedTransfer:
             a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
             a.sequences(), frontier_cap=4096, emit_cap=65536)
         assert not bool(ovf)
-        dc8, exc, n_exc = pack_ra_device(v, c, n)
-        n, n_exc = int(n), int(n_exc)
+        dc8, exc, n_u, n_exc = pack_ra_device(v, c, n)
+        n_u, n_exc = int(n_u), int(n_exc)
         assert n_exc <= EXC_CAP
-        got_v, got_c = unpack_ra(np.asarray(dc8[:, :n]), np.asarray(exc),
-                                 n, n_exc)
+        got_v, got_c = unpack_ra(np.asarray(dc8[:, :n_u]), np.asarray(exc),
+                                 n_u, n_exc)
+        # pack_ra_device compacts on device: already sorted unique
         got = compact_sorted_rank_array(got_v, got_c)
+        assert np.array_equal(got[0], got_v)
+        assert np.array_equal(got[1], got_c)
 
         want = search_np.build_rank_array(
             a.rank_index, a.alpha.C.astype(np.int64),
@@ -197,11 +200,33 @@ class TestPackedTransfer:
         E = 512
         v = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(values, jnp.int32))
         c = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(counts, jnp.int32))
-        dc8, exc, n_exc = pack_ra_device(v, c, jnp.int32(300))
+        dc8, exc, n_u, n_exc = pack_ra_device(v, c, jnp.int32(300))
+        assert int(n_u) == 300  # all values unique
         got_v, got_c = unpack_ra(np.asarray(dc8[:, :300]), np.asarray(exc),
                                  300, int(n_exc))
         assert np.array_equal(got_v, values)
         assert np.array_equal(got_c, counts)
+
+    def test_device_compaction_sums_duplicates(self, rng):
+        import numpy as np
+        from bwtmerge_tpu.ops.search_jax import compact_ra_device
+        from bwtmerge_tpu.ops.search_np import compact_rank_array
+
+        # unsorted emissions with many duplicate a-positions (the raw shape
+        # wavefront_search_device2 hands to pack_ra_device)
+        n = 700
+        e = 1024
+        values = rng.integers(0, 150, size=n)  # ~5 duplicates per value
+        counts = rng.integers(1, 300, size=n)
+        v = jnp.zeros(e, jnp.int32).at[:n].set(jnp.asarray(values, jnp.int32))
+        c = jnp.zeros(e, jnp.int32).at[:n].set(jnp.asarray(counts, jnp.int32))
+        uv, uc, n_u = compact_ra_device(v, c, jnp.int32(n))
+        n_u = int(n_u)
+        want_v, want_c = compact_rank_array(values.astype(np.int64),
+                                            counts.astype(np.int64))
+        assert n_u == want_v.size
+        assert np.array_equal(np.asarray(uv[:n_u]), want_v)
+        assert np.array_equal(np.asarray(uc[:n_u]), want_c)
 
 
 class TestSingletonSpecializedDriver:
