@@ -70,14 +70,17 @@ class _PlainBase:
     @classmethod
     def write(cls, path: str, runs: RunArrays, alpha: Alphabet,
               sequences: int, bases: int) -> None:
-        chars = cls._alphabet().comp2char[runs.decode()]
+        # decode in bounded chunks (the reference's 1 MB PlainBuffer,
+        # formats.cpp:170-216) — never the whole text
+        comp2char = cls._alphabet().comp2char
+        total = runs.size()
         with open(path, "wb") as f:
             if cls.framed:
-                f.write(struct.pack("<Q", chars.size * 8))
-                pad = (-chars.size) % 8
-                f.write(chars.tobytes() + b"\x00" * pad)
-            else:
-                f.write(chars.tobytes())
+                f.write(struct.pack("<Q", total * 8))
+            for syms, lens in runs.iter_chunks(1 << 20):
+                f.write(comp2char[np.repeat(syms, lens)].tobytes())
+            if cls.framed:
+                f.write(b"\x00" * ((-total) % 8))
 
 
 class PlainFormatD(_PlainBase):
@@ -354,10 +357,18 @@ def format_exists(tag: str) -> bool:
 
 
 def read_bwt(path: str, fmt: str = "native"):
-    """Load a BWT file -> (RunArrays, counts, Alphabet)."""
+    """Load a BWT file -> (RunArrays, counts, Alphabet).
+
+    Routed through the chunked streaming reader (streaming_read.py): peak
+    transient memory is one 1 MB chunk plus the run arrays — never the whole
+    raw file or the decoded text.  The per-format `read` classmethods remain
+    as the batch specification the streaming path is tested against.
+    """
     if fmt not in FORMATS:
         raise ValueError(f"invalid BWT format: {fmt}")
-    return FORMATS[fmt].read(path)
+    from .streaming_read import read_bwt_streaming
+
+    return read_bwt_streaming(path, fmt)
 
 
 def write_bwt(path: str, fmt: str, runs: RunArrays, alpha: Alphabet,

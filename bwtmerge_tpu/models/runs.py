@@ -98,6 +98,24 @@ class RunArrays:
         """Decode to the plain comp-value sequence (uint8[size])."""
         return np.repeat(self.syms, self.lens)
 
+    def iter_chunks(self, max_positions: int):
+        """Yield (syms, lens) run chunks each covering <= max_positions text
+        positions (long runs are split at chunk boundaries).  Lets writers
+        and index builders decode bounded windows instead of the whole text."""
+        cum = np.concatenate(([0], np.cumsum(self.lens)))
+        total = int(cum[-1])
+        pos = 0
+        while pos < total:
+            end = min(pos + max_positions, total)
+            i0 = int(np.searchsorted(cum, pos, side="right")) - 1
+            i1 = int(np.searchsorted(cum, end, side="left"))
+            syms = self.syms[i0:i1]
+            lens = self.lens[i0:i1].copy()
+            lens[0] -= pos - cum[i0]
+            lens[-1] -= cum[i1] - end
+            yield syms, lens
+            pos = end
+
     def run_starts(self) -> np.ndarray:
         """Exclusive prefix sum of lens: text position where each run starts."""
         starts = np.zeros(self.n_runs + 1, dtype=np.int64)

@@ -90,16 +90,24 @@ class DeviceFMIndex:
         if padded // 4 * 3 >= npos:
             padded = padded // 4 * 3
 
-        dense = np.full(padded, SIGMA, dtype=np.uint8)  # pad char: counts nothing
-        if size:
-            dense[:size] = runs.decode()
         # block-planar nibble packing: byte k of block b holds positions
         # (b*32 + k) in the low nibble and (b*32 + 16 + k) in the high nibble.
         # Chosen so the device unpack is a [nblk,16]+[nblk,16] concat — no
         # tiny trailing dims for XLA to tile-pad (a [N,2] interleave temp
-        # padded 64x and OOMed at 25M positions).
-        blk = dense.reshape(-1, BLK)
-        nibbles = (blk[:, :16] | (blk[:, 16:] << 4)).astype(np.uint8).reshape(-1)
+        # padded 64x and OOMed at 25M positions).  Packed CHUNKED from the
+        # runs (1 B/pos decoded windows of <= 4 MB) so the only O(n) host
+        # temporary is the 0.5 B/pos nibble buffer itself.
+        nibbles = np.full(padded // 2, SIGMA | (SIGMA << 4), dtype=np.uint8)
+        pos = 0
+        for c_syms, c_lens in runs.iter_chunks(1 << 22):  # multiple of BLK
+            win = np.repeat(c_syms, c_lens)
+            if win.size % BLK:
+                win = np.concatenate(
+                    [win, np.full((-win.size) % BLK, SIGMA, np.uint8)])
+            blk = win.reshape(-1, BLK)
+            nib = (blk[:, :16] | (blk[:, 16:] << 4)).astype(np.uint8).reshape(-1)
+            nibbles[pos // 2: pos // 2 + nib.size] = nib
+            pos += blk.size
 
         counts = runs.counts(SIGMA) if C is None else np.asarray(C)
         c_arr = np.zeros(LANES + 1, dtype=np.int32)

@@ -84,3 +84,76 @@ class TestStreamingMerge:
         assert open(batch_path, "rb").read() == open(stream_path, "rb").read()
         runs, _, _ = read_bwt(stream_path, "native")
         assert runs == oracle.merge_collections([a_seqs, b_seqs])
+
+
+class TestStreamingReaders:
+    """Chunked input readers (streaming_read.py): reference PlainData/RopeData
+    read files in bounded 1 MB buffers (formats.cpp:126-216); no repo reader
+    may materialize the whole file or the decoded text."""
+
+    FMTS = ("native", "plain_default", "plain_sorted", "rfm", "sdsl",
+            "ropebwt", "sga")
+
+    @pytest.fixture()
+    def written(self, tmp_path, rng):
+        runs = oracle.build_bwt(oracle.random_collection(rng, 20, 50, 200))
+        alpha = Alphabet.from_counts(runs.counts(6))
+        paths = {}
+        for fmt in self.FMTS:
+            p = str(tmp_path / f"x.{fmt}")
+            write_bwt(p, fmt, runs, alpha)
+            paths[fmt] = p
+        return runs, paths
+
+    def test_chunked_matches_batch_all_formats(self, written):
+        from bwtmerge_tpu.formats.formats import FORMATS
+        from bwtmerge_tpu.formats.streaming_read import read_bwt_streaming
+
+        runs, paths = written
+        for fmt in self.FMTS:
+            # tiny chunks force many seams
+            got_runs, got_counts, got_alpha = read_bwt_streaming(
+                paths[fmt], fmt, chunk_bytes=257)
+            want_runs, want_counts, want_alpha = FORMATS[fmt].read(paths[fmt])
+            assert got_runs == want_runs, fmt
+            assert got_runs.is_maximal(), fmt
+            assert np.array_equal(got_counts, want_counts), fmt
+            assert got_alpha == want_alpha, fmt
+
+    def test_chunks_are_bounded_and_clean(self, written):
+        from bwtmerge_tpu.formats.streaming_read import read_bwt_chunks
+
+        runs, paths = written
+        chunk_bytes = 512
+        for fmt in ("sga", "plain_default", "native"):
+            total = 0
+            for syms, lens in read_bwt_chunks(paths[fmt], fmt,
+                                              chunk_bytes=chunk_bytes):
+                # bounded: a chunk never yields more runs than its input
+                # window can encode (longest case: plain, 1 byte/position,
+                # plus one run withheld from the previous window)
+                assert syms.size <= chunk_bytes + 1, fmt
+                assert np.all(syms[1:] != syms[:-1]), fmt  # maximal in chunk
+                total += int(lens.sum())
+            assert total == runs.size(), fmt
+
+    def test_read_paths_never_decode(self, written, monkeypatch):
+        from bwtmerge_tpu.models.runs import RunArrays
+
+        runs, paths = written
+
+        def boom(self):
+            raise AssertionError("read path called RunArrays.decode()")
+
+        monkeypatch.setattr(RunArrays, "decode", boom)
+        for fmt in self.FMTS:
+            got, _, _ = read_bwt(paths[fmt], fmt)
+            assert got == runs, fmt
+
+    def test_truncated_file_raises(self, written, tmp_path):
+        runs, paths = written
+        data = open(paths["sga"], "rb").read()
+        p = str(tmp_path / "trunc.sga")
+        open(p, "wb").write(data[: len(data) - 7])
+        with pytest.raises(ValueError, match="truncated"):
+            read_bwt(p, "sga")
