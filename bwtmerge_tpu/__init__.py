@@ -9,6 +9,29 @@ See DESIGN.md for the architecture and SURVEY.md for the reference analysis.
 
 __version__ = "0.1.0"
 
+
+def _tune_host_allocator() -> None:
+    """Keep freed large buffers in the malloc arena instead of munmapping.
+
+    On VM hosts with remote-backed memory, first-touch page faults cost tens
+    of microseconds per 4 KiB page, so glibc's default policy (mmap every
+    allocation > 128 KiB, munmap on free) makes each fresh numpy buffer in a
+    streaming pipeline cost seconds (measured: 44 s -> 2 s for the chunked
+    merge on a 40 Mbp workload once buffers are reused).  Raising the mmap
+    and trim thresholds makes the heap retain and reuse those pages.
+    """
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:  # non-glibc platforms: default allocator behavior
+        pass
+
+
+_tune_host_allocator()
+
 from .utils.alphabet import Alphabet, AlphabeticOrder, create_alphabet, identify_alphabet
 from .models.runs import RunArrays
 from .models.fmi import FMI, load_fmi, serialize_fmi
