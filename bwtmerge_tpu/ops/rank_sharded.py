@@ -57,23 +57,85 @@ class ShardedFMIndex:
     @classmethod
     def build(cls, runs: RunArrays, C: np.ndarray | None = None,
               mesh: Optional[Mesh] = None) -> "ShardedFMIndex":
-        """Build on host and scatter block slabs across the mesh.
+        """Stream record-table slabs host -> owning device, one at a time.
 
-        (At true terabase scale the host would stream slabs shard by shard;
-        the layout and query path are identical.)
+        No device (and no host temporary) ever holds more than one shard's
+        slab: the host nibble-packs each slab's 32-position blocks from the
+        run stream, uploads 0.5 B/position to the owning device, and that
+        device derives its own [slab, REC] records; slab-start occ bases
+        come from a host prefix over the run lengths, so the occ columns
+        remain GLOBAL cumulative counts.  This is what makes "BWT larger
+        than one chip's HBM" real rather than a scatter of a single-device
+        build (the whole point of the design, paper.tex:186-205).
         """
+        from .rank_jax import SIGMA as _SIGMA, _build_rec_device
+
         mesh = mesh or make_mesh()
         n = mesh.devices.size
-        local = DeviceFMIndex.build(runs, C)
-        rec_h = np.asarray(local.rec)
-        nblk = rec_h.shape[0]
+        devices = mesh.devices.reshape(-1)
+        size = runs.size()
+        if size >= 2**31:
+            raise ValueError("shard the collection first: 2^31 positions "
+                             "per block-sharded index (int32 layout)")
+        nblk = size // BLK + 1
         slab = -(-nblk // n)
-        padded = np.zeros((slab * n, REC), dtype=np.int32)
-        padded[:nblk] = rec_h
-        rec = jax.device_put(jnp.asarray(padded),
-                             NamedSharding(mesh, P(SEQ_AXIS, None)))
-        C_dev = jax.device_put(local.C, NamedSharding(mesh, P()))
-        return cls(rec=rec, C=C_dev, size=local.size, n_shards=n, slab=slab)
+        slab_pos = slab * BLK
+
+        counts = runs.counts(_SIGMA) if C is None else np.asarray(C)
+        c_arr = np.zeros(LANES + 1, dtype=np.int32)
+        c_arr[: counts.size + 1] = np.concatenate(([0], np.cumsum(counts)))
+        c_arr[counts.size + 1:] = c_arr[counts.size]
+
+        # slab-start global occ bases: one prefix pass over the runs
+        starts = runs.run_starts()
+        bases = np.zeros((n, LANES), dtype=np.int32)
+        onehot_cum = np.zeros(LANES, dtype=np.int64)
+        cum = np.concatenate((starts, [size]))
+        for d in range(1, n):
+            p = min(d * slab_pos, size)
+            # counts of each char in [prev boundary, p)
+            lo, hi = min((d - 1) * slab_pos, size), p
+            i0 = int(np.searchsorted(cum, lo, side="right")) - 1
+            i1 = int(np.searchsorted(cum, hi, side="left"))
+            if i1 > i0:
+                s = runs.syms[i0:i1]
+                l = runs.lens[i0:i1].copy()
+                l[0] -= lo - cum[i0]
+                l[-1] -= cum[i1] - hi
+                onehot_cum += np.bincount(s, weights=l,
+                                          minlength=LANES).astype(np.int64)
+            bases[d] = onehot_cum
+        base_rows = jnp.asarray(bases)
+
+        add_base = jax.jit(
+            lambda nib, base: _build_rec_device(nib).at[:, :LANES].add(
+                base[None, :]),
+            static_argnames=())
+
+        shards = []
+        chunks = runs.iter_chunks(slab_pos)
+        for d in range(n):
+            # host temp: ONE slab of nibbles (0.5 B/position)
+            nib = np.full(slab_pos // 2, _SIGMA | (_SIGMA << 4),
+                          dtype=np.uint8)
+            lo = min(d * slab_pos, size)
+            if lo < size:
+                c_syms, c_lens = next(chunks)
+                win = np.repeat(c_syms, c_lens)
+                if win.size % BLK:
+                    win = np.concatenate(
+                        [win, np.full((-win.size) % BLK, _SIGMA, np.uint8)])
+                blk2 = win.reshape(-1, BLK)
+                packed = (blk2[:, :16] | (blk2[:, 16:] << 4)).astype(np.uint8)
+                nib[: packed.size] = packed.reshape(-1)
+            nib_dev = jax.device_put(jnp.asarray(nib), devices[d])
+            shards.append(add_base(nib_dev, jax.device_put(base_rows[d],
+                                                           devices[d])))
+
+        rec = jax.make_array_from_single_device_arrays(
+            (slab * n, REC), NamedSharding(mesh, P(SEQ_AXIS, None)), shards)
+        C_dev = jax.device_put(jnp.asarray(c_arr), NamedSharding(mesh, P()))
+        return cls(rec=rec, C=C_dev, size=size, n_shards=n, slab=slab)
 
     # -- queries (call inside jit; shard_map routes the probe) ---------------
 

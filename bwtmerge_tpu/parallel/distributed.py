@@ -65,37 +65,23 @@ def multihost_rank_array(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     pid, nproc = process_info()
     my_block = sequence_shards(b_sequences, nproc)[pid]
 
-    # local search: this process's block, sharded over its local devices
-    local_mesh = make_mesh()  # local devices only
+    # local search: this process's block of B sequences, executed by the
+    # REAL per-device shard_map path over the local mesh (one compiled
+    # program, every local chip searching its own sub-block concurrently —
+    # not a sequential per-device host loop).
+    local_mesh = make_mesh(local_only=True)
     sp, ep = int(my_block[0]), int(my_block[1])
     if ep < sp:
         values = np.zeros(0, np.int64)
         counts = np.zeros(0, np.int64)
         overflow = False
     else:
-        # reuse the single-host path on the sub-range by searching it as one
-        # sharded call: shift the block into per-device shards
-        from ..ops.search_np import compact_rank_array
-        from ..ops.search_jax import wavefront_search_device2
-        import jax.numpy as jnp
+        from .mesh import sharded_rank_array
 
-        bounds = sequence_shards(ep - sp + 1, local_mesh.devices.size)
-        bounds = bounds + sp
-        parts_v, parts_c = [], []
-        overflow = False
-        for dev_sp, dev_ep in bounds:
-            if dev_ep < dev_sp:
-                continue
-            v, c, n, ovf = wavefront_search_device2(
-                a_idx, b_idx, jnp.int32(dev_sp), jnp.int32(dev_ep),
-                a_sequences, frontier_cap=frontier_cap, emit_cap=emit_cap)
-            overflow = overflow or bool(ovf)
-            n = int(n)
-            parts_v.append(np.asarray(v[:n], dtype=np.int64))
-            parts_c.append(np.asarray(c[:n], dtype=np.int64))
-        values, counts = compact_rank_array(
-            np.concatenate(parts_v) if parts_v else np.zeros(0, np.int64),
-            np.concatenate(parts_c) if parts_c else np.zeros(0, np.int64))
+        values, counts, overflow = sharded_rank_array(
+            a_idx, b_idx, a_sequences, ep - sp + 1, mesh=local_mesh,
+            frontier_cap=frontier_cap, emit_cap=emit_cap,
+            b_seq_offset=sp)
 
     if nproc == 1:
         return values, counts, overflow

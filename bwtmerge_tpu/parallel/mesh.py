@@ -34,9 +34,14 @@ from ..ops.search_jax import wavefront_search_device2
 SEQ_AXIS = "seq"
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = SEQ_AXIS) -> Mesh:
-    """1-D device mesh over the first n devices (default: all)."""
-    devices = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, axis: str = SEQ_AXIS,
+              local_only: bool = False) -> Mesh:
+    """1-D device mesh over the first n devices (default: all).
+
+    local_only restricts to this process's devices — the per-host mesh a
+    multi-host process uses for its own sequence block (distributed.py).
+    """
+    devices = jax.local_devices() if local_only else jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
@@ -66,6 +71,7 @@ def sharded_rank_array(
     mesh: Optional[Mesh] = None,
     frontier_cap: int = 4096,
     emit_cap: int = 65536,
+    b_seq_offset: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray, bool]:
     """Rank array of B vs A computed data-parallel over the mesh.
 
@@ -74,12 +80,16 @@ def sharded_rank_array(
     the host into the sorted unique rank array.  Returns (values, counts,
     overflowed) — on overflow the caller re-runs the oversized blocks through
     the streaming host driver (ops/search_jax.wavefront_search).
+
+    b_seq_offset shifts the searched sequence ranks: a multi-host process
+    passes its own block's start so the mesh shards cover
+    [offset, offset + b_sequences - 1] (distributed.py).
     """
     from ..ops.search_np import compact_rank_array
 
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
-    bounds = sequence_shards(b_sequences, n_dev)
+    bounds = sequence_shards(b_sequences, n_dev) + np.int32(b_seq_offset)
 
     replicated = NamedSharding(mesh, P())
     sharded = NamedSharding(mesh, P(SEQ_AXIS))

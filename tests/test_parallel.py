@@ -143,6 +143,38 @@ class TestBlockShardedIndex:
         got = np.asarray(sharded.ranks_all(jnp.asarray(q), mesh))
         assert np.array_equal(got, want)
 
+    def test_build_streams_slabs_within_device_budget(self, rng, monkeypatch):
+        """The block-sharded build must never materialize the whole record
+        table on one device (VERDICT: the HBM-exceeding claim needs a build
+        that streams slabs).  Per-device budget: one slab + padding."""
+        import jax.numpy as jnp
+        from bwtmerge_tpu.ops.rank_jax import REC, DeviceFMIndex as DFI
+        from bwtmerge_tpu.ops.rank_sharded import ShardedFMIndex
+
+        seqs = oracle.random_collection(rng, 40, 100, 300)
+        fmi = _fmi(seqs)
+        # reference answers BEFORE patching the full build away
+        local = DFI.build(fmi.runs, fmi.alpha.counts())
+        q = rng.integers(0, fmi.size() + 1, size=128).astype(np.int32)
+        want = np.asarray(local.ranks_all(jnp.asarray(q)))
+
+        def boom(*a, **k):
+            raise AssertionError(
+                "ShardedFMIndex.build materialized a full single-device index")
+
+        monkeypatch.setattr(DFI, "build", classmethod(boom))
+        mesh = make_mesh(8)
+        sharded = ShardedFMIndex.build(fmi.runs, fmi.alpha.counts(), mesh=mesh)
+
+        total_bytes = sharded.rec.shape[0] * REC * 4
+        budget = sharded.slab * REC * 4  # one slab per device
+        for s in sharded.rec.addressable_shards:
+            assert s.data.nbytes <= budget
+        assert total_bytes >= 8 * (budget - 32 * REC * 4)  # really sharded
+
+        got = np.asarray(sharded.ranks_all(jnp.asarray(q), mesh))
+        assert np.array_equal(got, want)
+
     def test_backward_search_blocked(self, rng):
         from bwtmerge_tpu.ops.rank_sharded import (
             ShardedFMIndex, sharded_backward_search_blocked)
