@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream", action="store_true",
                    help="stream the final merged BWT straight to the output "
                         "file (never materialized in memory; native/sga only)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler device trace of the merges to "
+                        "DIR (view with TensorBoard/Perfetto)")
     p.add_argument("--list-formats", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--quiet", action="store_true", help="suppress progress output")
     return p
@@ -203,15 +206,16 @@ def main(argv=None) -> int:
         verify_fmi(increment, "Input", patterns, pre, verbose=not args.quiet,
                    use_device=args.backend == "jax")
         merge_start = time.monotonic()
-        if stream_last and i == len(inputs) - 1:
-            # final fold: stream straight to the output file
-            from ..models.merge import merge_fmi_to_file
+        with config.timer.device_trace(args.profile):
+            if stream_last and i == len(inputs) - 1:
+                # final fold: stream straight to the output file
+                from ..models.merge import merge_fmi_to_file
 
-            merge_fmi_to_file(index, increment, output,
-                              args.output_format, config)
-            streamed_out = True
-        else:
-            index = merge_fmi(index, increment, config)
+                merge_fmi_to_file(index, increment, output,
+                                  args.output_format, config)
+                streamed_out = True
+            else:
+                index = merge_fmi(index, increment, config)
         if not args.quiet:
             secs = time.monotonic() - merge_start
             print(f"Merged {name}: {in_megabytes(increment.size()) / max(secs, 1e-9):.2f} MB/s")

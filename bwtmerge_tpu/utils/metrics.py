@@ -78,6 +78,23 @@ class PhaseTimer:
     def total(self) -> float:
         return sum(self.phases.values())
 
+    @contextmanager
+    def device_trace(self, trace_dir: str | None) -> Iterator[None]:
+        """jax.profiler trace around a region (no-op when trace_dir is None).
+
+        The SURVEY §5 mapping of VERBOSE_STATUS_INFO: wall-clock phases stay
+        in `phases`; the device-side timeline (compiled program runs, HBM
+        transfers, per-op costs) lands as a TensorBoard/Perfetto trace under
+        trace_dir.
+        """
+        if not trace_dir:
+            yield
+            return
+        import jax
+
+        with jax.profiler.trace(trace_dir):
+            yield
+
     def report(self, num_bytes: int, out=sys.stderr) -> None:
         for name, seconds in self.phases.items():
             mbs = in_megabytes(num_bytes) / seconds if seconds > 0 else 0.0
