@@ -51,60 +51,144 @@ except Exception:  # pragma: no cover
 
 TILE = 1024       # record-table rows (blocks) per grid step
 QT = 256          # queries per DMA chunk
+OUT_W = 16        # output row: LANES ranks, the symbol at q, zero padding
 
 
-def _kernel(qs_ref, rec_ref, q_hbm, out_hbm, qbuf, obuf, sem_in, sem_out):
+def _kernel(qs_ref, rec_ref, q_hbm, out_hbm, qbuf, obuf, prev_buf,
+            sem_in, sem_out, sem_prev):
     t = pl.program_id(0)
     q0 = qs_ref[t]
     q1 = qs_ref[t + 1]
 
-    rec = rec_ref[:]                               # [TILE, REC] (pipelined)
-    occ = rec[:, :LANES]
-    base = occ[0:1, :]                             # occ at tile start [1, 8]
-    rel = occ - base                               # <= TILE*BLK = 2^15
-    lo = (rel & 0xFF).astype(jnp.float32)          # byte planes: bf16-exact
-    hi = (rel >> 8).astype(jnp.float32)
-    words = rec[:, LANES:].astype(jnp.uint32)
-    syms = jnp.concatenate(
-        [((words >> s) & 0xFF).astype(jnp.float32) for s in (0, 8, 16, 24)],
-        axis=1)                                    # [TILE, BLK] permuted
+    @pl.when(q1 > q0)   # empty tiles cost only the pipelined table DMA
+    def _process():
+        # TRANSPOSED formulation throughout: queries live on the 128-lane
+        # axis so every DMA window is lane-aligned, and the one-hot matmuls
+        # are [k, TILE] @ [TILE, QT].
+        rec = rec_ref[:]                           # [TILE, REC] (pipelined)
+        occ = rec[:, :LANES]
+        base = occ[0:1, :]                         # occ at tile start [1, 8]
+        rel = occ - base                           # <= TILE*BLK = 2^15
+        lo = (rel & 0xFF).astype(jnp.float32)      # byte planes: bf16-exact
+        hi = (rel >> 8).astype(jnp.float32)
+        words = rec[:, LANES:].astype(jnp.uint32)
+        # values <= 255; Mosaic lacks uint32->f32, so bounce through int32
+        syms = jnp.concatenate(
+            [((words >> s) & 0xFF).astype(jnp.int32).astype(jnp.float32)
+             for s in (0, 8, 16, 24)], axis=1)     # [TILE, BLK] permuted
+        lo_t, hi_t, syms_t = lo.T, hi.T, syms.T
+        base_col = base.T                          # [LANES, 1]
 
-    tile_iota = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
-    # permuted lane -> in-block position map (rank_jax._POS_OF_LANE), built
-    # from iota in-kernel (captured constants are rejected by pallas_call)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
-    pos_of_lane = 4 * (lane & 7) + (lane >> 3)     # [1, BLK]
+        tile_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
+        # permuted lane -> in-block position map (rank_jax._POS_OF_LANE),
+        # built from iota in-kernel (captured constants are rejected)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BLK, 1), 0)
+        pos_of_lane = 4 * (lane & 7) + (lane >> 3)  # [BLK, 1]
 
-    def chunk(i, _):
-        start = q0 + i * QT
-        copy_in = pltpu.make_async_copy(
-            q_hbm.at[0, pl.ds(start, QT)], qbuf.at[0], sem_in)
-        copy_in.start()
-        copy_in.wait()
-        q = qbuf[0, :]                                       # [QT]
-        blk = (q >> 5) - t * TILE
-        valid = (blk >= 0) & (blk < TILE)
-        oh = ((blk[:, None] == tile_iota) & valid[:, None]).astype(jnp.float32)
+        # Queries are processed in GLOBAL lane-aligned windows
+        # [w*QT, (w+1)*QT), double-buffered: window k+1's input DMA and the
+        # boundary-window output readbacks fly while window k computes, and
+        # output DMAs drain asynchronously (slot reused after 2 windows).
+        # A boundary window (first/last of this tile's range) is visited by
+        # both adjacent tiles; each owns exactly the rows whose blocks it
+        # holds (valid below) and merges them into the existing output
+        # window — sequential grid steps make the read-modify-write
+        # race-free.  Interior windows skip the readback entirely.
+        w0 = q0 // QT
+        n_w = pl.cdiv(q1, QT) - w0
+        w_last = w0 + n_w - 1
 
-        occ_lo = jnp.dot(oh, lo, preferred_element_type=jnp.float32)
-        occ_hi = jnp.dot(oh, hi, preferred_element_type=jnp.float32)
-        occ_q = (base + occ_lo.astype(jnp.int32)
-                 + (occ_hi.astype(jnp.int32) << 8))          # [QT, LANES]
+        def start_of(k):
+            return pl.multiple_of((w0 + k) * QT, QT)
 
-        syms_q = jnp.dot(oh, syms,
-                         preferred_element_type=jnp.float32).astype(jnp.int32)
-        before = pos_of_lane < (q & (BLK - 1))[:, None]      # [QT, BLK]
-        cols = [jnp.sum(((syms_q == c) & before).astype(jnp.int32),
-                        axis=1, keepdims=True) for c in range(LANES)]
-        obuf[:] = occ_q + jnp.concatenate(cols, axis=1)
+        def in_dma(k, slot):
+            return pltpu.make_async_copy(
+                q_hbm.at[:, pl.ds(start_of(k), QT)], qbuf.at[slot],
+                sem_in.at[slot])
 
-        copy_out = pltpu.make_async_copy(
-            obuf, out_hbm.at[pl.ds(start, QT), :], sem_out)
-        copy_out.start()
-        copy_out.wait()
-        return 0
+        def prev_dma(k, slot):
+            return pltpu.make_async_copy(
+                out_hbm.at[:, pl.ds(start_of(k), QT)], prev_buf.at[slot],
+                sem_prev.at[slot])
 
-    jax.lax.fori_loop(0, pl.cdiv(q1 - q0, QT), chunk, 0)
+        def is_boundary(k):
+            return ((w0 + k) == w0) | ((w0 + k) == w_last)
+
+        in_dma(0, 0).start()
+
+        @pl.when(is_boundary(0))
+        def _():
+            prev_dma(0, 0).start()
+
+        def chunk(k, _):
+            slot = k % 2
+            nxt = (k + 1) % 2
+
+            @pl.when(k + 1 < n_w)
+            def _():
+                in_dma(k + 1, nxt).start()
+
+                @pl.when(is_boundary(k + 1))
+                def _():
+                    prev_dma(k + 1, nxt).start()
+
+            in_dma(k, slot).wait()
+            q = qbuf[slot]                                   # [1, QT] int32
+            blk = (q >> 5) - t * TILE                        # [1, QT]
+            valid = (blk >= 0) & (blk < TILE)                # [1, QT]
+            oh = ((blk == tile_iota) & valid).astype(jnp.float32)  # [TILE,QT]
+
+            occ_lo = jnp.dot(lo_t, oh, preferred_element_type=jnp.float32)
+            occ_hi = jnp.dot(hi_t, oh, preferred_element_type=jnp.float32)
+            occ_q = (base_col + occ_lo.astype(jnp.int32)
+                     + (occ_hi.astype(jnp.int32) << 8))      # [LANES, QT]
+
+            syms_q = jnp.dot(syms_t, oh,
+                             preferred_element_type=jnp.float32
+                             ).astype(jnp.int32)             # [BLK, QT]
+            off = q & (BLK - 1)                              # [1, QT]
+            before = pos_of_lane < off                       # [BLK, QT]
+            rows = [jnp.sum(((syms_q == c) & before).astype(jnp.int32),
+                            axis=0, keepdims=True) for c in range(LANES)]
+            # row LANES: the symbol AT q (for LF_step / inverse_select);
+            # q == size lands in the pad block, whose symbols are SIGMA
+            at = jnp.sum(jnp.where(pos_of_lane == off, syms_q, 0),
+                         axis=0, keepdims=True)
+            mine = jnp.concatenate(
+                [occ_q + jnp.concatenate(rows, axis=0), at,
+                 jnp.zeros((OUT_W - LANES - 1, QT), jnp.int32)], axis=0)
+
+            @pl.when(k >= 2)   # slot's previous output DMA must have drained
+            def _():
+                pltpu.make_async_copy(
+                    obuf.at[slot], out_hbm.at[:, pl.ds(start_of(k - 2), QT)],
+                    sem_out.at[slot]).wait()
+
+            @pl.when(is_boundary(k))
+            def _():
+                prev_dma(k, slot).wait()
+                obuf[slot] = jnp.where(valid, mine, prev_buf[slot])
+
+            @pl.when(jnp.logical_not(is_boundary(k)))
+            def _():
+                obuf[slot] = mine
+
+            pltpu.make_async_copy(
+                obuf.at[slot], out_hbm.at[:, pl.ds(start_of(k), QT)],
+                sem_out.at[slot]).start()
+            return 0
+
+        jax.lax.fori_loop(0, n_w, chunk, 0)
+
+        def drain(k, _):   # epilogue: wait for the tail output DMAs
+            @pl.when(k < n_w)
+            def _():
+                pltpu.make_async_copy(
+                    obuf.at[k % 2], out_hbm.at[:, pl.ds(start_of(k), QT)],
+                    sem_out.at[k % 2]).wait()
+            return 0
+
+        jax.lax.fori_loop(jnp.maximum(0, n_w - 2), n_w, drain, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("nblk", "interpret"))
@@ -126,34 +210,39 @@ def _streamed_ranks_padded(rec: jax.Array, q_sorted: jax.Array, nblk: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # output stays in HBM
         scratch_shapes=[
-            pltpu.VMEM((1, QT), jnp.int32),
-            pltpu.VMEM((QT, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, 1, QT), jnp.int32),         # qbuf, 2 slots
+            pltpu.VMEM((2, OUT_W, QT), jnp.int32),     # obuf, 2 slots
+            pltpu.VMEM((2, OUT_W, QT), jnp.int32),     # prev_buf, 2 slots
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((q_sorted.shape[0] + QT, LANES),
+        out_shape=jax.ShapeDtypeStruct((OUT_W, q_sorted.shape[0] + QT),
                                        jnp.int32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(qs, rec, q_pad.reshape(1, -1))
 
 
+def streamed_probe(rec: jax.Array, q_sorted: jax.Array,
+                   interpret: bool = False) -> jax.Array:
+    """Raw streamed probe: int32[OUT_W, Q] — ranks in [:LANES], the symbol
+    at q in row LANES.  q_sorted must be non-decreasing int32 positions in
+    [0, size] (trailing int32-max sentinels allowed; their columns are
+    untouched scratch)."""
+    out = _streamed_ranks_padded(rec, q_sorted, nblk=rec.shape[0],
+                                 interpret=interpret)
+    return out[:, : q_sorted.shape[0]]
+
+
 def streamed_ranks_all(index, q_sorted: jax.Array,
                        interpret: bool = False) -> jax.Array:
-    """ranks_all for a SORTED query batch by streaming the record table.
-
-    index: DeviceFMIndex; q_sorted: int32[Q] non-decreasing positions in
-    [0, size] (trailing int32-max sentinels allowed — their rows are
-    untouched scratch).  Returns int32[Q, LANES].
-    """
-    nblk = index.rec.shape[0]
-    out = _streamed_ranks_padded(index.rec, q_sorted, nblk=nblk,
-                                 interpret=interpret)
-    return out[: q_sorted.shape[0]]
+    """ranks_all for a SORTED query batch by streaming the record table."""
+    return streamed_probe(index.rec, q_sorted, interpret)[:LANES].T
 
 
 def ranks_all_unsorted(index, q: jax.Array, interpret: bool = False):
