@@ -136,8 +136,11 @@ def main() -> None:
     _, _, _, n_blocks, spill_threshold = SCALES[scale]
 
     from bwtmerge_tpu.models.spill import RankArraySpill
-    from bwtmerge_tpu.ops.search_jax import search_and_pack, unpack_search
+    from bwtmerge_tpu.ops.search_jax import (default_streamed, search_and_pack,
+                                             unpack_search)
     from bwtmerge_tpu.parallel.mesh import sequence_shards
+
+    streamed = default_streamed()
 
     blocks = sequence_shards(b.sequences(), n_blocks)
     # One program shape for every block: caps from the largest block.
@@ -152,7 +155,8 @@ def main() -> None:
         for s, e in blocks:
             dc8, meta_exc = search_and_pack(
                 a_idx, b_idx, jnp.int32(s), jnp.int32(e),
-                a.sequences(), frontier_cap=fcap, emit_cap=ecap)
+                a.sequences(), frontier_cap=fcap, emit_cap=ecap,
+                streamed=streamed)
             v, c, ovf = unpack_search(dc8, meta_exc)
             assert not ovf, "device search overflowed its static buffers"
             n_runs += v.size
@@ -196,7 +200,8 @@ def main() -> None:
         for s, e in blocks:
             _, _, n_only, _ = wavefront_search_device2(
                 a_idx, b_idx, jnp.int32(s), jnp.int32(e),
-                a.sequences(), frontier_cap=fcap, emit_cap=ecap)
+                a.sequences(), frontier_cap=fcap, emit_cap=ecap,
+                streamed=streamed)
             int(n_only)
         device_search_s = min(device_search_s, time.monotonic() - t0)
 
@@ -209,19 +214,30 @@ def main() -> None:
     out_path = os.path.join("/tmp", "bench_merged.sga")
     merged_alpha = Alphabet.from_counts(
         a.alpha.counts().astype(np.int64) + b.alpha.counts().astype(np.int64))
-    totals = {"runs": 0, "bases": 0}
 
-    def counted(chunks):
-        for syms, lens in chunks:
-            totals["runs"] += syms.size
-            totals["bases"] += int(lens.sum())
-            yield syms, lens
+    def run_merge(sp):
+        totals = {"runs": 0, "bases": 0}
 
-    t0 = time.monotonic()
-    chunks = interleave_stream_chunks(a.runs, b.runs, spill.stream())
-    write_bwt_stream(out_path, "sga", counted(chunks), merged_alpha)
-    merge_s = time.monotonic() - t0
-    merged_runs, merged_bases = totals["runs"], totals["bases"]
+        def counted(chunks):
+            for syms, lens in chunks:
+                totals["runs"] += syms.size
+                totals["bases"] += int(lens.sum())
+                yield syms, lens
+
+        t0 = time.monotonic()
+        chunks = interleave_stream_chunks(a.runs, b.runs, sp.stream())
+        write_bwt_stream(out_path, "sga", counted(chunks), merged_alpha)
+        return time.monotonic() - t0, totals["runs"], totals["bases"]
+
+    # best-of-2: the first pass additionally pays the pipeline's remaining
+    # first-touch page faults (mallopt keeps the pages for the second)
+    merge_s, merged_runs, merged_bases = run_merge(spill)
+    spill2 = RankArraySpill(temp_dir="/tmp",
+                            spill_threshold_runs=spill_threshold)
+    run_search(spill2)
+    m2, r2, b2 = run_merge(spill2)
+    assert (r2, b2) == (merged_runs, merged_bases)
+    merge_s = min(merge_s, m2)
     assert merged_bases == a.size() + b.size(), \
         f"merged {merged_bases} != {a.size()} + {b.size()}"
     out_mb = os.path.getsize(out_path) / 1e6
@@ -241,6 +257,7 @@ def main() -> None:
         "extra": {
             "device": str(jax.devices()[0]),
             "scale": scale,
+            "streamed_kernel": streamed,
             "a_bases": a.size(), "b_bases": b.size(),
             "search_s": round(search_s, 3),
             "device_search_s": round(device_search_s, 3),

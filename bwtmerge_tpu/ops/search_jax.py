@@ -78,6 +78,92 @@ def _expand_step(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     return out_a, out_sp, out_ep, count
 
 
+# -- streamed-probe expansion (Pallas kernel backend) -------------------------
+#
+# The gather path above costs ~33 ns per rank row on v5e; the streamed kernel
+# (ops/rank_pallas.py) costs ~3.3 ns/query for SORTED batches and jnp.sort is
+# ~3.5 ns/element, so each step sorts its queries, probes the streaming
+# kernel, and re-aligns by a payload sort instead of gathering.  Two probe
+# orderings are exploited: sorting nodes by b_sp also sorts b_ep (sibling
+# b-ranges are disjoint), so both B probes run sorted with NO realignment;
+# only the A side pays an unpermute (by a second sort, not a gather).
+
+_SENT = 2**31 - 1
+
+
+def _probe_sorted(rec: jax.Array, q: jax.Array) -> jax.Array:
+    """streamed_probe with interpret mode on non-Mosaic backends (tests)."""
+    from .rank_pallas import streamed_probe
+
+    return streamed_probe(rec, q, interpret=jax.default_backend() == "cpu")
+
+
+def default_streamed() -> bool:
+    """True when the Pallas streamed-probe path should be used: a compiled
+    Mosaic backend (the CPU test mesh would run it in the slow interpreter).
+    Override with BWTMERGE_STREAMED=0/1."""
+    import os
+
+    env = os.environ.get("BWTMERGE_STREAMED")
+    if env is not None:
+        return env not in ("0", "false", "")
+    try:
+        from .rank_pallas import HAVE_PALLAS
+
+        return HAVE_PALLAS and jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+def _expand_step_streamed(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
+                          a_pos: jax.Array, b_sp: jax.Array, b_ep: jax.Array,
+                          valid: jax.Array):
+    """_expand_step computed with streamed probes; same contract.
+
+    Node order through the step follows the b_sp sort — irrelevant to the
+    caller, which only sees the dead/alive-compacted children, and to the
+    emissions, which the callers write before expanding."""
+    f = a_pos.shape[0]
+    key = jnp.where(valid, b_sp, jnp.int32(_SENT))
+    epk = jnp.where(valid, b_ep, jnp.int32(_SENT - 1))  # +1 stays sorted
+    apk = jnp.where(valid, a_pos, jnp.int32(_SENT))
+    kb, eb, ab = jax.lax.sort((key, epk, apk), num_keys=1, is_stable=False)
+
+    pb_sp = _probe_sorted(b_idx.rec, kb)[1:SIGMA]       # [SIGMA-1, F]
+    pb_ep = _probe_sorted(b_idx.rec, eb + 1)[1:SIGMA]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (f, 1), 0)[:, 0]
+    ka, ia = jax.lax.sort((ab, lane), num_keys=1, is_stable=False)
+    pa = _probe_sorted(a_idx.rec, ka)[1:SIGMA]
+    back = jax.lax.sort((ia,) + tuple(pa[c] for c in range(SIGMA - 1)),
+                        num_keys=1, is_stable=False)
+    ra = jnp.stack(back[1:])                            # [SIGMA-1, F] b-order
+
+    cs = jnp.arange(1, SIGMA, dtype=jnp.int32)
+    child_sp = b_idx.C[cs][:, None] + pb_sp
+    child_ep = b_idx.C[cs][:, None] + pb_ep - 1
+    child_a = a_idx.C[cs][:, None] + ra
+    live = kb != _SENT
+    keep = (child_ep >= child_sp) & live[None, :]
+
+    keep_f = keep.reshape(-1)
+    count = jnp.sum(keep_f.astype(jnp.int32))
+    keyc = jnp.where(keep_f, jnp.int32(0), jnp.int32(1))
+    _, out_a, out_sp, out_ep = jax.lax.sort(
+        (keyc, child_a.reshape(-1), child_sp.reshape(-1),
+         jnp.where(keep_f, child_ep.reshape(-1), -1)),
+        num_keys=1, is_stable=True)
+    return out_a, out_sp, out_ep, count
+
+
+def _row_select(p: jax.Array, c: jax.Array) -> jax.Array:
+    """p[c[j], j] per column via one-hot sum (no per-lane row gather)."""
+    acc = jnp.zeros_like(c)
+    for r in range(LANES):
+        acc = acc + jnp.where(c == r, p[r], 0)
+    return acc
+
+
 # -- production driver: host loop, device steps -------------------------------
 
 
@@ -148,14 +234,21 @@ def wavefront_search(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
 # sort over 5F lanes).
 
 
-@functools.partial(jax.jit, static_argnames=("frontier_cap", "emit_cap"))
+@functools.partial(jax.jit,
+                   static_argnames=("frontier_cap", "emit_cap", "streamed"))
 def wavefront_search_device2(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
                              b_sp0: jax.Array, b_ep0: jax.Array,
                              a_sequences: int,
                              frontier_cap: int = 4096,
-                             emit_cap: int = 65536):
+                             emit_cap: int = 65536,
+                             streamed: bool = False):
     """Two-phase singleton-specialized search; same contract as
-    wavefront_search_device (drop-in, ~2x faster on read collections)."""
+    wavefront_search_device (drop-in, ~2x faster on read collections).
+
+    streamed=True swaps the rank-table gathers for the Pallas streamed-probe
+    kernel (sort + stream + re-align; ~4x fewer ns per node on v5e) in the
+    full-capacity range loop and the singles loop; the small staged loop
+    keeps gathers (tiny frontiers would pay the whole-table stream)."""
     cap = frontier_cap
     zero = (b_sp0 * 0).astype(jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
@@ -172,11 +265,12 @@ def wavefront_search_device2(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
         counts = jax.lax.dynamic_update_slice(counts, cnts[:w], (start,))
         return values, counts, ovf | ~safe
 
-    def range_loop(c, st, staged):
+    def range_loop(c, st, staged, use_streamed=False):
         """General range loop at capacity `c`.  Exits when all-singleton,
         overflow — or (staged mode) when the next expansion might not fit,
         so a wider-capacity loop can take over without losing work."""
         lane_c = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)[:, 0]
+        expand = _expand_step_streamed if use_streamed else _expand_step
 
         def cond(st):
             a_pos, b_sp, b_ep, count, values, counts, n_emit, ovf = st
@@ -193,7 +287,7 @@ def wavefront_search_device2(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
             values, counts, ovf = emit(values, counts, n_emit, ovf, a_pos,
                                        jnp.where(valid, b_ep - b_sp + 1, 0), c)
             n_emit = n_emit + count
-            out_a, out_sp, out_ep, child_count = _expand_step(
+            out_a, out_sp, out_ep, child_count = expand(
                 a_idx, b_idx, a_pos, b_sp, b_ep, valid)
             ovf = ovf | (child_count > c)
             child_count = jnp.minimum(child_count, c)
@@ -225,7 +319,7 @@ def wavefront_search_device2(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     # ---- phase 1: general range loop at full capacity, exits all-singleton
     st = (a_pos0, sp0, ep0, count0, values0, counts0, n_emit0, ovf0)
     a_pos, b_sp, b_ep, count, values, counts, n_emit, ovf = \
-        range_loop(cap, st, staged=False)
+        range_loop(cap, st, staged=False, use_streamed=streamed)
 
     # ---- phase 2: singles only (every live node has b_ep == b_sp)
     def cond2(st):
@@ -251,8 +345,41 @@ def wavefront_search_device2(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
         return (sa2, spos2, jnp.sum(alive.astype(jnp.int32)),
                 values, counts, n_emit, ovf)
 
+    def body2_streamed(st):
+        # same math, probes instead of gathers: sort by b-pos for the B
+        # probe (LF step needs the symbol row), then by a-pos for the A
+        # probe; the a-pos sort doubles as next iteration's compaction is
+        # NOT needed — dead lanes carry SENT keys and sort to the back.
+        sa, spos, count, values, counts, n_emit, ovf = st
+        live = lane < count
+        values, counts, ovf = emit(values, counts, n_emit, ovf, sa,
+                                   jnp.where(live, 1, 0), cap)
+        n_emit = n_emit + count
+
+        ks, sa_s = jax.lax.sort(
+            (jnp.where(live, spos, jnp.int32(_SENT)),
+             jnp.where(live, sa, jnp.int32(_SENT))),
+            num_keys=1, is_stable=False)
+        pb = _probe_sorted(b_idx.rec, ks)                    # [OUT_W, F]
+        c_b = pb[LANES]
+        lf_b = b_idx.C[jnp.clip(c_b, 0, LANES)] + _row_select(pb, c_b)
+
+        ka, lf_s, cb_s = jax.lax.sort((sa_s, lf_b, c_b), num_keys=1,
+                                      is_stable=False)
+        pa = _probe_sorted(a_idx.rec, ka)
+        child_a = (a_idx.C[jnp.clip(cb_s, 0, LANES)]
+                   + _row_select(pa, cb_s))
+        alive = (lane < count) & (cb_s != 0)
+
+        key = jnp.where(alive, jnp.int32(0), jnp.int32(1))
+        _, sa2, spos2 = jax.lax.sort((key, child_a, lf_s), num_keys=1,
+                                     is_stable=False)
+        return (sa2, spos2, jnp.sum(alive.astype(jnp.int32)),
+                values, counts, n_emit, ovf)
+
     st2 = (a_pos, b_sp, count, values, counts, n_emit, ovf)
-    _, _, _, values, counts, n_emit, ovf = jax.lax.while_loop(cond2, body2, st2)
+    _, _, _, values, counts, n_emit, ovf = jax.lax.while_loop(
+        cond2, body2_streamed if streamed else body2, st2)
     return values, counts, n_emit, ovf
 
 
@@ -410,10 +537,10 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("frontier_cap", "emit_cap"))
+                   static_argnames=("frontier_cap", "emit_cap", "streamed"))
 def search_and_pack(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
                     b_sp0: jax.Array, b_ep0: jax.Array, a_sequences: int,
-                    frontier_cap: int, emit_cap: int):
+                    frontier_cap: int, emit_cap: int, streamed: bool = False):
     """Whole search + compaction + transfer packing with scalar metadata
     folded into the exception buffer: the host needs exactly TWO device reads
     (meta+exc, then the byte planes sliced to n) instead of five round trips.
@@ -424,7 +551,7 @@ def search_and_pack(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     """
     v, c, n, ovf = wavefront_search_device2(
         a_idx, b_idx, b_sp0, b_ep0, a_sequences,
-        frontier_cap=frontier_cap, emit_cap=emit_cap)
+        frontier_cap=frontier_cap, emit_cap=emit_cap, streamed=streamed)
     dc8, exc, n_u, n_exc = pack_ra_device(v, c, n)
     meta = jnp.zeros((1, EXC_CAP), jnp.int32)
     meta = meta.at[0, 0].set(n_u).at[0, 1].set(n_exc)

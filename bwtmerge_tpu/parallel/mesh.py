@@ -72,6 +72,7 @@ def sharded_rank_array(
     frontier_cap: int = 4096,
     emit_cap: int = 65536,
     b_seq_offset: int = 0,
+    streamed: Optional[bool] = None,
 ) -> Tuple[np.ndarray, np.ndarray, bool]:
     """Rank array of B vs A computed data-parallel over the mesh.
 
@@ -85,8 +86,11 @@ def sharded_rank_array(
     passes its own block's start so the mesh shards cover
     [offset, offset + b_sequences - 1] (distributed.py).
     """
+    from ..ops.search_jax import default_streamed
     from ..ops.search_np import compact_rank_array
 
+    if streamed is None:
+        streamed = default_streamed()
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     bounds = sequence_shards(b_sequences, n_dev) + np.int32(b_seq_offset)
@@ -109,7 +113,8 @@ def sharded_rank_array(
         def fn(s, e):
             v, c, n, ovf = wavefront_search_device2(
                 a, b, s, e, a_sequences,
-                frontier_cap=frontier_cap, emit_cap=emit_cap)
+                frontier_cap=frontier_cap, emit_cap=emit_cap,
+                streamed=streamed)
             dc8, exc, n_u, n_exc = pack_ra_device(v, c, n)
             return dc8, exc, n_u, n_exc, ovf
         return jax.vmap(fn)(sp, ep)

@@ -62,3 +62,34 @@ class TestStreamedRanks:
             idx, jnp.asarray(np.concatenate([q, sent])), interpret=True))
         want = np.asarray(idx.ranks_all(jnp.asarray(q)))
         assert np.array_equal(out[:300], want)
+
+
+class TestStreamedSearchDriver:
+    def test_streamed_search_matches_numpy(self, rng):
+        """Full streamed-probe search driver (tiny workload — interpreter
+        mode runs every probe through the Pallas emulator)."""
+        from bwtmerge_tpu.models.fmi import FMI
+        from bwtmerge_tpu.ops import search_np
+        from bwtmerge_tpu.ops.search_jax import wavefront_search_device2
+        from bwtmerge_tpu.ops.search_np import compact_rank_array
+
+        a_seqs = oracle.random_collection(rng, 5, 8, 14)
+        b_seqs = oracle.random_collection(rng, 4, 8, 14)
+        a = FMI.from_runs(oracle.build_bwt(a_seqs))
+        b = FMI.from_runs(oracle.build_bwt(b_seqs))
+        want = search_np.build_rank_array(
+            a.rank_index, a.alpha.C.astype(np.int64),
+            b.rank_index, b.alpha.C.astype(np.int64),
+            a.sequences(), b.sequences())
+
+        a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+        v, c, n, ovf = wavefront_search_device2(
+            a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
+            a.sequences(), frontier_cap=512, emit_cap=2048, streamed=True)
+        assert not bool(ovf)
+        n = int(n)
+        got = compact_rank_array(np.asarray(v[:n], np.int64),
+                                 np.asarray(c[:n], np.int64))
+        assert np.array_equal(got[0], want[0])
+        assert np.array_equal(got[1], want[1])
