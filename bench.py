@@ -128,7 +128,7 @@ def main() -> None:
     # page fault costs ~44 us/4K page, so fresh allocations during the timed
     # phases would dominate.  bwtmerge_tpu's mallopt tuning keeps these pages
     # in the arena for reuse once touched.
-    ws = (a.runs.n_runs + b.runs.n_runs) * 9 * 2 + b.size() + (1 << 29)
+    ws = (a.runs.n_runs + b.runs.n_runs) * 9 * 4 + b.size() * 2 + (1 << 30)
     np.ones(ws, dtype=np.uint8)
     lap(f"prefault {ws >> 20} MB")
     setup_s = time.monotonic() - t_setup
@@ -141,6 +141,12 @@ def main() -> None:
     from bwtmerge_tpu.parallel.mesh import sequence_shards
 
     streamed = default_streamed()
+    if streamed:
+        # Streamed probes pay O(record tables) per depth step, and sequence
+        # blocks multiply that: search the whole of B in ONE program (the
+        # spill ladder still engages — it triggers on RA volume, not on
+        # block count).
+        n_blocks = 1
 
     blocks = sequence_shards(b.sequences(), n_blocks)
     # One program shape for every block: caps from the largest block.
@@ -149,18 +155,26 @@ def main() -> None:
     fcap = 1 << max(12, (blk_seqs - 1).bit_length() + 1)
     ecap = 1 << (blk_bases + blk_seqs + fcap + 16).bit_length()
 
-    def run_search(spill) -> int:
+    def run_search(spill, report=False) -> int:
         """Search all blocks; emit packed RAs into the spill ladder."""
         n_runs = 0
         for s, e in blocks:
+            t0 = time.monotonic()
             dc8, meta_exc = search_and_pack(
                 a_idx, b_idx, jnp.int32(s), jnp.int32(e),
                 a.sequences(), frontier_cap=fcap, emit_cap=ecap,
                 streamed=streamed)
+            t1 = time.monotonic()
             v, c, ovf = unpack_search(dc8, meta_exc)
             assert not ovf, "device search overflowed its static buffers"
+            t2 = time.monotonic()
             n_runs += v.size
             spill.emit(v, c)
+            if report:
+                print(f"# block [{s},{e}]: device+xfer {t1 - t0:.2f}s "
+                      f"unpack {t2 - t1:.2f}s emit "
+                      f"{time.monotonic() - t2:.2f}s ({v.size} runs)",
+                      file=sys.stderr)
         return n_runs
 
     t0 = time.monotonic()
@@ -173,11 +187,11 @@ def main() -> None:
 
     tries = 2 if scale == "large" else 3
     search_s, spill = float("inf"), None
-    for _ in range(tries):
+    for attempt in range(tries):
         cand = RankArraySpill(temp_dir="/tmp",
                               spill_threshold_runs=spill_threshold)
         t0 = time.monotonic()
-        ra_runs = run_search(cand)
+        ra_runs = run_search(cand, report=attempt == 0)
         dt = time.monotonic() - t0
         if dt < search_s:
             search_s = dt
@@ -232,10 +246,12 @@ def main() -> None:
     # best-of-2: the first pass additionally pays the pipeline's remaining
     # first-touch page faults (mallopt keeps the pages for the second)
     merge_s, merged_runs, merged_bases = run_merge(spill)
+    print(f"# merge pass 1: {merge_s:.2f}s", file=sys.stderr)
     spill2 = RankArraySpill(temp_dir="/tmp",
                             spill_threshold_runs=spill_threshold)
     run_search(spill2)
     m2, r2, b2 = run_merge(spill2)
+    print(f"# merge pass 2: {m2:.2f}s", file=sys.stderr)
     assert (r2, b2) == (merged_runs, merged_bases)
     merge_s = min(merge_s, m2)
     assert merged_bases == a.size() + b.size(), \

@@ -30,7 +30,34 @@ def _tune_host_allocator() -> None:
         pass
 
 
+def _disable_numpy_thp_madvise() -> None:
+    """Stop numpy from madvise(MADV_HUGEPAGE)-ing large fresh buffers.
+
+    With transparent hugepages in ``madvise``/``defrag=madvise`` mode (the
+    common server config), an madvise'd region pays a *synchronous* hugepage
+    compaction at every first touch: measured 63 MB/s fault-in on this class
+    of host versus 2.0 GB/s for plain 4 KiB faults — a 32x slowdown on every
+    fresh >4 MiB numpy allocation in the streaming merge pipeline.  The
+    pipeline's buffers are RLE byte streams touched once sequentially, so the
+    TLB benefit of hugepages is negligible while the fault cost dominates.
+    Set BWTMERGE_THP=1 to keep numpy's default behavior.
+    """
+    import os
+
+    if os.environ.get("BWTMERGE_THP") == "1":
+        return
+    try:
+        try:
+            from numpy._core import multiarray as _ma  # numpy >= 2.0
+        except ImportError:  # numpy 1.x
+            from numpy.core import multiarray as _ma
+        _ma._set_madvise_hugepage(False)
+    except Exception:
+        pass
+
+
 _tune_host_allocator()
+_disable_numpy_thp_madvise()
 
 from .utils.alphabet import Alphabet, AlphabeticOrder, create_alphabet, identify_alphabet
 from .models.runs import RunArrays

@@ -119,10 +119,12 @@ def sharded_rank_array(
             return dc8, exc, n_u, n_exc, ovf
         return jax.vmap(fn)(sp, ep)
 
+    # check_vma=False: the streamed-probe path calls pallas_call inside this
+    # shard_map, and pallas outputs carry no varying-mesh-axes annotation.
     search_all = jax.jit(jax.shard_map(
         per_shard, mesh=mesh,
         in_specs=(P(), P(), P(SEQ_AXIS), P(SEQ_AXIS)),
-        out_specs=P(SEQ_AXIS)))
+        out_specs=P(SEQ_AXIS), check_vma=False))
 
     from ..ops.search_jax import EXC_CAP, unpack_ra
 
