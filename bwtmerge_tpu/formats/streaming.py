@@ -5,12 +5,18 @@ The batch writers (formats.py) take a full RunArrays; at terabase scale the
 merged output must flow straight from the streaming interleave
 (native interleave_stream_chunks) to disk.  State carried across chunks:
 
-  * the 64-byte-block RLE encoder offset (rle_encode_at) — the Run codec's
-    block-splitting rule is position-dependent (support.h:256-282)
+  * the 64-byte-block RLE encoder offset (the Run codec's block-splitting
+    rule is position-dependent, support.h:256-282)
   * per-RLE-block sample accumulators for the native format's rank tables
     (BWT::build's single scan, bwt.cpp:477-512, incrementalized): text
     position and per-char cumulative counts at each 64-byte block end
   * cumulative char counts / sequence counts for the headers
+
+Chunk encoding runs in the native C++ kernels (native/src/writer.cpp) into
+persistent buffers owned by the writer and reused across chunks: on the
+target VM class a first-touch page fault costs ~50 us (remote-backed
+memory), so fresh per-chunk numpy temporaries — the one-hot/cumsum sample
+tables and the stored-run split — used to dominate the whole merge phase.
 
 Headers that carry totals (NativeHeader, SGAHeader) are back-patched with a
 seek on close, so targets must be real seekable files.  Output block tables
@@ -26,9 +32,16 @@ import numpy as np
 
 from ..models.runs import SIGMA
 from ..utils.alphabet import Alphabet, identify_alphabet
-from . import codec, sdsl_compat as sdsl
-from .formats import BLOCK_ARRAY_BLOCK, RLE_BLOCK, SGAFormat
+from . import sdsl_compat as sdsl
+from .formats import BLOCK_ARRAY_BLOCK
 from .headers import NativeHeader, SGAHeader
+
+
+def _grown(arr: np.ndarray, need: int) -> np.ndarray:
+    """Persistent-buffer growth: at least double so growth amortizes."""
+    if arr.size >= need:
+        return arr
+    return np.empty(max(need, arr.size * 2), dtype=arr.dtype)
 
 
 class StreamingNativeWriter:
@@ -39,10 +52,13 @@ class StreamingNativeWriter:
         self.alpha = alpha
         self.f = open(path, "wb")
         self.f.write(b"\x00" * (NativeHeader.SIZE + 8))  # header + u64 n_bytes
-        self.n_bytes = 0
-        self.char_counts = np.zeros(SIGMA, dtype=np.int64)
-        self.text_pos = 0
-        self.sequences = 0
+        # {rle_byte_offset, text_pos, counts[SIGMA]} — the C++ kernel's state
+        self._state = np.zeros(2 + SIGMA, dtype=np.int64)
+        # persistent per-chunk buffers (grown on demand, reused across chunks)
+        self._rle = np.empty(1 << 20, dtype=np.uint8)
+        self._blk_id = np.empty(1 << 15, dtype=np.int64)
+        self._blk_end = np.empty(1 << 15, dtype=np.int64)
+        self._blk_cc = np.empty((1 << 15) * SIGMA, dtype=np.int64)
         # finalized per-block samples
         self._block_end_pos: List[np.ndarray] = []
         self._block_char_cum: List[np.ndarray] = []
@@ -50,34 +66,51 @@ class StreamingNativeWriter:
         self._open_block = None  # (block_idx, end_pos, char_cum[SIGMA])
         self._closed = False
 
+    @property
+    def n_bytes(self) -> int:
+        return int(self._state[0])
+
+    @property
+    def text_pos(self) -> int:
+        return int(self._state[1])
+
+    @property
+    def char_counts(self) -> np.ndarray:
+        return self._state[2:].copy()
+
+    @property
+    def sequences(self) -> int:
+        return int(self._state[2])
+
     def write_chunk(self, syms: np.ndarray, lens: np.ndarray) -> None:
         """Append a run chunk.  Adjacent chunks must not need coalescing
         (interleave_stream_chunks guarantees maximal runs across chunks)."""
         if syms.size == 0:
             return
-        from ..native import rle_decode, rle_encode_at
+        from ..native import native_stream_chunk
 
-        data = rle_encode_at(syms, lens, self.n_bytes)
-        self.f.write(data)
+        prev_bytes = int(self._state[0])
+        while True:
+            rows = native_stream_chunk(syms, lens, self._state, self._rle,
+                                       self._blk_id, self._blk_end,
+                                       self._blk_cc)
+            if rows != -2:
+                break
+            # grow: RLE bound ~2 B/run + varints; block rows ~bytes/64
+            est_bytes = 2 * syms.size + int(lens.sum()) // 41 + 1024
+            self._rle = _grown(self._rle, max(2 * self._rle.size, est_bytes))
+            est_rows = est_bytes // 64 + syms.size // 32 + 1024
+            self._blk_id = _grown(self._blk_id, est_rows)
+            self._blk_end = _grown(self._blk_end, est_rows)
+            self._blk_cc = _grown(self._blk_cc, est_rows * SIGMA)
+        if rows < 0:
+            raise RuntimeError(f"native_stream_chunk failed (code {rows})")
 
-        # stored-run partition of this chunk, with global byte offsets
-        s_syms, s_lens, s_offs = rle_decode(data, with_offsets=True)
-        s_offs = s_offs + self.n_bytes
-        blocks = s_offs // RLE_BLOCK
+        self.f.write(self._rle[: int(self._state[0]) - prev_bytes])
 
-        cum_len = self.text_pos + np.cumsum(s_lens)
-        onehot = np.zeros((s_syms.size, SIGMA), dtype=np.int64)
-        onehot[np.arange(s_syms.size), s_syms] = s_lens
-        char_cum = self.char_counts[None, :] + np.cumsum(onehot, axis=0)
-
-        # last stored run of each block present in this chunk
-        is_last = np.empty(blocks.size, dtype=bool)
-        is_last[-1] = True
-        np.not_equal(blocks[1:], blocks[:-1], out=is_last[:-1])
-        li = np.flatnonzero(is_last)
-        blk_ids = blocks[li]
-        blk_end = cum_len[li]
-        blk_cc = char_cum[li]
+        blk_ids = self._blk_id[:rows]
+        blk_end = self._blk_end[:rows]
+        blk_cc = self._blk_cc[: rows * SIGMA].reshape(rows, SIGMA)
 
         if self._open_block is not None and blk_ids[0] == self._open_block[0]:
             pass  # first row updates/extends the open block — just use it
@@ -87,15 +120,11 @@ class StreamingNativeWriter:
             self._block_end_pos.append(np.array([oe]))
             self._block_char_cum.append(occ_[None, :])
         # all rows except the final one are closed blocks
-        if blk_ids.size > 1:
-            self._block_end_pos.append(blk_end[:-1])
-            self._block_char_cum.append(blk_cc[:-1])
-        self._open_block = (int(blk_ids[-1]), int(blk_end[-1]), blk_cc[-1].copy())
-
-        self.n_bytes += len(data)
-        self.text_pos = int(cum_len[-1])
-        self.char_counts = char_cum[-1].copy()
-        self.sequences = int(self.char_counts[0])
+        if rows > 1:
+            self._block_end_pos.append(blk_end[:-1].copy())
+            self._block_char_cum.append(blk_cc[:-1].copy())
+        self._open_block = (int(blk_ids[-1]), int(blk_end[-1]),
+                            blk_cc[-1].copy())
 
     def close(self) -> None:
         if self._closed:
@@ -107,25 +136,27 @@ class StreamingNativeWriter:
             self._block_char_cum.append(occ_[None, :])
 
         f = self.f
+        n_bytes = self.n_bytes
         # BlockArray zero padding to 8 MB blocks
-        n_big = (self.n_bytes + BLOCK_ARRAY_BLOCK - 1) // BLOCK_ARRAY_BLOCK
-        f.write(b"\x00" * (n_big * BLOCK_ARRAY_BLOCK - self.n_bytes))
+        n_big = (n_bytes + BLOCK_ARRAY_BLOCK - 1) // BLOCK_ARRAY_BLOCK
+        f.write(b"\x00" * (n_big * BLOCK_ARRAY_BLOCK - n_bytes))
 
         block_end_pos = (np.concatenate(self._block_end_pos)
                          if self._block_end_pos else np.zeros(0, np.int64))
         block_char_cum = (np.concatenate(self._block_char_cum)
                           if self._block_char_cum else np.zeros((0, SIGMA), np.int64))
         n_blocks = block_end_pos.size
+        char_counts = self.char_counts
         for c in range(SIGMA):
             positions = block_char_cum[:, c] + np.arange(n_blocks, dtype=np.int64)
             sdsl.write_sd_vector(f, positions.astype(np.uint64),
-                                 int(self.char_counts[c]) + n_blocks)
+                                 int(char_counts[c]) + n_blocks)
             f.write(struct.pack("<Q", n_blocks))
         sdsl.write_sd_vector(f, (block_end_pos - 1).astype(np.uint64),
                              self.text_pos)
         # serialize a C array derived from the ACTUAL streamed counts (the
         # caller's alpha provides the char mappings; its C may be stale)
-        alpha = Alphabet.from_counts(self.char_counts, self.alpha.char2comp,
+        alpha = Alphabet.from_counts(char_counts, self.alpha.char2comp,
                                      self.alpha.comp2char)
         sdsl.write_int_vector(f, alpha.char2comp.astype(np.uint64), 8,
                               fixed_width=True)
@@ -139,7 +170,7 @@ class StreamingNativeWriter:
         header.set_order(identify_alphabet(self.alpha))
         f.seek(0)
         f.write(header.to_bytes())
-        f.write(struct.pack("<Q", self.n_bytes))
+        f.write(struct.pack("<Q", n_bytes))
         f.close()
 
 
@@ -147,14 +178,15 @@ class StreamingSGAWriter:
     """Chunked writer for the SGA format (byte-identical to SGAFormat.write).
 
     SGA codes come from the STORED run partition (64-byte-block splits), so
-    each chunk is first re-encoded through the native Run codec at the
-    running block offset, then split at MAX_RUN=31.
-    """
+    each chunk walks the native Run codec's block rule at the running global
+    offset, splitting at MAX_RUN=31 — fused in one C++ pass straight into a
+    persistent code buffer (native/src/writer.cpp sga_stream_chunk)."""
 
     def __init__(self, path: str):
         self.f = open(path, "wb")
         self.f.write(b"\x00" * SGAHeader.SIZE)
-        self.rle_offset = 0
+        self._state = np.zeros(1, dtype=np.int64)  # global RLE byte offset
+        self._codes = np.empty(1 << 20, dtype=np.uint8)
         self.n_codes = 0
         self.bases = 0
         self.sequences = 0
@@ -163,21 +195,19 @@ class StreamingSGAWriter:
     def write_chunk(self, syms: np.ndarray, lens: np.ndarray) -> None:
         if syms.size == 0:
             return
-        from ..native import rle_decode, rle_encode_at
+        from ..native import sga_stream_chunk
 
-        data = rle_encode_at(syms, lens, self.rle_offset)
-        s_syms, s_lens = rle_decode(data)
-        self.rle_offset += len(data)
+        while True:
+            n = sga_stream_chunk(syms, lens, self._state, self._codes)
+            if n != -2:
+                break
+            est = int(lens.sum()) // 31 + 2 * syms.size + 1024
+            self._codes = _grown(self._codes, max(2 * self._codes.size, est))
+        if n < 0:
+            raise RuntimeError(f"sga_stream_chunk failed (code {n})")
+        self.f.write(self._codes[:n])
 
-        max_run = SGAFormat.MAX_RUN
-        n_codes = (s_lens + max_run - 1) // max_run
-        out_syms = np.repeat(s_syms, n_codes)
-        out_lens = np.full(int(n_codes.sum()), max_run, dtype=np.int64)
-        last_idx = np.cumsum(n_codes) - 1
-        out_lens[last_idx] = s_lens - (n_codes - 1) * max_run
-        self.f.write(SGAFormat._encode_codes(out_syms, out_lens).tobytes())
-
-        self.n_codes += out_syms.size
+        self.n_codes += n
         self.bases += int(np.sum(lens))
         self.sequences += int(np.sum(lens[syms == 0]))
 

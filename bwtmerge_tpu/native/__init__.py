@@ -18,6 +18,8 @@ try:
         interleave_stream_chunks,
         ra_encode,
         ra_decode_chunk,
+        sga_stream_chunk,
+        native_stream_chunk,
     )
 except Exception as _e:  # pragma: no cover - fallback path
     raise ImportError(f"native runtime unavailable: {_e}") from _e

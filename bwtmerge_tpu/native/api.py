@@ -171,7 +171,14 @@ def interleave_stream_chunks(a_runs, b_runs, ra_chunks):
     chunks — the fully streaming merge phase: neither the rank array nor the
     merged output is ever materialized whole.  Chunks are maximal-run clean:
     the stateful C++ emitter withholds the trailing run until the next chunk
-    coalesces with it."""
+    coalesces with it.
+
+    Yielded arrays are VIEWS into buffers reused for the next chunk — they
+    are valid only until the following next() call.  Consumers that retain
+    chunks must copy (interleave_streaming does); the streaming writers and
+    the CLI consume each chunk synchronously.  Reuse matters: on the target
+    VM class a first-touch page fault costs ~50 us, so a fresh 100+ MB
+    output allocation per chunk dominated the merge phase."""
     lib = _lib()
     _configure_stream_interleave(lib)
 
@@ -179,6 +186,9 @@ def interleave_stream_chunks(a_runs, b_runs, ra_chunks):
     b_syms, b_lens = _as_u8(b_runs.syms), _as_i64(b_runs.lens)
     state = np.zeros(7, dtype=np.int64)
     lib.interleave_state_init(a_lens, a_lens.size, b_lens, b_lens.size, state)
+
+    bufs = {"s": np.empty(1 << 16, dtype=np.uint8),
+            "l": np.empty(1 << 16, dtype=np.int64)}
 
     def run_chunk(rv, rc, finish):
         rv, rc = _as_i64(rv), _as_i64(rc)
@@ -193,8 +203,10 @@ def interleave_stream_chunks(a_runs, b_runs, ra_chunks):
         cap_b = min(int(rc.sum()), b_remaining) + rv.size + 2
         cap = cap_a + cap_b + (a_remaining + 2 if finish else 0)
         cap = max(cap, 16)
-        out_s = np.empty(cap, dtype=np.uint8)
-        out_l = np.empty(cap, dtype=np.int64)
+        if bufs["s"].size < cap:
+            bufs["s"] = np.empty(max(cap, 2 * bufs["s"].size), dtype=np.uint8)
+            bufs["l"] = np.empty(bufs["s"].size, dtype=np.int64)
+        out_s, out_l = bufs["s"], bufs["l"]
         n = lib.interleave_chunk(a_syms, a_lens, a_syms.size,
                                  b_syms, b_lens, b_syms.size,
                                  rv, rc, rv.size, 1 if finish else 0,
@@ -205,7 +217,7 @@ def interleave_stream_chunks(a_runs, b_runs, ra_chunks):
                 "|A| or counts beyond/not covering |B|)")
         if n < 0:
             raise RuntimeError(f"native interleave_chunk failed (code {n})")
-        return out_s[:n].copy(), out_l[:n].copy()
+        return out_s[:n], out_l[:n]
 
     for rv, rc in ra_chunks:
         s, l = run_chunk(rv, rc, finish=False)
@@ -221,7 +233,8 @@ def interleave_streaming(a_runs, b_runs, ra_chunks):
     (materializing wrapper over interleave_stream_chunks)."""
     from ..models.runs import RunArrays
 
-    parts = list(interleave_stream_chunks(a_runs, b_runs, ra_chunks))
+    parts = [(s.copy(), l.copy())  # chunks are views into reused buffers
+             for s, l in interleave_stream_chunks(a_runs, b_runs, ra_chunks)]
     if not parts:
         return RunArrays.empty()
     return RunArrays(np.concatenate([p[0] for p in parts]),
@@ -236,6 +249,44 @@ def _configure_encode_at(lib) -> None:
     lib.rle_encode_at.restype = ctypes.c_int64
     lib.rle_encode_at.argtypes = [_u8p, _i64p, ctypes.c_int64, _u8p, ctypes.c_int64]
     lib._bwtmerge_encat_configured = True
+
+
+def _configure_stream_writers(lib) -> None:
+    if getattr(lib, "_bwtmerge_writer_configured", False):
+        return
+    lib.sga_stream_chunk.restype = ctypes.c_int64
+    lib.sga_stream_chunk.argtypes = [_u8p, _i64p, ctypes.c_int64, _i64p,
+                                     _u8p, ctypes.c_int64]
+    lib.native_stream_chunk.restype = ctypes.c_int64
+    lib.native_stream_chunk.argtypes = [
+        _u8p, _i64p, ctypes.c_int64, _i64p,
+        _u8p, ctypes.c_int64, _i64p, _i64p, _i64p, ctypes.c_int64,
+    ]
+    lib._bwtmerge_writer_configured = True
+
+
+def sga_stream_chunk(syms, lens, state: np.ndarray, out: np.ndarray) -> int:
+    """Encode a run chunk into SGA codes inside the caller's persistent `out`
+    buffer, resuming the stored-run partition at state[0] (updated).  Returns
+    the number of codes, or -2 when `out` is too small (state unchanged)."""
+    lib = _lib()
+    _configure_stream_writers(lib)
+    return int(lib.sga_stream_chunk(_as_u8(syms), _as_i64(lens), len(syms),
+                                    state, out, out.size))
+
+
+def native_stream_chunk(syms, lens, state: np.ndarray, rle: np.ndarray,
+                        blk_id: np.ndarray, blk_end: np.ndarray,
+                        blk_cc: np.ndarray) -> int:
+    """Encode a run chunk into native RLE bytes + per-64-byte-block sample
+    rows, all in caller-owned persistent buffers.  state = int64[8]
+    {rle_offset, text_pos, counts[6]}, updated on success.  Returns the row
+    count, or -2 when a buffer is too small (state unchanged)."""
+    lib = _lib()
+    _configure_stream_writers(lib)
+    return int(lib.native_stream_chunk(
+        _as_u8(syms), _as_i64(lens), len(syms), state,
+        rle, rle.size, blk_id, blk_end, blk_cc, blk_id.size))
 
 
 def rle_encode_at(syms, lens, start_offset: int) -> bytes:
