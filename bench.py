@@ -107,6 +107,13 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
+    # The FIRST device->host transfer in a process pays a one-off channel
+    # setup on the remote attachment (measured 20-200 s, random).  Pay it on
+    # a background thread so it overlaps fixture IO + index upload.
+    from bwtmerge_tpu.ops.rank_jax import ensure_d2h_warm
+
+    warm_thread = ensure_d2h_warm()
+
     from bwtmerge_tpu.formats import read_bwt
     from bwtmerge_tpu.models.fmi import FMI
     from bwtmerge_tpu.ops.rank_jax import DeviceFMIndex
@@ -120,17 +127,13 @@ def main() -> None:
 
     a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
     b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+    warm_thread.join()  # D2H channel ready: the next syncs are real transfers
     _ = np.asarray(a_idx.rec[0])  # force upload + record-table build
     _ = np.asarray(b_idx.rec[0])
     lap("index build+upload")
-
-    # Pre-fault the pipeline's working set: on this VM host a first-touch
-    # page fault costs ~44 us/4K page, so fresh allocations during the timed
-    # phases would dominate.  bwtmerge_tpu's mallopt tuning keeps these pages
-    # in the arena for reuse once touched.
-    ws = (a.runs.n_runs + b.runs.n_runs) * 9 * 4 + b.size() * 2 + (1 << 30)
-    np.ones(ws, dtype=np.uint8)
-    lap(f"prefault {ws >> 20} MB")
+    # No big prefault: the pipeline's hot paths reuse persistent buffers
+    # (native/src/writer.cpp, interleave_stream_chunks), and each timed phase
+    # is best-of-N — the first pass self-warms the remaining working set.
     setup_s = time.monotonic() - t_setup
 
     _, _, _, n_blocks, spill_threshold = SCALES[scale]

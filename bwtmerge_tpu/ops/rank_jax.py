@@ -39,6 +39,28 @@ LANES = 8        # occ lanes (sigma padded)
 BLK = 32         # positions per block
 REC = 16         # int32 words per record: 8 occ + 8 packed-symbol words
 
+_d2h_warm_thread = None
+
+
+def ensure_d2h_warm() -> "object":
+    """Start (once) a background thread paying the first device->host
+    transfer's one-off channel setup — measured 20-200 s (random) on remote
+    TPU attachments.  Returns the thread; join() it before timing any real
+    transfer.  Idempotent; harmless on local backends."""
+    global _d2h_warm_thread
+    if _d2h_warm_thread is None:
+        import threading
+
+        def _warm():
+            try:
+                np.asarray(jax.device_put(np.zeros(64, np.uint8)))
+            except Exception:
+                pass
+
+        _d2h_warm_thread = threading.Thread(target=_warm, daemon=True)
+        _d2h_warm_thread.start()
+    return _d2h_warm_thread
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
@@ -74,6 +96,7 @@ class DeviceFMIndex:
         tables.  Packed sizes are bucketed so XLA compiles O(log) program
         variants, not one per input.
         """
+        ensure_d2h_warm()  # overlap the D2H channel setup with the upload
         size = runs.size()
         if size >= 2**31:
             raise ValueError(

@@ -562,14 +562,25 @@ def search_and_pack(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
 def unpack_search(dc8, meta_exc) -> tuple:
     """Host side of search_and_pack -> (values, counts, overflowed).
 
-    Both buffers come over in one device_get (a single fetch, not two
-    latency-serialized reads — slicing to n happens on the host)."""
-    dc8, meta_exc = jax.device_get((dc8, meta_exc))
+    Two device reads: the metadata/exception buffer first (this also blocks
+    on the search compute), then the byte planes sliced ON DEVICE to a
+    bucketed length >= n — remote attachments move D2H bytes at tens of
+    MB/s, so shipping the full emit-cap padding can double the transfer.
+    The bucket sizes ({2^k, 3*2^(k-2)}, <=33% waste) keep the slice
+    program cache small on the remote-compile service."""
+    meta_exc = jax.device_get(meta_exc)
     n = int(meta_exc[3, 0])
     n_exc = int(meta_exc[3, 1])
     overflowed = bool(meta_exc[3, 2]) or n_exc > EXC_CAP
     if overflowed:
         return np.zeros(0, np.int64), np.zeros(0, np.int64), True
+    cap = dc8.shape[1]
+    k = 1 << 10
+    while k < n:
+        k *= 2
+    if k // 4 * 3 >= n:
+        k = k // 4 * 3
+    dc8 = jax.device_get(dc8[:, :k] if k < cap else dc8)
     v, c = unpack_ra(dc8[:, :n], meta_exc, n, n_exc)
     return v, c, False
 
