@@ -139,8 +139,8 @@ def main() -> None:
     _, _, _, n_blocks, spill_threshold = SCALES[scale]
 
     from bwtmerge_tpu.models.spill import RankArraySpill
-    from bwtmerge_tpu.ops.search_jax import (default_streamed, search_and_pack,
-                                             unpack_search)
+    from bwtmerge_tpu.ops.search_jax import (PackedDeviceRA, default_streamed,
+                                             search_and_pack, unpack_search)
     from bwtmerge_tpu.parallel.mesh import sequence_shards
 
     streamed = default_streamed()
@@ -180,33 +180,97 @@ def main() -> None:
                       file=sys.stderr)
         return n_runs
 
+    from bwtmerge_tpu.formats.streaming import write_bwt_stream
+    from bwtmerge_tpu.native import interleave_stream_chunks
+    from bwtmerge_tpu.utils.alphabet import Alphabet
+
+    out_path = os.path.join("/tmp", "bench_merged.sga")
+    merged_alpha = Alphabet.from_counts(
+        a.alpha.counts().astype(np.int64) + b.alpha.counts().astype(np.int64))
+
+    def run_merge(ra_stream):
+        """Interleave the RA chunk stream through the native kernels into a
+        streaming SGA writer; returns (seconds, runs, bases)."""
+        totals = {"runs": 0, "bases": 0}
+
+        def counted(chunks):
+            for syms, lens in chunks:
+                totals["runs"] += syms.size
+                totals["bases"] += int(lens.sum())
+                yield syms, lens
+
+        t0 = time.monotonic()
+        chunks = interleave_stream_chunks(a.runs, b.runs, ra_stream)
+        write_bwt_stream(out_path, "sga", counted(chunks), merged_alpha)
+        return time.monotonic() - t0, totals["runs"], totals["bases"]
+
+    # -- warmup + spill-path cross-check: one full pass through the
+    # RankArraySpill ladder (compaction + k-way merge engaged at scale)
     t0 = time.monotonic()
     sink = RankArraySpill(temp_dir="/tmp", spill_threshold_runs=spill_threshold)
-    run_search(sink)  # compile + first full pass
+    ra_runs = run_search(sink, report=True)
     warmup_s = time.monotonic() - t0
-    for f in sink._files:
-        f.delete()
-    del sink
+    n_spill_files = sink.n_spill_files
+    spilled_mb = sink.total_spilled_bytes / 1e6
+    spill_merge_s, want_runs, want_bases = run_merge(sink.stream())
+    print(f"# spill-path merge: {spill_merge_s:.2f}s "
+          f"({n_spill_files} spill files, {spilled_mb:.0f} MB)",
+          file=sys.stderr)
+    assert want_bases == a.size() + b.size(), \
+        f"merged {want_bases} != {a.size()} + {b.size()}"
+    out_mb = os.path.getsize(out_path) / 1e6
 
+    pipelined = len(blocks) == 1
     tries = 2 if scale == "large" else 3
-    search_s, spill = float("inf"), None
-    for attempt in range(tries):
-        cand = RankArraySpill(temp_dir="/tmp",
-                              spill_threshold_runs=spill_threshold)
-        t0 = time.monotonic()
-        ra_runs = run_search(cand, report=attempt == 0)
-        dt = time.monotonic() - t0
-        if dt < search_s:
-            search_s = dt
-            if spill is not None:
-                for f in spill._files:
+
+    if pipelined:
+        # -- primary path: the RA stays packed on device (search_s), then
+        # streams D2H in chunks overlapped with the native interleave
+        # (merge_s) — what merge_fmi_to_file does on one chip
+        search_s, packed = float("inf"), None
+        for attempt in range(tries):
+            t0 = time.monotonic()
+            cand = PackedDeviceRA(*search_and_pack(
+                a_idx, b_idx, jnp.int32(blocks[0][0]), jnp.int32(blocks[0][1]),
+                a.sequences(), frontier_cap=fcap, emit_cap=ecap,
+                streamed=streamed))
+            assert not cand.overflowed
+            dt = time.monotonic() - t0
+            if dt < search_s:
+                search_s, packed = dt, cand
+        ra_runs = packed.n_runs
+
+        merge_s = float("inf")
+        for attempt in range(2):
+            m, r, bb = run_merge(packed.stream())
+            print(f"# pipelined merge pass {attempt + 1}: {m:.2f}s",
+                  file=sys.stderr)
+            assert (r, bb) == (want_runs, want_bases)
+            merge_s = min(merge_s, m)
+    else:
+        # multi-block fallback: per-block unpack into the spill ladder
+        search_s, spill = float("inf"), None
+        for attempt in range(tries):
+            cand = RankArraySpill(temp_dir="/tmp",
+                                  spill_threshold_runs=spill_threshold)
+            t0 = time.monotonic()
+            ra_runs = run_search(cand)
+            dt = time.monotonic() - t0
+            if dt < search_s:
+                search_s = dt
+                if spill is not None:
+                    for f in spill._files:
+                        f.delete()
+                spill = cand
+            else:
+                for f in cand._files:
                     f.delete()
-            spill = cand
-        else:
-            for f in cand._files:
-                f.delete()
-    n_spill_files = spill.n_spill_files
-    spilled_mb = spill.total_spilled_bytes / 1e6
+        merge_s, r, bb = run_merge(spill.stream())
+        assert (r, bb) == (want_runs, want_bases)
+        merge_s = min(merge_s, spill_merge_s)
+
+    merged_runs, merged_bases = want_runs, want_bases
+    os.remove(out_path)
 
     # device-only rate: block on the scalar metadata without pulling the RA
     from bwtmerge_tpu.ops.search_jax import wavefront_search_device2
@@ -221,46 +285,6 @@ def main() -> None:
                 streamed=streamed)
             int(n_only)
         device_search_s = min(device_search_s, time.monotonic() - t0)
-
-    # merge phase: streaming k-way merge of the spill ladder through the
-    # stateful native interleave into a streaming SGA writer
-    from bwtmerge_tpu.formats.streaming import write_bwt_stream
-    from bwtmerge_tpu.native import interleave_stream_chunks
-    from bwtmerge_tpu.utils.alphabet import Alphabet
-
-    out_path = os.path.join("/tmp", "bench_merged.sga")
-    merged_alpha = Alphabet.from_counts(
-        a.alpha.counts().astype(np.int64) + b.alpha.counts().astype(np.int64))
-
-    def run_merge(sp):
-        totals = {"runs": 0, "bases": 0}
-
-        def counted(chunks):
-            for syms, lens in chunks:
-                totals["runs"] += syms.size
-                totals["bases"] += int(lens.sum())
-                yield syms, lens
-
-        t0 = time.monotonic()
-        chunks = interleave_stream_chunks(a.runs, b.runs, sp.stream())
-        write_bwt_stream(out_path, "sga", counted(chunks), merged_alpha)
-        return time.monotonic() - t0, totals["runs"], totals["bases"]
-
-    # best-of-2: the first pass additionally pays the pipeline's remaining
-    # first-touch page faults (mallopt keeps the pages for the second)
-    merge_s, merged_runs, merged_bases = run_merge(spill)
-    print(f"# merge pass 1: {merge_s:.2f}s", file=sys.stderr)
-    spill2 = RankArraySpill(temp_dir="/tmp",
-                            spill_threshold_runs=spill_threshold)
-    run_search(spill2)
-    m2, r2, b2 = run_merge(spill2)
-    print(f"# merge pass 2: {m2:.2f}s", file=sys.stderr)
-    assert (r2, b2) == (merged_runs, merged_bases)
-    merge_s = min(merge_s, m2)
-    assert merged_bases == a.size() + b.size(), \
-        f"merged {merged_bases} != {a.size()} + {b.size()}"
-    out_mb = os.path.getsize(out_path) / 1e6
-    os.remove(out_path)
 
     from bwtmerge_tpu.utils.metrics import memory_usage
 
@@ -282,6 +306,8 @@ def main() -> None:
             "device_search_s": round(device_search_s, 3),
             "device_Mbases_s": round(b.size() / 1e6 / device_search_s, 3),
             "merge_s": round(merge_s, 3),
+            "spill_path_merge_s": round(spill_merge_s, 3),
+            "pipelined": pipelined,
             "end_to_end_Mbases_s": round(e2e_rate, 3),
             "end_to_end_vs_baseline": round(e2e_rate / BASELINE_MBP_S, 3),
             "search_blocks": n_blocks,

@@ -65,7 +65,11 @@ def merge_fmi(a: FMI, b: FMI, config: Optional[MergeConfig] = None) -> FMI:
         ra = _build_ra_spill(a, b, config)
 
     with config.timer.phase("merge (interleave)"):
-        if ra.n_spill_files:
+        # spilled ladders must stream; device-packed RAs prefer to (their
+        # chunked D2H transfer overlaps the native interleave), unless the
+        # caller explicitly opted into the device interleave
+        if ra.n_spill_files or (getattr(ra, "prefer_stream", False)
+                                and config.interleave == "native"):
             # out-of-core: stream the k-way-merged rank array through the
             # stateful native interleave (bounded host memory)
             from ..native import interleave_streaming
@@ -165,12 +169,29 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
         # ~512 MB emission budget per device keeps HBM safe; beyond that,
         # stream through the host driver instead.
         if ecap * 8 <= 512 * 1024 * 1024:
-            values, counts, overflow = sharded_rank_array(
-                a_idx, b_idx, a.sequences(), b.sequences(), mesh=mesh,
-                frontier_cap=fcap, emit_cap=ecap)
-            if not overflow:
-                spill.emit(values, counts)
-                return spill
+            if n_dev == 1:
+                # single device: leave the packed RA on the chip and hand the
+                # merge phase a pipelined D2H stream instead of a host array
+                # (the transfer overlaps the interleave downstream)
+                import jax.numpy as jnp
+
+                from ..ops.search_jax import (PackedDeviceRA, default_streamed,
+                                              search_and_pack)
+
+                dc8, meta_exc = search_and_pack(
+                    a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
+                    a.sequences(), frontier_cap=fcap, emit_cap=ecap,
+                    streamed=default_streamed())
+                packed = PackedDeviceRA(dc8, meta_exc)
+                if not packed.overflowed:
+                    return packed
+            else:
+                values, counts, overflow = sharded_rank_array(
+                    a_idx, b_idx, a.sequences(), b.sequences(), mesh=mesh,
+                    frontier_cap=fcap, emit_cap=ecap)
+                if not overflow:
+                    spill.emit(values, counts)
+                    return spill
 
         blocks = get_bounds((0, b.sequences() - 1), max(1, config.sequence_blocks))
         for blk in blocks:

@@ -585,6 +585,117 @@ def unpack_search(dc8, meta_exc) -> tuple:
     return v, c, False
 
 
+@functools.partial(jax.jit, static_argnames=("length",))
+def _cut_chunk(x, start, length):
+    """Module-level jitted window slice: a closure-local jit would retrace
+    (and remote-recompile, ~0.5 s) on every stream_packed_ra call."""
+    return jax.lax.dynamic_slice(x, (jnp.int32(0), start), (2, length))
+
+
+def stream_packed_ra(dc8, meta_exc, chunk_runs: int = 4 * 1024 * 1024):
+    """Generator of ascending sorted-unique (values, counts) chunks straight
+    from a packed device RA (search_and_pack output) — the transfer/merge
+    pipeline: chunk k+1's device->host copy is issued asynchronously while
+    the consumer (interleave + writer) processes chunk k, hiding the remote
+    link's tens-of-MB/s behind the host merge.
+
+    The device analog of the reference's producer/consumer RABuffer channel
+    (bwt.cpp:152-190): the single-slot swap becomes an in-flight async copy.
+    Raises ValueError on overflow (callers should have checked meta first).
+    """
+    meta_exc = jax.device_get(meta_exc)
+    n = int(meta_exc[3, 0])
+    n_exc = int(meta_exc[3, 1])
+    if bool(meta_exc[3, 2]) or n_exc > EXC_CAP:
+        raise ValueError("packed RA overflowed its device buffers")
+    if n == 0:
+        return
+
+    cap = dc8.shape[1]
+    chunk = min(chunk_runs, cap)
+
+    # dynamic_slice clamps the start when start+chunk > cap: issue the last
+    # window at cap-chunk and compensate with a host-side offset
+    starts = list(range(0, n, chunk))
+    dev_starts = [min(s, cap - chunk) for s in starts]
+    slices = [_cut_chunk(dc8, jnp.int32(s), chunk) for s in dev_starts]
+    if slices:
+        slices[0].copy_to_host_async()
+
+    exc_idx = meta_exc[0, :n_exc].astype(np.int64)
+    exc_delta = meta_exc[1, :n_exc]
+    exc_count = meta_exc[2, :n_exc]
+    order = np.argsort(exc_idx, kind="stable")
+    exc_idx, exc_delta, exc_count = exc_idx[order], exc_delta[order], exc_count[order]
+
+    carry = 0
+    for k, s in enumerate(starts):
+        if k + 1 < len(slices):
+            slices[k + 1].copy_to_host_async()
+        h = np.asarray(slices[k])
+        off = s - dev_starts[k]
+        m = min(chunk, n - s)
+        delta = h[0, off:off + m].astype(np.int64)
+        counts = h[1, off:off + m].astype(np.int64)
+        lo = np.searchsorted(exc_idx, s)
+        hi = np.searchsorted(exc_idx, s + m)
+        if hi > lo:
+            loc = exc_idx[lo:hi] - s
+            delta[loc] = exc_delta[lo:hi]
+            counts[loc] = exc_count[lo:hi]
+        values = np.cumsum(delta) + carry
+        carry = int(values[-1])
+        yield values, counts
+
+
+class PackedDeviceRA:
+    """A finished search result left ON DEVICE in packed byte-plane form.
+
+    Duck-types the RankArraySpill consumption surface (stream / finish /
+    n_spill_files) so merge_fmi / merge_fmi_to_file can consume the rank
+    array without ever materializing it on the host: `stream()` yields
+    ascending chunks whose device->host copies are issued one chunk ahead
+    of the consumer (stream_packed_ra), so the remote link transfer hides
+    behind the interleave.  The device analog of the reference's
+    producer/consumer RABuffer hand-off (bwt.cpp:152-190).
+    """
+
+    prefer_stream = True      # consumers should use stream(), not finish()
+    n_spill_files = 0
+    total_spilled_bytes = 0
+
+    def __init__(self, dc8, meta_exc):
+        self.dc8 = dc8
+        self.meta = jax.device_get(meta_exc)  # blocks on the search compute
+
+    @property
+    def overflowed(self) -> bool:
+        return bool(self.meta[3, 2]) or int(self.meta[3, 1]) > EXC_CAP
+
+    @property
+    def n_runs(self) -> int:
+        return int(self.meta[3, 0])
+
+    def stream(self, chunk_runs: int | None = None):
+        if chunk_runs is None:
+            # aim for ~8 in-flight windows so the D2H copy of chunk k+1
+            # hides behind the interleave of chunk k, but keep the sizes
+            # bucketed ({1,2,4} M runs) — each distinct window length
+            # compiles its own slice program on the remote service
+            target = max(1, self.n_runs // 8)
+            chunk_runs = 1024 * 1024
+            while chunk_runs * 2 <= target and chunk_runs < 4 * 1024 * 1024:
+                chunk_runs *= 2
+        return stream_packed_ra(self.dc8, self.meta, chunk_runs)
+
+    def finish(self):
+        parts = list(self.stream())
+        if not parts:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
+
+
 def unpack_ra(dc8: np.ndarray, exc: np.ndarray, n: int, n_exc: int):
     """Host-side inverse of pack_ra_device -> sorted (values, counts).
 

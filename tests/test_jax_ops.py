@@ -316,6 +316,50 @@ class TestSearchAndPack:
         assert np.array_equal(got[0], want[0])
         assert np.array_equal(got[1], want[1])
 
+    def test_stream_matches_unpack(self, pair):
+        from bwtmerge_tpu.ops.search_jax import (search_and_pack,
+                                                 stream_packed_ra,
+                                                 unpack_search)
+
+        _, _, a, b = pair
+        a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+        dc8, meta_exc = search_and_pack(
+            a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
+            a.sequences(), frontier_cap=4096, emit_cap=65536)
+        v, c, ovf = unpack_search(dc8, meta_exc)
+        assert not ovf
+        # odd chunk size forces several chunks incl. a clamped final window
+        chunks = list(stream_packed_ra(dc8, meta_exc, chunk_runs=37))
+        assert len(chunks) > 1
+        for cv, _ in chunks:  # each chunk strictly ascending a-positions
+            assert np.all(np.diff(cv) > 0)
+        got_v = np.concatenate([x[0] for x in chunks])
+        got_c = np.concatenate([x[1] for x in chunks])
+        assert np.array_equal(got_v, v)
+        assert np.array_equal(got_c, c)
+
+    def test_stream_exceptions_across_chunk_boundaries(self, rng):
+        from bwtmerge_tpu.ops.search_jax import (pack_ra_device,
+                                                 stream_packed_ra)
+
+        # sparse large values -> every delta routes through the exception
+        # table; tiny chunks make most exceptions land mid-stream
+        values = np.sort(rng.choice(50_000_000, size=300, replace=False))
+        counts = rng.integers(1, 100_000, size=300)
+        E = 512
+        v = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(values, jnp.int32))
+        c = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(counts, jnp.int32))
+        dc8, exc, n_u, n_exc = pack_ra_device(v, c, jnp.int32(300))
+        meta = jnp.zeros((1, exc.shape[1]), jnp.int32)
+        meta = meta.at[0, 0].set(n_u).at[0, 1].set(n_exc)
+        meta_exc = jnp.concatenate([exc, meta], axis=0)
+        chunks = list(stream_packed_ra(dc8, meta_exc, chunk_runs=7))
+        got_v = np.concatenate([x[0] for x in chunks])
+        got_c = np.concatenate([x[1] for x in chunks])
+        assert np.array_equal(got_v, values)
+        assert np.array_equal(got_c, counts)
+
     def test_overflow_reported(self, pair):
         from bwtmerge_tpu.ops.search_jax import search_and_pack, unpack_search
 

@@ -133,10 +133,13 @@ class TestInterleaveBackendChoice:
 
 class TestDeviceOverflowFallback:
     def test_fallback_to_host_driver(self, rng, monkeypatch):
-        """When the sharded device search overflows its static buffers, the
-        merge must fall back to the streaming host driver and still match."""
+        """When the single-program device search overflows its static
+        buffers, the merge must fall back to the streaming host driver and
+        still match."""
+        import jax.numpy as jnp
+
         from bwtmerge_tpu.models import oracle
-        from bwtmerge_tpu.parallel import mesh as mesh_mod
+        from bwtmerge_tpu.ops import search_jax as sj
 
         a_seqs = oracle.random_collection(rng, 5, 10, 50)
         b_seqs = oracle.random_collection(rng, 4, 10, 50)
@@ -144,10 +147,12 @@ class TestDeviceOverflowFallback:
         b = FMI.from_runs(oracle.build_bwt(b_seqs))
 
         calls = {"n": 0}
-        def fake_sharded(*args, **kwargs):
+
+        def fake_pack(*args, **kwargs):
             calls["n"] += 1
-            return (np.zeros(0, np.int64), np.zeros(0, np.int64), True)
-        monkeypatch.setattr(mesh_mod, "sharded_rank_array", fake_sharded)
+            meta = jnp.zeros((4, sj.EXC_CAP), jnp.int32).at[3, 2].set(1)
+            return jnp.zeros((2, 64), jnp.uint8), meta
+        monkeypatch.setattr(sj, "search_and_pack", fake_pack)
 
         merged = merge_fmi(a, b, MergeConfig(backend="jax"))
         assert calls["n"] == 1  # the device path was attempted and overflowed
