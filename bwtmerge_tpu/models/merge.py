@@ -158,7 +158,7 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
         # host round trips are expensive on remote-attached TPUs, so the
         # host-driven streaming driver below is only the fallback for inputs
         # whose frontier/emission sizes overflow the static device buffers.
-        from ..parallel.mesh import make_mesh, sharded_rank_array
+        from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(config.devices)
         n_dev = mesh.devices.size
@@ -186,12 +186,15 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
                 if not packed.overflowed:
                     return packed
             else:
-                values, counts, overflow = sharded_rank_array(
+                # multi-device: per-device packed RAs stream through a k-way
+                # chunk merge on the host, again no full materialization
+                from ..parallel.mesh import sharded_packed_ra
+
+                packed = sharded_packed_ra(
                     a_idx, b_idx, a.sequences(), b.sequences(), mesh=mesh,
                     frontier_cap=fcap, emit_cap=ecap)
-                if not overflow:
-                    spill.emit(values, counts)
-                    return spill
+                if packed is not None:
+                    return packed
 
         blocks = get_bounds((0, b.sequences() - 1), max(1, config.sequence_blocks))
         for blk in blocks:

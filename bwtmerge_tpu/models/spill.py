@@ -75,6 +75,65 @@ class _SpillFile:
             pass
 
 
+class _ChunkSource:
+    """Adapter: ascending (values, counts) chunk iterator -> the buffered
+    head/refill/take_until surface _SpillFile exposes, so iterator sources
+    join the same k-way frontier merge."""
+
+    def __init__(self, it):
+        self._it = it
+        self.head_values = np.zeros(0, np.int64)
+        self.head_counts = np.zeros(0, np.int64)
+        self.exhausted = False
+
+    def refill(self, chunk_runs: int) -> None:
+        while not self.exhausted and self.head_values.size < chunk_runs:
+            try:
+                v, c = next(self._it)
+            except StopIteration:
+                self.exhausted = True
+                return
+            if v.size:
+                self.head_values = np.concatenate([self.head_values, v])
+                self.head_counts = np.concatenate([self.head_counts, c])
+
+    take_until = _SpillFile.take_until
+    done = _SpillFile.done
+
+
+def merge_ra_chunk_streams(iters, chunk_runs: int = 4 * 1024 * 1024):
+    """K-way merge of ascending sorted-unique (values, counts) chunk streams
+    into one ascending sorted-unique chunk stream, summing duplicate values.
+
+    The multi-device analog of RankArraySpill.stream's disk merge: each
+    device's PackedDeviceRA.stream() is one source, so a mesh-sharded search
+    result streams device->host->interleave without ever materializing the
+    combined rank array (reference counterpart: the RankArray k-way disk
+    merge, support.h:576-638, with devices in place of temp files)."""
+    from ..ops.search_np import compact_rank_array
+
+    sources = [_ChunkSource(iter(it)) for it in iters]
+    while True:
+        for s in sources:
+            s.refill(chunk_runs)
+        live = [s for s in sources if not s.done()]
+        if not live:
+            return
+        bound = min(int(s.head_values[-1]) for s in live
+                    if s.head_values.size)
+        parts_v, parts_c = [], []
+        for s in live:
+            v, c = s.take_until(bound)
+            if v.size:
+                parts_v.append(v)
+                parts_c.append(c)
+        if parts_v:
+            merged = compact_rank_array(np.concatenate(parts_v),
+                                        np.concatenate(parts_c))
+            if merged[0].size:
+                yield merged
+
+
 class RankArraySpill:
     """Rank-array accumulator with bounded host memory.
 

@@ -619,8 +619,11 @@ def stream_packed_ra(dc8, meta_exc, chunk_runs: int = 4 * 1024 * 1024):
     starts = list(range(0, n, chunk))
     dev_starts = [min(s, cap - chunk) for s in starts]
     slices = [_cut_chunk(dc8, jnp.int32(s), chunk) for s in dev_starts]
-    if slices:
-        slices[0].copy_to_host_async()
+    # issue EVERY chunk's D2H copy up front: the link then streams them
+    # back-to-back (one in-flight copy leaves each chunk's ~RTT exposed);
+    # host-side peak is the same 2 B/run the consumer retires in order
+    for s in slices:
+        s.copy_to_host_async()
 
     exc_idx = meta_exc[0, :n_exc].astype(np.int64)
     exc_delta = meta_exc[1, :n_exc]
@@ -630,9 +633,8 @@ def stream_packed_ra(dc8, meta_exc, chunk_runs: int = 4 * 1024 * 1024):
 
     carry = 0
     for k, s in enumerate(starts):
-        if k + 1 < len(slices):
-            slices[k + 1].copy_to_host_async()
         h = np.asarray(slices[k])
+        slices[k] = None  # release the device slice + its host copy
         off = s - dev_starts[k]
         m = min(chunk, n - s)
         delta = h[0, off:off + m].astype(np.int64)

@@ -63,6 +63,131 @@ def sequence_shards(n_sequences: int, n_shards: int) -> np.ndarray:
     return bounds
 
 
+def _sharded_search_packed(a_idx, b_idx, a_sequences, b_sequences, mesh,
+                           frontier_cap, emit_cap, b_seq_offset, streamed):
+    """Run the whole search + device-side packing as ONE shard_map program:
+    each device wavefront-searches its own B-sequence block and sorts +
+    byte-packs its RA runs in place (8 B/run -> 2 B/run over the host link).
+    Returns the still-sharded device outputs (dc8, exc, n_emit, n_exc,
+    overflow) plus the mesh size."""
+    from ..ops.search_jax import default_streamed
+
+    if streamed is None:
+        streamed = default_streamed()
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    bounds = sequence_shards(b_sequences, n_dev) + np.int32(b_seq_offset)
+
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P(SEQ_AXIS))
+
+    a_dev = jax.device_put(a_idx, replicated)
+    b_dev = jax.device_put(b_idx, replicated)
+    sp = jax.device_put(jnp.asarray(bounds[:, 0]), sharded)
+    ep = jax.device_put(jnp.asarray(bounds[:, 1]), sharded)
+
+    def per_shard(a, b, sp, ep):
+        # shard_map guarantees everything runs device-local; the only
+        # cross-device traffic is the final result gather.
+        from ..ops.search_jax import pack_ra_device
+
+        def fn(s, e):
+            v, c, n, ovf = wavefront_search_device2(
+                a, b, s, e, a_sequences,
+                frontier_cap=frontier_cap, emit_cap=emit_cap,
+                streamed=streamed)
+            dc8, exc, n_u, n_exc = pack_ra_device(v, c, n)
+            return dc8, exc, n_u, n_exc, ovf
+        return jax.vmap(fn)(sp, ep)
+
+    # check_vma=False: the streamed-probe path calls pallas_call inside this
+    # shard_map, and pallas outputs carry no varying-mesh-axes annotation.
+    search_all = jax.jit(jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), P(), P(SEQ_AXIS), P(SEQ_AXIS)),
+        out_specs=P(SEQ_AXIS), check_vma=False))
+
+    dc8, exc, n_emit, n_exc, overflow = search_all(a_dev, b_dev, sp, ep)
+    return dc8, exc, n_emit, n_exc, overflow, n_dev
+
+
+class ShardedPackedRA:
+    """Mesh-sharded search result left packed on its devices.
+
+    Like PackedDeviceRA but one packed buffer per device: stream() k-way
+    merges the per-device ascending chunk streams (values overlap across
+    devices — different B-blocks insert at arbitrary A-positions) while each
+    device's D2H copies run eagerly in the background.  Duck-types the
+    RankArraySpill consumption surface."""
+
+    prefer_stream = True
+    n_spill_files = 0
+    total_spilled_bytes = 0
+
+    def __init__(self, shards):
+        self.shards = shards  # [(dc8 on device d [2, E], meta int32[4, EXC_CAP] host)]
+
+    @property
+    def n_runs(self) -> int:
+        return sum(int(m[3, 0]) for _, m in self.shards)
+
+    def stream(self, chunk_runs: int = 4 * 1024 * 1024):
+        from ..models.spill import merge_ra_chunk_streams
+        from ..ops.search_jax import stream_packed_ra
+
+        return merge_ra_chunk_streams(
+            [stream_packed_ra(d, m) for d, m in self.shards],
+            chunk_runs=chunk_runs)
+
+    def finish(self):
+        parts = list(self.stream())
+        if not parts:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
+
+
+def sharded_packed_ra(
+    a_idx: DeviceFMIndex,
+    b_idx: DeviceFMIndex,
+    a_sequences: int,
+    b_sequences: int,
+    mesh: Optional[Mesh] = None,
+    frontier_cap: int = 4096,
+    emit_cap: int = 65536,
+    b_seq_offset: int = 0,
+    streamed: Optional[bool] = None,
+) -> Optional[ShardedPackedRA]:
+    """Mesh-parallel rank array that STAYS on the devices: returns a
+    ShardedPackedRA whose stream() feeds the merge phase directly, or None
+    when any shard overflowed its static buffers (caller falls back to the
+    host driver)."""
+    from ..ops.search_jax import EXC_CAP
+
+    dc8, exc, n_emit, n_exc, overflow, n_dev = _sharded_search_packed(
+        a_idx, b_idx, a_sequences, b_sequences, mesh, frontier_cap,
+        emit_cap, b_seq_offset, streamed)
+
+    n_emit_h = np.asarray(n_emit)
+    n_exc_h = np.asarray(n_exc)
+    if bool(np.asarray(overflow).any()) or bool((n_exc_h > EXC_CAP).any()):
+        return None
+
+    exc_h = np.asarray(exc)
+    shards = []
+    for shard in dc8.addressable_shards:
+        d = shard.index[0].start or 0  # row of this device's packed buffer
+        n = int(n_emit_h[d])
+        if n == 0:
+            continue
+        meta = np.zeros((4, exc_h.shape[2]), np.int32)
+        meta[:3] = exc_h[d]
+        meta[3, 0] = n
+        meta[3, 1] = n_exc_h[d]
+        shards.append((shard.data[0], meta))
+    return ShardedPackedRA(shards)
+
+
 def sharded_rank_array(
     a_idx: DeviceFMIndex,
     b_idx: DeviceFMIndex,
@@ -86,49 +211,13 @@ def sharded_rank_array(
     passes its own block's start so the mesh shards cover
     [offset, offset + b_sequences - 1] (distributed.py).
     """
-    from ..ops.search_jax import default_streamed
     from ..ops.search_np import compact_rank_array
 
-    if streamed is None:
-        streamed = default_streamed()
-    mesh = mesh or make_mesh()
-    n_dev = mesh.devices.size
-    bounds = sequence_shards(b_sequences, n_dev) + np.int32(b_seq_offset)
-
-    replicated = NamedSharding(mesh, P())
-    sharded = NamedSharding(mesh, P(SEQ_AXIS))
-
-    a_dev = jax.device_put(a_idx, replicated)
-    b_dev = jax.device_put(b_idx, replicated)
-    sp = jax.device_put(jnp.asarray(bounds[:, 0]), sharded)
-    ep = jax.device_put(jnp.asarray(bounds[:, 1]), sharded)
-
-    def per_shard(a, b, sp, ep):
-        # One device: search the local block(s), then sort + byte-pack the
-        # emitted RA runs in place (8 B/run -> 2 B/run over the host link).
-        # shard_map guarantees everything runs device-local; the only
-        # cross-device traffic is the final result gather.
-        from ..ops.search_jax import pack_ra_device
-
-        def fn(s, e):
-            v, c, n, ovf = wavefront_search_device2(
-                a, b, s, e, a_sequences,
-                frontier_cap=frontier_cap, emit_cap=emit_cap,
-                streamed=streamed)
-            dc8, exc, n_u, n_exc = pack_ra_device(v, c, n)
-            return dc8, exc, n_u, n_exc, ovf
-        return jax.vmap(fn)(sp, ep)
-
-    # check_vma=False: the streamed-probe path calls pallas_call inside this
-    # shard_map, and pallas outputs carry no varying-mesh-axes annotation.
-    search_all = jax.jit(jax.shard_map(
-        per_shard, mesh=mesh,
-        in_specs=(P(), P(), P(SEQ_AXIS), P(SEQ_AXIS)),
-        out_specs=P(SEQ_AXIS), check_vma=False))
+    dc8, exc, n_emit, n_exc, overflow, n_dev = _sharded_search_packed(
+        a_idx, b_idx, a_sequences, b_sequences, mesh, frontier_cap,
+        emit_cap, b_seq_offset, streamed)
 
     from ..ops.search_jax import EXC_CAP, unpack_ra
-
-    dc8, exc, n_emit, n_exc, overflow = search_all(a_dev, b_dev, sp, ep)
 
     n_emit = np.asarray(n_emit)
     n_exc = np.asarray(n_exc)

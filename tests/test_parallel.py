@@ -59,6 +59,64 @@ class TestShardedRankArray:
         assert np.array_equal(v, want[0])
         assert np.array_equal(c, want[1])
 
+    def test_sharded_packed_ra_stream_matches(self, rng):
+        """ShardedPackedRA: per-device packed buffers stream through the
+        k-way chunk merge and equal the materialized sharded rank array."""
+        from bwtmerge_tpu.parallel.mesh import sharded_packed_ra
+
+        a_seqs = oracle.random_collection(rng, 8, 10, 60)
+        b_seqs = oracle.random_collection(rng, 12, 10, 60)
+        a, b = _fmi(a_seqs), _fmi(b_seqs)
+        mesh = make_mesh(8)
+        a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+        want_v, want_c, overflow = sharded_rank_array(
+            a_idx, b_idx, a.sequences(), b.sequences(), mesh=mesh,
+            frontier_cap=2048, emit_cap=32768)
+        assert not overflow
+
+        packed = sharded_packed_ra(
+            a_idx, b_idx, a.sequences(), b.sequences(), mesh=mesh,
+            frontier_cap=2048, emit_cap=32768)
+        assert packed is not None
+        assert packed.n_runs >= want_v.size  # pre-merge runs may overlap
+        # tiny chunks force boundary handling in the k-way merge
+        parts = list(packed.stream(chunk_runs=173))
+        prev_last = -1
+        for pv, _ in parts:
+            assert np.all(np.diff(pv) > 0)
+            assert pv[0] > prev_last  # chunks never overlap
+            prev_last = int(pv[-1])
+        got_v = np.concatenate([p[0] for p in parts])
+        got_c = np.concatenate([p[1] for p in parts])
+        assert np.array_equal(got_v, want_v)
+        assert np.array_equal(got_c, want_c)
+
+    def test_merge_ra_chunk_streams_host(self, rng):
+        """Pure-host k-way chunk merge: overlapping ascending streams sum
+        their duplicate values."""
+        from bwtmerge_tpu.models.spill import merge_ra_chunk_streams
+        from bwtmerge_tpu.ops.search_np import compact_rank_array
+
+        streams, all_v, all_c = [], [], []
+        for _ in range(3):
+            n = int(rng.integers(50, 400))
+            v = np.sort(rng.choice(5000, size=n, replace=False)).astype(np.int64)
+            c = rng.integers(1, 9, size=n).astype(np.int64)
+            all_v.append(v)
+            all_c.append(c)
+            # split into ragged chunks
+            cuts = np.sort(rng.choice(np.arange(1, n), size=min(5, n - 1),
+                                      replace=False))
+            streams.append([(v[s:e], c[s:e]) for s, e in
+                            zip(np.r_[0, cuts], np.r_[cuts, n])])
+        want = compact_rank_array(np.concatenate(all_v), np.concatenate(all_c))
+        parts = list(merge_ra_chunk_streams(streams, chunk_runs=64))
+        got_v = np.concatenate([p[0] for p in parts])
+        got_c = np.concatenate([p[1] for p in parts])
+        assert np.array_equal(got_v, want[0])
+        assert np.array_equal(got_c, want[1])
+
     def test_streamed_probe_under_shard_map(self, rng):
         """The Pallas streamed-probe path must compose with shard_map (it
         crashed with a check_vma error on TPU before mesh.py disabled vma
