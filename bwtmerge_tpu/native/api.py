@@ -219,7 +219,13 @@ def interleave_stream_chunks(a_runs, b_runs, ra_chunks):
             raise RuntimeError(f"native interleave_chunk failed (code {n})")
         return out_s[:n], out_l[:n]
 
-    for rv, rc in ra_chunks:
+    # producer thread: the RA chunk production (device->host copies, numpy
+    # cumsum/duplicate-sum passes) overlaps the interleave, which releases
+    # the GIL inside the ctypes call — the reference's two-thread pipeline
+    # (bwt.cpp:152-190) with the RABuffer slot as a depth-2 queue
+    from ..utils.pipeline import prefetch_chunks
+
+    for rv, rc in prefetch_chunks(ra_chunks, depth=2):
         s, l = run_chunk(rv, rc, finish=False)
         if s.size:
             yield s, l

@@ -478,9 +478,12 @@ def compact_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array):
     head = live & (v != prev)          # after sort, live lanes are [0, n)
     n_u = jnp.sum(head.astype(jnp.int32))
 
-    # pack head lanes to the front (stable: heads keep ascending value order)
-    hkey = jnp.where(head, jnp.int32(0), jnp.int32(1))
-    _, uv, start = jax.lax.sort((hkey, v, lane), num_keys=1, is_stable=True)
+    # pack head lanes to the front: head lanes ascending = ascending value
+    # order, and the lane keys are UNIQUE, so a cheap non-stable 2-operand
+    # sort replaces the stable sort that dominated this function (a stable
+    # 3-operand sort of 67M lanes cost ~3 s on a v5e; this is ~0.5 s)
+    hkey = jnp.where(head, lane, jnp.int32(2**31 - 1))
+    start, uv = jax.lax.sort((hkey, v), num_keys=1, is_stable=False)
 
     # segment sums by cumsum differences: segment k spans lanes
     # [start[k], end_k) where end_k = start[k+1] (or n for the last segment)
@@ -494,22 +497,35 @@ def compact_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array):
     return uv, uc, n_u
 
 
-@jax.jit
-def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array):
-    """Sort + compact + delta/byte-pack the emitted RA runs ON DEVICE.
+@functools.partial(jax.jit, static_argnames=("compact",))
+def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array,
+                   compact: bool = True):
+    """Sort (+ optionally compact) + delta/byte-pack the RA runs ON DEVICE.
 
     Remote-attached TPUs move device->host bytes at tens of MB/s, so the RA
-    stream is fully reduced before it crosses: raw emissions are sorted and
-    duplicate a-positions summed (compact_ra_device), then the unique sorted
-    values become u8 deltas and u8 counts (the common case for read
-    collections — mean gap is small), with rare wide gaps/counts spilled to a
-    fixed exception table.  8 B/raw-run becomes 2 B/unique-run.  Returns
-    (dc8, exc, n_unique, n_exc) — unpack with unpack_ra on the host; n_exc >
-    EXC_CAP means the exception table overflowed and the caller must fall
-    back to the unpacked transfer.
+    stream is reduced before it crosses: emissions are sorted by a-position
+    and the sorted values become u8 deltas and u8 counts (the common case
+    for read collections — mean gap is small), with rare wide gaps/counts
+    spilled to a fixed exception table.  8 B/raw-run becomes 2 B/run.
+
+    compact=True additionally sums duplicate a-positions on device
+    (compact_ra_device) — two extra full-width sorts.  compact=False ships
+    the raw sorted runs (duplicates encode as delta-0 entries) and lets the
+    host's chunk consumers do the summing: at 50 Mbp scale the two sorts
+    cost ~3.5 s on a v5e while the extra transfer hides behind the
+    pipelined merge, so the streaming path wants compact=False.
+
+    Returns (dc8, exc, n_packed, n_exc) — unpack with unpack_ra on the
+    host; n_exc > EXC_CAP means the exception table overflowed and the
+    caller must fall back to the unpacked transfer.
     """
-    v, c, n_u = compact_ra_device(values, counts, n)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], 1), 0)[:, 0]
+    if compact:
+        v, c, n_u = compact_ra_device(values, counts, n)
+    else:
+        v, c = sort_ra_device(values, counts, n)
+        n_u = n
+    e = v.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (e, 1), 0)[:, 0]
     live = lane < n_u
     prev = jnp.concatenate([jnp.zeros(1, jnp.int32), v[:-1]])
     delta = jnp.where(live, v - prev, 0)  # delta[0] = values[0]
@@ -520,9 +536,13 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array):
     c8 = jnp.where(wide, 255, jnp.minimum(cnt, 254)).astype(jnp.uint8)
 
     n_exc = jnp.sum(wide.astype(jnp.int32))
-    key = jnp.where(wide, lane, jnp.int32(2**31 - 1))
-    _, exc_idx, exc_delta, exc_count = jax.lax.sort(
-        (key, lane, delta, cnt), num_keys=1, is_stable=False)
+    # top_k instead of a 4-operand full sort: the <= EXC_CAP wide lanes are
+    # selected in O(E log K); order is irrelevant (hosts assign / argsort)
+    k = min(EXC_CAP, e)
+    sel, idx = jax.lax.top_k(jnp.where(wide, lane + 1, 0), k)
+    exc_idx = sel - 1                       # -1 in unused slots (never read)
+    exc_delta = delta[idx]
+    exc_count = cnt[idx]
     # single-buffer outputs: each device->host transfer pays ~50-100 ms of
     # link latency, so the byte planes and the exception table ship as ONE
     # array each
@@ -546,13 +566,15 @@ def search_and_pack(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     (meta+exc, then the byte planes sliced to n) instead of five round trips.
 
     Returns (dc8 uint8[2, emit_cap], meta_exc int32[4, EXC_CAP]) where
-    meta_exc[3, 0:3] = (n_unique, n_exceptions, overflowed).  The unpacked
-    result is the SORTED UNIQUE rank array (duplicates summed on device).
+    meta_exc[3, 0:3] = (n_packed, n_exceptions, overflowed).  The packed
+    runs are SORTED by a-position but may repeat values (compact=False —
+    duplicate summing costs two extra full-width device sorts and is done
+    by the host chunk consumers instead).
     """
     v, c, n, ovf = wavefront_search_device2(
         a_idx, b_idx, b_sp0, b_ep0, a_sequences,
         frontier_cap=frontier_cap, emit_cap=emit_cap, streamed=streamed)
-    dc8, exc, n_u, n_exc = pack_ra_device(v, c, n)
+    dc8, exc, n_u, n_exc = pack_ra_device(v, c, n, compact=False)
     meta = jnp.zeros((1, EXC_CAP), jnp.int32)
     meta = meta.at[0, 0].set(n_u).at[0, 1].set(n_exc)
     meta = meta.at[0, 2].set(ovf.astype(jnp.int32))
@@ -582,6 +604,11 @@ def unpack_search(dc8, meta_exc) -> tuple:
         k = k // 4 * 3
     dc8 = jax.device_get(dc8[:, :k] if k < cap else dc8)
     v, c = unpack_ra(dc8[:, :n], meta_exc, n, n_exc)
+    # the packed runs are sorted but not deduplicated (pack compact=False);
+    # one linear host pass restores the sorted-unique contract
+    from .search_np import compact_sorted_rank_array
+
+    v, c = compact_sorted_rank_array(v, c)
     return v, c, False
 
 
@@ -632,6 +659,7 @@ def stream_packed_ra(dc8, meta_exc, chunk_runs: int = 4 * 1024 * 1024):
     exc_idx, exc_delta, exc_count = exc_idx[order], exc_delta[order], exc_count[order]
 
     carry = 0
+    pend_v = pend_c = None  # last run held back for cross-chunk duplicates
     for k, s in enumerate(starts):
         h = np.asarray(slices[k])
         slices[k] = None  # release the device slice + its host copy
@@ -647,7 +675,26 @@ def stream_packed_ra(dc8, meta_exc, chunk_runs: int = 4 * 1024 * 1024):
             counts[loc] = exc_count[lo:hi]
         values = np.cumsum(delta) + carry
         carry = int(values[-1])
-        yield values, counts
+        # the packed runs repeat values (device pack skips the compaction
+        # sorts); sum duplicates in one linear pass per chunk
+        head = np.empty(m, np.bool_)
+        head[0] = True
+        np.not_equal(values[1:], values[:-1], out=head[1:])
+        starts_u = np.flatnonzero(head)
+        uv = values[starts_u]
+        uc = np.add.reduceat(counts, starts_u)
+        if pend_v is not None:
+            if uv[0] == pend_v:
+                uc[0] += pend_c
+            else:
+                uv = np.concatenate([[pend_v], uv])
+                uc = np.concatenate([[pend_c], uc])
+        if k + 1 < len(starts):
+            pend_v, pend_c = int(uv[-1]), int(uc[-1])
+            uv, uc = uv[:-1], uc[:-1]
+            if uv.size == 0:
+                continue
+        yield uv, uc
 
 
 class PackedDeviceRA:

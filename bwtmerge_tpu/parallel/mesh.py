@@ -96,7 +96,11 @@ def _sharded_search_packed(a_idx, b_idx, a_sequences, b_sequences, mesh,
                 a, b, s, e, a_sequences,
                 frontier_cap=frontier_cap, emit_cap=emit_cap,
                 streamed=streamed)
-            dc8, exc, n_u, n_exc = pack_ra_device(v, c, n)
+            # compact=False: ship raw sorted runs — every host consumer
+            # (unpack+compact_rank_array, the chunk streams) sums duplicates
+            # anyway, and the device compaction is gather-bound (~4 s at
+            # 67M lanes on a v5e vs 0.4 s for the sort-only pack)
+            dc8, exc, n_u, n_exc = pack_ra_device(v, c, n, compact=False)
             return dc8, exc, n_u, n_exc, ovf
         return jax.vmap(fn)(sp, ep)
 
