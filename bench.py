@@ -204,11 +204,26 @@ def main() -> None:
         write_bwt_stream(out_path, "sga", counted(chunks), merged_alpha)
         return time.monotonic() - t0, totals["runs"], totals["bases"]
 
-    # -- warmup + spill-path cross-check: one full pass through the
-    # RankArraySpill ladder (compaction + k-way merge engaged at scale)
+    # -- warmup + spill-path cross-check.  The production chunk stream (not
+    # unpack_search's one-shot transfer) feeds the RankArraySpill ladder so
+    # compaction + disk spills + k-way merge are engaged at scale without an
+    # extra full-size D2H round (the remote link degrades unpredictably to
+    # single-digit MB/s; every avoidable transfer is variance).
+    pipelined = len(blocks) == 1
     t0 = time.monotonic()
     sink = RankArraySpill(temp_dir="/tmp", spill_threshold_runs=spill_threshold)
-    ra_runs = run_search(sink, report=True)
+    if pipelined:
+        warm = PackedDeviceRA(*search_and_pack(
+            a_idx, b_idx, jnp.int32(blocks[0][0]), jnp.int32(blocks[0][1]),
+            a.sequences(), frontier_cap=fcap, emit_cap=ecap,
+            streamed=streamed))
+        assert not warm.overflowed
+        for wv, wc in warm.stream():
+            sink.emit(wv, wc)
+        ra_runs = warm.n_runs
+        del warm
+    else:
+        ra_runs = run_search(sink, report=True)
     warmup_s = time.monotonic() - t0
     n_spill_files = sink.n_spill_files
     spilled_mb = sink.total_spilled_bytes / 1e6
@@ -220,7 +235,6 @@ def main() -> None:
         f"merged {want_bases} != {a.size()} + {b.size()}"
     out_mb = os.path.getsize(out_path) / 1e6
 
-    pipelined = len(blocks) == 1
     tries = 2 if scale == "large" else 3
 
     if pipelined:

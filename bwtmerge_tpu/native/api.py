@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import ctypes
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -163,6 +164,13 @@ def _configure_stream_interleave(lib) -> None:
         _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         _i64p, _u8p, _i64p,
     ]
+    lib.interleave_chunk_parallel.restype = ctypes.c_int64
+    lib.interleave_chunk_parallel.argtypes = [
+        _u8p, _i64p, ctypes.c_int64, _i64p,
+        _u8p, _i64p, ctypes.c_int64, _i64p,
+        _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, _i64p, _u8p, _i64p,
+    ]
     lib._bwtmerge_stream_configured = True
 
 
@@ -187,6 +195,14 @@ def interleave_stream_chunks(a_runs, b_runs, ra_chunks):
     state = np.zeros(7, dtype=np.int64)
     lib.interleave_state_init(a_lens, a_lens.size, b_lens, b_lens.size, state)
 
+    # chunk-internal thread parallelism: slices of each RA chunk interleave
+    # independently (cursor starts are prefix-sum arithmetic); the prefix
+    # sums over A/B are built ONCE per merge.  One core stays free for the
+    # producer thread feeding this generator.
+    n_threads = max(1, (os.cpu_count() or 2) - 1)
+    a_cum = np.concatenate(([0], np.cumsum(a_lens)))
+    b_cum = np.concatenate(([0], np.cumsum(b_lens)))
+
     bufs = {"s": np.empty(1 << 16, dtype=np.uint8),
             "l": np.empty(1 << 16, dtype=np.int64)}
 
@@ -202,15 +218,16 @@ def interleave_stream_chunks(a_runs, b_runs, ra_chunks):
         cap_a = min(a_span, a_remaining) + rv.size + 2
         cap_b = min(int(rc.sum()), b_remaining) + rv.size + 2
         cap = cap_a + cap_b + (a_remaining + 2 if finish else 0)
-        cap = max(cap, 16)
+        cap = max(cap + 4 * (n_threads + 1), 16)  # + per-slice seam slack
         if bufs["s"].size < cap:
             bufs["s"] = np.empty(max(cap, 2 * bufs["s"].size), dtype=np.uint8)
             bufs["l"] = np.empty(bufs["s"].size, dtype=np.int64)
         out_s, out_l = bufs["s"], bufs["l"]
-        n = lib.interleave_chunk(a_syms, a_lens, a_syms.size,
-                                 b_syms, b_lens, b_syms.size,
-                                 rv, rc, rv.size, 1 if finish else 0,
-                                 cap, state, out_s, out_l)
+        n = lib.interleave_chunk_parallel(
+            a_syms, a_lens, a_syms.size, a_cum,
+            b_syms, b_lens, b_syms.size, b_cum,
+            rv, rc, rv.size, 1 if finish else 0, n_threads,
+            cap, state, out_s, out_l)
         if n == -1:
             raise ValueError(
                 "rank-array stream inconsistent with inputs (value beyond "

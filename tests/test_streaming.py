@@ -1,6 +1,8 @@
 """Streaming writers: chunked output must be byte-identical to the batch
 writers, and the fully streaming merge must match the in-memory merge."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -84,6 +86,48 @@ class TestStreamingMerge:
         assert open(batch_path, "rb").read() == open(stream_path, "rb").read()
         runs, _, _ = read_bwt(stream_path, "native")
         assert runs == oracle.merge_collections([a_seqs, b_seqs])
+
+
+class TestParallelChunkInterleave:
+    """interleave_chunk_parallel vs the serial chunked path: same runs for
+    ragged chunk boundaries, many slices, and withheld-run coalescing."""
+
+    @pytest.mark.parametrize("chunk_runs", [17, 64, 10_000])
+    def test_matches_serial(self, rng, chunk_runs):
+        from bwtmerge_tpu.native.api import interleave_stream_chunks
+        from bwtmerge_tpu.models.runs import RunArrays
+        from bwtmerge_tpu.ops.search_np import build_rank_array
+
+        a_seqs = oracle.random_collection(rng, 12, 30, 90)
+        b_seqs = oracle.random_collection(rng, 10, 30, 90)
+        a = FMI.from_runs(oracle.build_bwt(a_seqs))
+        b = FMI.from_runs(oracle.build_bwt(b_seqs))
+        v, c = build_rank_array(
+            a.rank_index, a.alpha.C.astype(np.int64),
+            b.rank_index, b.alpha.C.astype(np.int64),
+            a.sequences(), b.sequences())
+
+        def chunks():
+            for s in range(0, v.size, chunk_runs):
+                yield v[s:s + chunk_runs], c[s:s + chunk_runs]
+
+        got = [(s.copy(), l.copy()) for s, l in
+               interleave_stream_chunks(a.runs, b.runs, chunks())]
+        syms = np.concatenate([p[0] for p in got])
+        lens = np.concatenate([p[1] for p in got])
+        merged = RunArrays.from_runs(syms, lens)
+        want = oracle.merge_collections([a_seqs, b_seqs])
+        assert merged == want
+        # maximal-run clean across every chunk boundary
+        assert np.all(syms[1:] != syms[:-1])
+
+    def test_forced_many_threads(self, rng, monkeypatch):
+        """More slices than chunks have runs for some chunks: the serial
+        fallback and the sliced path must coexist within one merge."""
+        import bwtmerge_tpu.native.api as api_mod
+
+        monkeypatch.setattr(os, "cpu_count", lambda: 9)
+        self.test_matches_serial(rng, 23)
 
 
 class TestStreamingReaders:
