@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stream", action="store_true",
                    help="stream the final merged BWT straight to the output "
                         "file (never materialized in memory; native/sga only)")
+    p.add_argument("--low-memory", action="store_true", dest="low_memory",
+                   help="destructive-profile file-to-file folds: inputs are "
+                        "released before each merge phase, which re-reads "
+                        "them in bounded windows (the reference's clearUntil "
+                        "memory profile); streaming output formats only")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler device trace of the merges to "
                         "DIR (view with TensorBoard/Perfetto)")
@@ -107,6 +112,84 @@ def _save_checkpoint(ckpt_dir, inputs, completed, index, pre) -> None:
     prev = os.path.join(ckpt_dir, f"fold_{completed - 1}.native")
     if os.path.exists(prev):
         os.remove(prev)
+
+
+def _low_memory_merge(args, inputs, in_formats, output, config,
+                      patterns, pre, post, start) -> int:
+    """File-to-file left fold via merge_files: no fold ever holds its inputs
+    and its output together (reference clearUntil profile, bwt.cpp:233-265).
+
+    Intermediates are native-format temp files (each one doubles as a crash
+    checkpoint); -v pattern verification loads one input at a time.
+    """
+    import os
+    import tempfile
+
+    from ..formats.streaming import STREAM_WRITERS
+    from ..models.merge import merge_files
+
+    if args.output_format not in STREAM_WRITERS:
+        print(f"bwt_merge: --low-memory needs a streaming output format "
+              f"({', '.join(sorted(STREAM_WRITERS))}), not "
+              f"'{args.output_format}'", file=sys.stderr)
+        return 1
+    if args.checkpoint:
+        print("Warning: --checkpoint ignored with --low-memory (every "
+              "intermediate fold is already a file)", file=sys.stderr)
+
+    if patterns:
+        for name, fmt in zip(inputs, in_formats):
+            fmi = load_fmi(name, fmt)
+            verify_fmi(fmi, "Input", patterns, pre, verbose=not args.quiet,
+                       use_device=args.backend == "jax")
+            del fmi
+
+    bytes_added = 0
+    cur, cur_fmt = inputs[0], in_formats[0]
+    tmp_prev = None
+    for i in range(1, len(inputs)):
+        last = i == len(inputs) - 1
+        if last:
+            dst, dst_fmt = output, args.output_format
+        else:
+            fd, dst = tempfile.mkstemp(suffix=".native", prefix=".bwtmerge_fold_",
+                                       dir=config.temp_dir)
+            os.close(fd)
+            dst_fmt = "native"
+        merge_start = time.monotonic()
+        stats: dict = {}
+        with config.timer.device_trace(args.profile):
+            merge_files(cur, inputs[i], dst, in_fmt=cur_fmt, out_fmt=dst_fmt,
+                        config=config, stats=stats, in_fmt_b=in_formats[i])
+        bytes_added += stats.get("b_bases", 0)
+        if not args.quiet:
+            secs = time.monotonic() - merge_start
+            print(f"Merged {inputs[i]}: "
+                  f"{in_megabytes(stats.get('b_bases', 0)) / max(secs, 1e-9):.2f} MB/s")
+        if tmp_prev:
+            os.remove(tmp_prev)
+        tmp_prev = None if last else dst
+        cur, cur_fmt = dst, dst_fmt
+
+    status = 0
+    if patterns or args.print_hash:
+        index = load_fmi(output, args.output_format)
+        verify_fmi(index, "Output", patterns, post, verbose=not args.quiet,
+                   use_device=args.backend == "jax")
+        if args.print_hash:
+            print(f"Hash:             {index.hash():016x}")
+        if patterns:
+            errors = int(np.sum(pre != post))
+            if errors:
+                print(f"Verification failed for {errors} patterns")
+                status = 2
+            else:
+                print("Verification successful")
+            print("")
+
+    if not args.quiet:
+        report_totals(time.monotonic() - start, bytes_added)
+    return status
 
 
 def main(argv=None) -> int:
@@ -169,6 +252,10 @@ def main(argv=None) -> int:
         chars = sum(len(p) for p in patterns)
         print(f"Read {len(patterns)} patterns of total length {chars}")
         print("")
+
+    if args.low_memory:
+        return _low_memory_merge(args, inputs, in_formats, output, config,
+                                 patterns, pre, post, start)
 
     # Resume from a checkpointed fold when available (the reference's de-facto
     # restartability — any pairwise boundary is a native-format checkpoint —

@@ -129,6 +129,72 @@ def merge_fmi_to_file(a: FMI, b: FMI, path: str, fmt: str = "native",
         config.timer.report(b.size())
 
 
+def merge_files(a_path: str, b_path: str, out_path: str,
+                in_fmt: str = "native", out_fmt: str = "native",
+                config: Optional[MergeConfig] = None,
+                window_positions: int = 1 << 24,
+                stats: Optional[dict] = None,
+                in_fmt_b: Optional[str] = None) -> None:
+    """Destructive-profile merge: two BWT files -> one merged BWT file.
+
+    The reference's merging constructor destroys both inputs as it consumes
+    them (FMI::FMI(a, b), fmi.cpp:336-369; BlockArray::clearUntil,
+    bwt.cpp:233-265) so peak memory never holds inputs AND output together.
+    Here the same profile comes from streams: the inputs are released
+    entirely before the merge phase, which re-reads both files as bounded
+    run-chunk windows (native/windowed.py) and streams the merged runs
+    straight into the chunked format writer.  Peak host memory:
+
+      search phase:  inputs + rank structures (as in the reference)
+      merge phase:   O(window_positions) + spill buffers — independent of
+                     |A|, |B|, and the output size.
+
+    `stats`, when given, receives the windowed interleave's peak window
+    occupancy for observability/testing.
+    """
+    config = (config or MergeConfig()).sanitize()
+    config.timer.verbose = config.verbose
+
+    from ..formats.streaming import write_bwt_stream
+    from ..formats.streaming_read import read_bwt_chunks, read_bwt_streaming
+    from ..native.windowed import interleave_windowed_chunks
+
+    in_fmt_b = in_fmt_b or in_fmt
+    with config.timer.phase("input read"):
+        runs_a, _, alpha_a = read_bwt_streaming(a_path, in_fmt)
+        runs_b, _, alpha_b = read_bwt_streaming(b_path, in_fmt_b)
+        if alpha_a != alpha_b:
+            raise ValueError("cannot merge BWTs with different alphabets")
+        a = FMI(runs=runs_a, alpha=alpha_a)
+        b = FMI(runs=runs_b, alpha=alpha_b)
+        del runs_a, runs_b
+
+    with config.timer.phase("search (rank array)"):
+        ra = _build_ra_spill(a, b, config)
+
+    alpha = type(a.alpha)(
+        char2comp=a.alpha.char2comp.copy(),
+        comp2char=a.alpha.comp2char.copy(),
+        C=(a.alpha.C.astype(np.int64) + b.alpha.C.astype(np.int64)).astype(np.uint64),
+    )
+    b_size = b.size()
+    if stats is not None:
+        stats["a_bases"] = a.size()
+        stats["b_bases"] = b_size
+    # destroy the inputs (the rank array is device/spill-resident); the
+    # merge phase below re-reads the files in bounded windows
+    del a, b
+
+    with config.timer.phase("merge (windowed interleave+write)"):
+        chunks = interleave_windowed_chunks(
+            read_bwt_chunks(a_path, in_fmt), read_bwt_chunks(b_path, in_fmt_b),
+            ra.stream(), window_positions=window_positions, stats=stats)
+        write_bwt_stream(out_path, out_fmt, chunks, alpha)
+
+    if config.verbose:
+        config.timer.report(b_size)
+
+
 def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
     """Run the search phase, emitting into a spill-backed accumulator.
 

@@ -1,0 +1,277 @@
+"""Windowed streaming interleave: bounded host memory over chunked inputs.
+
+The destructive-merge memory profile of the reference (BlockArray::clearUntil,
+bwt.cpp:233-265, frees every consumed input block mid-merge so peak memory is
+output + buffers) re-derived for the chunk-stream design: instead of freeing
+blocks of resident inputs, the inputs are never resident at all.  A and B
+arrive as ascending (syms, lens) run chunks (e.g. formats.streaming_read
+.read_bwt_chunks), a sliding window holds only the span the current
+rank-array chunk touches, and consumed runs are dropped as the merge
+advances.  Peak host memory of the merge phase is O(window), independent of
+|A|, |B|, and the output size.
+
+Correctness hinges on two invariants of the stateful native kernel
+(native/src/interleave.cpp interleave_chunk):
+
+* The kernel's cursors are plain (run, remaining) pairs and the rank-array
+  values are positions — both translate under a common rebasing, so a window
+  starting at absolute position p behaves identically to the full array once
+  every coordinate is shifted by -p.
+* A rank-array run (v, k) may be split into (v', 0) gap fills (advance A
+  only) and repeated (v, k_i) count splits (emit B only) without changing
+  the merged sequence, because interleave_span treats `while a_pos < v` and
+  `while k > 0` independently.  Rewriting the RA stream this way bounds the
+  A-span and B-count of every kernel call by the window size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+RunChunk = Tuple[np.ndarray, np.ndarray]
+
+
+class _Window:
+    """Sliding window over an ascending stream of (syms, lens) run chunks.
+
+    Tracks the absolute text position of the window start (`base_pos`); runs
+    before it have been consumed and dropped.  `extend_to(pos)` pulls chunks
+    until the window covers absolute position `pos` (or the stream ends);
+    `trim(pos)` drops whole runs that end at or before absolute position
+    `pos`.  Seam runs are coalesced so a run split across source chunks
+    never inflates the run count.
+    """
+
+    def __init__(self, chunks):
+        self._it = iter(chunks)
+        self.syms = np.zeros(0, dtype=np.uint8)
+        self.lens = np.zeros(0, dtype=np.int64)
+        self.cum = np.zeros(1, dtype=np.int64)  # exclusive prefix over lens
+        self.base_pos = 0
+        self.exhausted = False
+        self.max_window = 0  # peak positions held (observability/tests)
+
+    @property
+    def end_pos(self) -> int:
+        return self.base_pos + int(self.cum[-1])
+
+    def extend_to(self, pos: int) -> None:
+        if self.exhausted or pos <= self.end_pos:
+            return
+        add_s, add_l = [], []
+        got = self.end_pos
+        while got < pos:
+            try:
+                s, l = next(self._it)
+            except StopIteration:
+                self.exhausted = True
+                break
+            s = np.ascontiguousarray(s, dtype=np.uint8)
+            l = np.ascontiguousarray(l, dtype=np.int64)
+            if s.size == 0:
+                continue
+            add_s.append(s)
+            add_l.append(l)
+            got += int(l.sum())
+        if add_s:
+            syms = np.concatenate([self.syms] + add_s)
+            lens = np.concatenate([self.lens] + add_l)
+            # coalesce seams (source chunks may split runs at boundaries)
+            if syms.size > 1:
+                keep = np.empty(syms.size, dtype=bool)
+                keep[0] = True
+                np.not_equal(syms[1:], syms[:-1], out=keep[1:])
+                if not keep.all():
+                    idx = np.flatnonzero(keep)
+                    lens = np.add.reduceat(lens, idx)
+                    syms = syms[idx]
+            self.syms, self.lens = syms, lens
+            self.cum = np.concatenate(([0], np.cumsum(lens)))
+            self.max_window = max(self.max_window, int(self.cum[-1]))
+
+    def trim(self, pos: int) -> None:
+        """Drop runs fully consumed below absolute position `pos`."""
+        rel = pos - self.base_pos
+        if rel <= 0:
+            return
+        k = int(np.searchsorted(self.cum, rel, side="right")) - 1
+        k = min(k, self.syms.size)  # keep a partially consumed run
+        if k <= 0:
+            return
+        dropped = int(self.cum[k])
+        self.syms = self.syms[k:]
+        self.lens = self.lens[k:]
+        self.cum = self.cum[k:] - dropped
+        self.base_pos += dropped
+
+    def cursor(self, pos: int) -> Tuple[int, int]:
+        """(run, remaining) window-relative cursor at absolute position."""
+        rel = pos - self.base_pos
+        run = int(np.searchsorted(self.cum, rel, side="right")) - 1
+        if run >= self.syms.size:
+            return self.syms.size, 0
+        return run, int(self.cum[run + 1] - rel)
+
+
+def _bounded_ra(ra_chunks, limit: int, a_start: int = 0
+                ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Rewrite ascending (values, counts) RA chunks so every yielded chunk
+    spans <= limit A positions and <= limit B positions.
+
+    Long A gaps become zero-count fill runs; long B counts repeat the value.
+    Both rewrites are no-ops on the merged sequence (see module docstring).
+    """
+    a0 = a_start
+    for rv, rc in ra_chunks:
+        rv = np.ascontiguousarray(rv, dtype=np.int64)
+        rc = np.ascontiguousarray(rc, dtype=np.int64)
+        if rv.size == 0:
+            continue
+        if int(rv[-1]) - a0 <= limit and int(rc.sum()) <= limit:
+            a0 = int(rv[-1])
+            yield rv, rc
+            continue
+
+        # 1) split big counts: run i expands to ceil(k/limit) copies
+        n_rep = np.maximum(1, -(-rc // limit))
+        # 2) gap fills BEFORE run i: ceil(gap/limit) - 1 zero-count runs
+        prev = np.concatenate(([a0], rv[:-1]))
+        gaps = rv - prev
+        n_fill = np.maximum(0, -(-gaps // limit) - 1)
+
+        tot = n_rep + n_fill
+        out_n = int(tot.sum())
+        starts = np.concatenate(([0], np.cumsum(tot)))[:-1]
+        # expansion slot j of run i: local index l = j - starts[i]
+        owner = np.repeat(np.arange(rv.size), tot)
+        local = np.arange(out_n) - starts[owner]
+        is_fill = local < n_fill[owner]
+        vals = np.where(
+            is_fill,
+            prev[owner] + (local + 1) * limit,
+            rv[owner])
+        # counts: fills 0; rep slot r = local - n_fill gets `limit`, last
+        # slot gets the remainder
+        r = local - n_fill[owner]
+        last = r == (n_rep[owner] - 1)
+        rem = rc[owner] - (n_rep[owner] - 1) * limit
+        cnts = np.where(is_fill, 0, np.where(last, rem, limit))
+
+        # 3) greedy partition: each sub-chunk spans <= limit and sums <= limit
+        csum = np.concatenate(([0], np.cumsum(cnts)))
+        s = 0
+        base = a0
+        while s < out_n:
+            e1 = int(np.searchsorted(vals, base + limit, side="right"))
+            e2 = int(np.searchsorted(csum, csum[s] + limit, side="right")) - 1
+            e = max(s + 1, min(e1, e2))
+            yield vals[s:e], cnts[s:e]
+            base = int(vals[e - 1])
+            s = e
+        a0 = int(rv[-1])
+
+
+def interleave_windowed_chunks(
+    a_chunks, b_chunks, ra_chunks, *,
+    window_positions: int = 1 << 24,
+    stats: Optional[dict] = None,
+) -> Iterator[RunChunk]:
+    """Merged (syms, lens) run chunks from chunked A, B, and rank-array
+    streams, holding O(window_positions) host memory.
+
+    The bounded-memory sibling of interleave_stream_chunks (native/api.py):
+    same maximal-run-clean output contract (yielded arrays are views valid
+    until the next iteration), but A and B are chunk ITERATORS — e.g.
+    read_bwt_chunks over the source files — instead of resident RunArrays.
+    `stats`, when given, receives {"max_window_positions": peak} on exit.
+    """
+    from .api import _configure_stream_interleave, _lib
+
+    lib = _lib()
+    _configure_stream_interleave(lib)
+
+    limit = max(int(window_positions), 1024)
+    a_win = _Window(a_chunks)
+    b_win = _Window(b_chunks)
+    a_pos = 0  # absolute A positions consumed
+    b_pos = 0  # absolute B positions consumed
+    withheld_sym, withheld_len = 0, 0
+    state = np.zeros(7, dtype=np.int64)
+    bufs = {"s": np.empty(1 << 16, dtype=np.uint8),
+            "l": np.empty(1 << 16, dtype=np.int64)}
+
+    def call(rv_abs, rc, finish):
+        nonlocal a_pos, b_pos, withheld_sym, withheld_len
+        need_a = int(rv_abs[-1]) if rv_abs.size else a_pos
+        need_b = b_pos + int(rc.sum())
+        a_win.extend_to(need_a)
+        b_win.extend_to(need_b)
+        if a_win.end_pos < need_a or b_win.end_pos < need_b:
+            raise ValueError(
+                "rank-array stream inconsistent with inputs (value beyond "
+                "|A| or counts beyond |B|)")
+        ar, arem = a_win.cursor(a_pos)
+        br, brem = b_win.cursor(b_pos)
+        state[0], state[1] = ar, arem
+        state[2], state[3] = br, brem
+        state[4] = a_pos - a_win.base_pos
+        state[5], state[6] = withheld_sym, withheld_len
+        rv = rv_abs - a_win.base_pos
+        # emitted-run bound (same shape as api.run_chunk's): A fragments +
+        # B fragments + one split per RA run + finish tail
+        cap = ((a_win.syms.size - ar) + (b_win.syms.size - br)
+               + 2 * rv.size + 8)
+        if bufs["s"].size < cap:
+            bufs["s"] = np.empty(max(cap, 2 * bufs["s"].size), dtype=np.uint8)
+            bufs["l"] = np.empty(bufs["s"].size, dtype=np.int64)
+        n = lib.interleave_chunk(
+            a_win.syms, a_win.lens, a_win.syms.size,
+            b_win.syms, b_win.lens, b_win.syms.size,
+            rv, rc, rv.size, 1 if finish else 0,
+            cap, state, bufs["s"], bufs["l"])
+        if n == -1:
+            raise ValueError(
+                "rank-array stream inconsistent with inputs (value beyond "
+                "|A| or counts not covering |B|)")
+        if n < 0:
+            raise RuntimeError(f"native interleave_chunk failed (code {n})")
+        if rv_abs.size:
+            a_pos = int(rv_abs[-1])
+        b_pos = need_b
+        withheld_sym, withheld_len = int(state[5]), int(state[6])
+        a_win.trim(a_pos)
+        b_win.trim(b_pos)
+        return bufs["s"][:n], bufs["l"][:n]
+
+    for rv, rc in _bounded_ra(ra_chunks, limit):
+        s, l = call(rv, rc, finish=False)
+        if s.size:
+            yield s, l
+
+    # drain the A tail windowed: advance in <= limit steps until the source
+    # is exhausted, then a finishing call (which also checks B coverage)
+    while True:
+        a_win.extend_to(a_pos + limit)
+        tail_end = a_win.end_pos
+        if a_win.exhausted and tail_end <= a_pos + limit:
+            rv = (np.array([tail_end], dtype=np.int64)
+                  if tail_end > a_pos else np.zeros(0, dtype=np.int64))
+            s, l = call(rv, np.zeros(rv.size, dtype=np.int64), finish=True)
+            if not b_win.exhausted:
+                # pull one more chunk to distinguish "consumed exactly"
+                b_win.extend_to(b_pos + 1)
+            if b_win.end_pos != b_pos:
+                raise ValueError("rank-array stream did not cover all of B")
+            if s.size:
+                yield s, l
+            break
+        step = np.array([a_pos + limit], dtype=np.int64)
+        s, l = call(step, np.zeros(1, dtype=np.int64), finish=False)
+        if s.size:
+            yield s, l
+
+    if stats is not None:
+        stats["max_window_positions"] = max(a_win.max_window,
+                                            b_win.max_window)

@@ -70,6 +70,32 @@ class TestBwtMerge:
         runs, _, _ = read_bwt(out, "native")
         assert runs == oracle.merge_collections(colls)
 
+    def test_low_memory_three_way_fold(self, tmp_path, rng):
+        """--low-memory folds file-to-file (merge_files); result and -v
+        verification must match the in-memory fold, and the intermediate
+        fold temp files must be cleaned up."""
+        colls = [oracle.random_collection(rng, 4, 10, 40) for _ in range(3)]
+        alpha = Alphabet()
+        paths = []
+        for i, seqs in enumerate(colls):
+            p = str(tmp_path / f"in{i}.sga")
+            write_bwt(p, "sga", oracle.build_bwt(seqs), alpha)
+            paths.append(p)
+        out = str(tmp_path / "merged.sga")
+        rc = bwt_merge.main([*paths, out, "-i", "sga", "-o", "sga",
+                             "--low-memory", "-d", str(tmp_path),
+                             "--backend", "numpy", "--quiet"])
+        assert rc == 0
+        runs, _, _ = read_bwt(out, "sga")
+        assert runs == oracle.merge_collections(colls)
+        assert not list(tmp_path.glob(".bwtmerge_fold_*"))
+
+    def test_low_memory_rejects_nonstreaming_output(self, tmp_path, sga_files):
+        out = str(tmp_path / "merged.rfm")
+        rc = bwt_merge.main([*sga_files, out, "-i", "sga", "-o", "rfm",
+                             "--low-memory", "--backend", "numpy", "--quiet"])
+        assert rc == 1
+
     def test_verification_catches_corruption(self, tmp_path, collections, sga_files):
         # merging the same file twice must double the counts, not equal them:
         # the -v invariant is sum-of-inputs == output, so it passes here too;
