@@ -171,6 +171,18 @@ def _configure_stream_interleave(lib) -> None:
         _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, _i64p, _u8p, _i64p,
     ]
+    lib.interleave_ctx_new.restype = ctypes.c_void_p
+    lib.interleave_ctx_new.argtypes = [
+        _u8p, _i64p, ctypes.c_int64,
+        _u8p, _i64p, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.interleave_ctx_chunk.restype = ctypes.c_int64
+    lib.interleave_ctx_chunk.argtypes = [
+        ctypes.c_void_p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, _u8p, _i64p,
+    ]
+    lib.interleave_ctx_free.restype = None
+    lib.interleave_ctx_free.argtypes = [ctypes.c_void_p]
     lib._bwtmerge_stream_configured = True
 
 
@@ -192,48 +204,56 @@ def interleave_stream_chunks(a_runs, b_runs, ra_chunks):
 
     a_syms, a_lens = _as_u8(a_runs.syms), _as_i64(a_runs.lens)
     b_syms, b_lens = _as_u8(b_runs.syms), _as_i64(b_runs.lens)
-    state = np.zeros(7, dtype=np.int64)
-    lib.interleave_state_init(a_lens, a_lens.size, b_lens, b_lens.size, state)
 
     # chunk-internal thread parallelism: slices of each RA chunk interleave
-    # independently (cursor starts are prefix-sum arithmetic); the prefix
-    # sums over A/B are built ONCE per merge.  One core stays free for the
-    # producer thread feeding this generator.
+    # independently into disjoint regions of the output buffer (cursor and
+    # offset starts are chunk-LOCAL prefix-sum arithmetic held inside the
+    # C++ context — full-length prefix sums over A/B would cost more in
+    # first-touch page faults than the interleave itself).  One core stays
+    # free for the producer thread feeding this generator.
     n_threads = max(1, (os.cpu_count() or 2) - 1)
-    a_cum = np.concatenate(([0], np.cumsum(a_lens)))
-    b_cum = np.concatenate(([0], np.cumsum(b_lens)))
+    ctx = lib.interleave_ctx_new(a_syms, a_lens, a_syms.size,
+                                 b_syms, b_lens, b_syms.size, n_threads)
 
+    a_total_pos = int(a_lens.sum())
+    consumed = {"a_pos": 0, "b_pos": 0}
     bufs = {"s": np.empty(1 << 16, dtype=np.uint8),
             "l": np.empty(1 << 16, dtype=np.int64)}
 
     def run_chunk(rv, rc, finish):
         rv, rc = _as_i64(rv), _as_i64(rc)
         # Emitted-run bound: fragments of A touched this chunk (min of the
-        # position span and the runs remaining, plus one split per RA run) +
-        # fragments of B likewise; finish adds A's tail.  The C++ stops with
-        # -2 (instead of corrupting the heap) if the bound is ever wrong.
-        a_span = int(rv[-1] - state[4]) if rv.size else 0
-        a_remaining = a_lens.size - int(state[0])
-        b_remaining = b_lens.size - int(state[2])
-        cap_a = min(a_span, a_remaining) + rv.size + 2
-        cap_b = min(int(rc.sum()), b_remaining) + rv.size + 2
-        cap = cap_a + cap_b + (a_remaining + 2 if finish else 0)
-        cap = max(cap + 4 * (n_threads + 1), 16)  # + per-slice seam slack
-        if bufs["s"].size < cap:
-            bufs["s"] = np.empty(max(cap, 2 * bufs["s"].size), dtype=np.uint8)
-            bufs["l"] = np.empty(bufs["s"].size, dtype=np.int64)
-        out_s, out_l = bufs["s"], bufs["l"]
-        n = lib.interleave_chunk_parallel(
-            a_syms, a_lens, a_syms.size, a_cum,
-            b_syms, b_lens, b_syms.size, b_cum,
-            rv, rc, rv.size, 1 if finish else 0, n_threads,
-            cap, state, out_s, out_l)
+        # position span and the positions remaining, plus one split per RA
+        # run) + fragments of B likewise; finish adds A's tail.  The C++
+        # checks its exact per-slice bound BEFORE writing and returns -2
+        # (state unchanged) when short — then retry with a doubled buffer.
+        a_span = int(rv[-1]) - consumed["a_pos"] if rv.size else 0
+        cap_a = max(a_span, 0) + rv.size + 2
+        cap_b = int(rc.sum()) + rv.size + 2
+        tail = min(a_lens.size, a_total_pos - consumed["a_pos"]) + 2
+        cap = cap_a + cap_b + (tail if finish else 0)
+        cap = max(cap + 12 * (n_threads + 1), 16)  # + per-slice seam slack
+        while True:
+            if bufs["s"].size < cap:
+                bufs["s"] = np.empty(max(cap, 2 * bufs["s"].size),
+                                     dtype=np.uint8)
+                bufs["l"] = np.empty(bufs["s"].size, dtype=np.int64)
+            out_s, out_l = bufs["s"], bufs["l"]
+            n = lib.interleave_ctx_chunk(ctx, rv, rc, rv.size,
+                                         1 if finish else 0,
+                                         out_s.size, out_s, out_l)
+            if n != -2:
+                break
+            cap = 2 * bufs["s"].size
         if n == -1:
             raise ValueError(
                 "rank-array stream inconsistent with inputs (value beyond "
                 "|A| or counts beyond/not covering |B|)")
         if n < 0:
             raise RuntimeError(f"native interleave_chunk failed (code {n})")
+        if rv.size:
+            consumed["a_pos"] = int(rv[-1])
+        consumed["b_pos"] += int(rc.sum())
         return out_s[:n], out_l[:n]
 
     # producer thread: the RA chunk production (device->host copies, numpy
@@ -242,13 +262,17 @@ def interleave_stream_chunks(a_runs, b_runs, ra_chunks):
     # (bwt.cpp:152-190) with the RABuffer slot as a depth-2 queue
     from ..utils.pipeline import prefetch_chunks
 
-    for rv, rc in prefetch_chunks(ra_chunks, depth=2):
-        s, l = run_chunk(rv, rc, finish=False)
+    try:
+        for rv, rc in prefetch_chunks(ra_chunks, depth=2):
+            s, l = run_chunk(rv, rc, finish=False)
+            if s.size:
+                yield s, l
+        s, l = run_chunk(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                         finish=True)
         if s.size:
             yield s, l
-    s, l = run_chunk(np.zeros(0, np.int64), np.zeros(0, np.int64), finish=True)
-    if s.size:
-        yield s, l
+    finally:
+        lib.interleave_ctx_free(ctx)
 
 
 def interleave_streaming(a_runs, b_runs, ra_chunks):

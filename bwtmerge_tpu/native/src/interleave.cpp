@@ -353,6 +353,216 @@ EXPORT int64_t interleave_chunk(const uint8_t* a_syms, const int64_t* a_lens,
   return out.count;
 }
 
+// -- context-based chunked parallel interleave --------------------------------
+//
+// The one-shot-merge-friendly variant: interleave_chunk_parallel needs
+// full-length prefix sums over A and B (O(|A|+|B|) bytes, ~1 GB at 100 Mbp
+// scale) whose first-touch page faults cost more than the interleave
+// itself.  The context walks only each chunk's span into small ROLLING
+// prefix buffers (reused across chunks), and slices write DIRECTLY into the
+// caller's output buffer at arithmetic cap offsets — zero per-chunk
+// allocation.  Same state/withholding/error contract as interleave_chunk.
+
+struct ILCtx {
+  const uint8_t* a_syms;
+  const int64_t* a_lens;
+  int64_t na;
+  const uint8_t* b_syms;
+  const int64_t* b_lens;
+  int64_t nb;
+  int64_t T;
+  Cursor a, b;          // absolute cursors (rem==0 iff run==n)
+  int64_t a_pos = 0;    // A positions consumed (last RA value seen)
+  uint8_t w_sym = 0;    // withheld trailing run
+  int64_t w_len = 0;
+  std::vector<int64_t> a_cum, b_cum, rc_cum;  // chunk-local scratch
+};
+
+EXPORT void* interleave_ctx_new(const uint8_t* a_syms, const int64_t* a_lens,
+                                int64_t na, const uint8_t* b_syms,
+                                const int64_t* b_lens, int64_t nb,
+                                int64_t n_threads) {
+  ILCtx* c = new ILCtx();
+  c->a_syms = a_syms;
+  c->a_lens = a_lens;
+  c->na = na;
+  c->b_syms = b_syms;
+  c->b_lens = b_lens;
+  c->nb = nb;
+  c->T = std::max<int64_t>(1, n_threads);
+  c->a = Cursor{0, na > 0 ? a_lens[0] : 0};
+  c->b = Cursor{0, nb > 0 ? b_lens[0] : 0};
+  return c;
+}
+
+EXPORT void interleave_ctx_free(void* ctx) { delete static_cast<ILCtx*>(ctx); }
+
+namespace {
+
+// Walk `lens` from cursor `cur` building the local exclusive prefix sum
+// (local run 0 = the current run's REMAINING positions) until it covers
+// `need` positions.  Returns false if the stream ends first.
+bool walk_local_cum(const int64_t* lens, int64_t n, Cursor cur, int64_t need,
+                    std::vector<int64_t>& cum) {
+  cum.clear();
+  cum.push_back(0);
+  if (cur.rem > 0) cum.push_back(cur.rem);
+  int64_t r = cur.run + 1;
+  while (cum.back() < need && r < n) {
+    cum.push_back(cum.back() + lens[r++]);
+  }
+  return cum.back() >= need;
+}
+
+}  // namespace
+
+EXPORT int64_t interleave_ctx_chunk(void* vctx, const int64_t* ra_vals,
+                                    const int64_t* ra_cnts, int64_t nra,
+                                    int64_t finish, int64_t out_cap,
+                                    uint8_t* out_syms, int64_t* out_lens) {
+  ILCtx& c = *static_cast<ILCtx*>(vctx);
+  const int64_t na = c.na, nb = c.nb;
+
+  c.rc_cum.resize(nra + 1);
+  c.rc_cum[0] = 0;
+  for (int64_t t = 0; t < nra; t++) c.rc_cum[t + 1] = c.rc_cum[t] + ra_cnts[t];
+  const int64_t need_a = (nra > 0) ? ra_vals[nra - 1] - c.a_pos : 0;
+  const int64_t need_b = c.rc_cum[nra];
+  if (need_a < 0) return -1;
+  if (!walk_local_cum(c.a_lens, na, c.a, need_a, c.a_cum)) return -1;
+  if (!walk_local_cum(c.b_lens, nb, c.b, need_b, c.b_cum)) return -1;
+  const int64_t nla = static_cast<int64_t>(c.a_cum.size()) - 1;
+  const int64_t nlb = static_cast<int64_t>(c.b_cum.size()) - 1;
+
+  int64_t T = c.T;
+  if (nra < 4 * T) T = 1;
+
+  struct Slice {
+    int64_t t0, t1, a_pos0, off;
+    Cursor a, b;
+    int64_t cap = 0;
+    int64_t count = 0;
+    bool ok = true;
+    uint8_t first_sym = 0;  // pre-stitch seam info
+  };
+  std::vector<Slice> slices(T);
+
+  // local -> absolute cursor translation: local run k of A is absolute run
+  // (a.run + k); local rem IS the absolute rem (run 0 is the partial run).
+  // A position at the end of the WALKED region maps to local run nla with
+  // rem 0 even though more absolute runs may follow — re-establish the
+  // (rem==0 iff run==n) cursor invariant by pre-loading the next run.
+  auto a_at = [&](int64_t local_pos) {
+    Cursor l = cursor_at(c.a_cum.data(), nla, local_pos);
+    Cursor abs{c.a.run + l.run, l.rem};
+    if (abs.rem == 0 && abs.run < na) abs.rem = c.a_lens[abs.run];
+    return abs;
+  };
+  auto b_at = [&](int64_t local_pos) {
+    Cursor l = cursor_at(c.b_cum.data(), nlb, local_pos);
+    Cursor abs{c.b.run + l.run, l.rem};
+    if (abs.rem == 0 && abs.run < nb) abs.rem = c.b_lens[abs.run];
+    return abs;
+  };
+
+  int64_t off = 0;
+  for (int64_t i = 0; i < T; i++) {
+    Slice& s = slices[i];
+    s.t0 = nra * i / T;
+    s.t1 = nra * (i + 1) / T;
+    if (i == 0) {
+      s.a_pos0 = c.a_pos;
+      s.a = c.a;
+      s.b = c.b;
+    } else {
+      s.a_pos0 = ra_vals[s.t0 - 1];
+      s.a = a_at(s.a_pos0 - c.a_pos);
+      s.b = b_at(c.rc_cum[s.t0]);
+    }
+    int64_t a_end_local = (s.t1 > 0) ? ra_vals[s.t1 - 1] - c.a_pos : 0;
+    Cursor a_hi = a_at(a_end_local);
+    Cursor b_hi = b_at(c.rc_cum[s.t1]);
+    int64_t cap = (a_hi.run - s.a.run + 2) + (b_hi.run - s.b.run + 2) +
+                  2 * (s.t1 - s.t0) + 4;
+    if (finish && i == T - 1) cap += na - a_hi.run + 2;  // A tail
+    s.off = off;
+    s.cap = cap;
+    off += cap;
+  }
+  if (off > out_cap) return -2;
+
+  auto run_slice = [&](int64_t i) {
+    Slice& s = slices[i];
+    RunEmitter out{out_syms + s.off, out_lens + s.off, s.cap};
+    if (i == 0) {  // resume the withheld trailing run
+      out.cur_sym = c.w_sym;
+      out.cur_len = c.w_len;
+    }
+    s.ok = interleave_span(c.a_syms, c.a_lens, na, c.b_syms, c.b_lens, nb,
+                           ra_vals, ra_cnts, s.t0, s.t1, s.a_pos0, s.a, s.b,
+                           out);
+    if (s.ok && finish && i == T - 1) {
+      if (s.b.run < nb && s.b.rem > 0) {
+        s.ok = false;  // RA never covered all of B
+      } else {
+        drain_a(c.a_syms, c.a_lens, na, s.a, out);
+      }
+    }
+    out.flush();
+    s.ok = s.ok && !out.overflow;
+    s.count = out.count;
+    if (s.count > 0) s.first_sym = out_syms[s.off];
+  };
+  if (T == 1) {
+    run_slice(0);
+  } else {
+    std::vector<std::thread> workers;
+    workers.reserve(T);
+    for (int64_t i = 0; i < T; i++) workers.emplace_back(run_slice, i);
+    for (auto& w : workers) w.join();
+  }
+  for (auto& s : slices) {
+    if (!s.ok) return -1;
+  }
+
+  // compact left in place, coalescing seam runs (memmove: regions overlap)
+  int64_t n = slices[0].count;
+  for (int64_t i = 1; i < T; i++) {
+    Slice& s = slices[i];
+    int64_t from = 0;
+    if (n > 0 && s.count > 0 && s.first_sym == out_syms[n - 1]) {
+      out_lens[n - 1] += out_lens[s.off];
+      from = 1;
+    }
+    int64_t add = s.count - from;
+    std::memmove(out_syms + n, out_syms + s.off + from, add);
+    std::memmove(out_lens + n, out_lens + s.off + from,
+                 add * sizeof(int64_t));
+    n += add;
+  }
+
+  // advance the shared cursors to the chunk end
+  if (nra > 0) {
+    c.a = a_at(need_a);
+    c.a_pos = ra_vals[nra - 1];
+  }
+  c.b = b_at(need_b);
+  if (finish) {
+    c.a = Cursor{na, 0};
+    c.w_sym = 0;
+    c.w_len = 0;
+  } else if (n > 0) {
+    // withhold the trailing run for cross-chunk coalescing
+    c.w_sym = out_syms[n - 1];
+    c.w_len = out_lens[n - 1];
+    n--;
+  } else {
+    c.w_sym = 0;
+    c.w_len = 0;
+  }
+  return n;
+}
+
 EXPORT int64_t interleave_chunk_parallel(
     const uint8_t* a_syms, const int64_t* a_lens, int64_t na,
     const int64_t* a_cum, const uint8_t* b_syms, const int64_t* b_lens,
