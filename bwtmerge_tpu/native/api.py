@@ -164,13 +164,6 @@ def _configure_stream_interleave(lib) -> None:
         _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         _i64p, _u8p, _i64p,
     ]
-    lib.interleave_chunk_parallel.restype = ctypes.c_int64
-    lib.interleave_chunk_parallel.argtypes = [
-        _u8p, _i64p, ctypes.c_int64, _i64p,
-        _u8p, _i64p, ctypes.c_int64, _i64p,
-        _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64, _i64p, _u8p, _i64p,
-    ]
     lib.interleave_ctx_new.restype = ctypes.c_void_p
     lib.interleave_ctx_new.argtypes = [
         _u8p, _i64p, ctypes.c_int64,

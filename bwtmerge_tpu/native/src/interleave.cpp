@@ -304,20 +304,6 @@ EXPORT void interleave_state_init(const int64_t* a_lens, int64_t na,
   state[6] = 0;
 }
 
-// Parallel variant of interleave_chunk: splits THIS chunk's RA runs into
-// n_threads slices whose A/B cursors are derived arithmetically from the
-// PRECOMPUTED exclusive prefix sums a_cum (len na+1) / b_cum (len nb+1) —
-// A and B are fully resident across the streaming merge, so the prefix sums
-// are built once per merge, not per chunk.  Same state/withholding contract
-// as interleave_chunk: the trailing maximal run stays in state[5..6] until
-// the next call (or finish).  Returns emitted run count or a negative code.
-EXPORT int64_t interleave_chunk_parallel(
-    const uint8_t* a_syms, const int64_t* a_lens, int64_t na,
-    const int64_t* a_cum, const uint8_t* b_syms, const int64_t* b_lens,
-    int64_t nb, const int64_t* b_cum, const int64_t* ra_vals,
-    const int64_t* ra_cnts, int64_t nra, int64_t finish, int64_t n_threads,
-    int64_t out_cap, int64_t* state, uint8_t* out_syms, int64_t* out_lens);
-
 EXPORT int64_t interleave_chunk(const uint8_t* a_syms, const int64_t* a_lens,
                                 int64_t na, const uint8_t* b_syms,
                                 const int64_t* b_lens, int64_t nb,
@@ -355,10 +341,10 @@ EXPORT int64_t interleave_chunk(const uint8_t* a_syms, const int64_t* a_lens,
 
 // -- context-based chunked parallel interleave --------------------------------
 //
-// The one-shot-merge-friendly variant: interleave_chunk_parallel needs
-// full-length prefix sums over A and B (O(|A|+|B|) bytes, ~1 GB at 100 Mbp
-// scale) whose first-touch page faults cost more than the interleave
-// itself.  The context walks only each chunk's span into small ROLLING
+// The chunk-parallel interleave for one-shot merges.  A naive parallel
+// decomposition needs full-length prefix sums over A and B (O(|A|+|B|)
+// bytes, ~1 GB at 100 Mbp scale) whose first-touch page faults cost more
+// than the interleave itself.  The context walks only each chunk's span into small ROLLING
 // prefix buffers (reused across chunks), and slices write DIRECTLY into the
 // caller's output buffer at arithmetic cap offsets — zero per-chunk
 // allocation.  Same state/withholding/error contract as interleave_chunk.
@@ -560,138 +546,5 @@ EXPORT int64_t interleave_ctx_chunk(void* vctx, const int64_t* ra_vals,
     c.w_sym = 0;
     c.w_len = 0;
   }
-  return n;
-}
-
-EXPORT int64_t interleave_chunk_parallel(
-    const uint8_t* a_syms, const int64_t* a_lens, int64_t na,
-    const int64_t* a_cum, const uint8_t* b_syms, const int64_t* b_lens,
-    int64_t nb, const int64_t* b_cum, const int64_t* ra_vals,
-    const int64_t* ra_cnts, int64_t nra, int64_t finish, int64_t n_threads,
-    int64_t out_cap, int64_t* state, uint8_t* out_syms, int64_t* out_lens) {
-  int64_t T = std::max<int64_t>(1, n_threads);
-  if (nra < 4 * T || T == 1) {
-    return interleave_chunk(a_syms, a_lens, na, b_syms, b_lens, nb, ra_vals,
-                            ra_cnts, nra, finish, out_cap, state, out_syms,
-                            out_lens);
-  }
-
-  // chunk-local RA count prefix sums (the chunk is a few M runs; serial)
-  std::vector<int64_t> rc_cum(nra + 1);
-  rc_cum[0] = 0;
-  for (int64_t t = 0; t < nra; t++) rc_cum[t + 1] = rc_cum[t] + ra_cnts[t];
-
-  // absolute consumed positions at chunk entry
-  Cursor a0{state[0], state[1]};
-  Cursor b0{state[2], state[3]};
-  int64_t b_pos0 =
-      (b0.run < nb) ? (b_cum[b0.run + 1] - b0.rem) : b_cum[nb];
-  if (ra_vals[nra - 1] > a_cum[na]) return -1;
-  if (b_pos0 + rc_cum[nra] > b_cum[nb]) return -1;
-
-  struct Slice {
-    int64_t t0, t1;
-    int64_t a_pos0;
-    Cursor a, b;
-    std::unique_ptr<uint8_t[]> syms;
-    std::unique_ptr<int64_t[]> lens;
-    int64_t cap = 0;
-    int64_t count = 0;
-    bool ok = true;
-  };
-  std::vector<Slice> slices(T);
-  for (int64_t i = 0; i < T; i++) {
-    Slice& s = slices[i];
-    s.t0 = nra * i / T;
-    s.t1 = nra * (i + 1) / T;
-    if (i == 0) {
-      s.a_pos0 = state[4];
-      s.a = a0;
-      s.b = b0;
-    } else {
-      s.a_pos0 = ra_vals[s.t0 - 1];
-      s.a = cursor_at(a_cum, na, s.a_pos0);
-      s.b = cursor_at(b_cum, nb, b_pos0 + rc_cum[s.t0]);
-    }
-    int64_t a_end = ra_vals[s.t1 - 1];
-    Cursor a_hi = cursor_at(a_cum, na, a_end);
-    Cursor b_hi = cursor_at(b_cum, nb, b_pos0 + rc_cum[s.t1]);
-    int64_t len = s.t1 - s.t0;
-    int64_t cap = (a_hi.run - s.a.run + 2) + (b_hi.run - s.b.run + 2) +
-                  2 * len + 4;
-    if (finish && i == T - 1) cap += na - a_hi.run + 2;  // A tail
-    s.cap = cap;
-    s.syms.reset(new uint8_t[cap]);
-    s.lens.reset(new int64_t[cap]);
-  }
-
-  std::vector<std::thread> workers;
-  workers.reserve(T);
-  for (int64_t i = 0; i < T; i++) {
-    workers.emplace_back([&, i] {
-      Slice& s = slices[i];
-      RunEmitter out{s.syms.get(), s.lens.get(), s.cap};
-      if (i == 0) {  // resume the withheld trailing run
-        out.cur_sym = static_cast<uint8_t>(state[5]);
-        out.cur_len = state[6];
-      }
-      s.ok = interleave_span(a_syms, a_lens, na, b_syms, b_lens, nb, ra_vals,
-                             ra_cnts, s.t0, s.t1, s.a_pos0, s.a, s.b, out);
-      if (s.ok && finish && i == T - 1) {
-        if (s.b.run < nb && s.b.rem > 0) {
-          s.ok = false;  // RA never covered all of B
-        } else {
-          drain_a(a_syms, a_lens, na, s.a, out);
-        }
-      }
-      out.flush();
-      s.ok = s.ok && !out.overflow;
-      s.count = out.count;
-    });
-  }
-  for (auto& w : workers) w.join();
-  for (auto& s : slices) {
-    if (!s.ok) return -1;
-  }
-
-  // stitch with seam coalescing
-  int64_t n = 0;
-  for (auto& s : slices) {
-    int64_t from = 0;
-    if (n > 0 && s.count > 0 && s.syms[0] == out_syms[n - 1]) {
-      out_lens[n - 1] += s.lens[0];
-      from = 1;
-    }
-    int64_t add = s.count - from;
-    if (n + add > out_cap) return -2;
-    std::memcpy(out_syms + n, s.syms.get() + from, add);
-    std::memcpy(out_lens + n, s.lens.get() + from, add * sizeof(int64_t));
-    n += add;
-  }
-
-  // advance the shared state to the chunk end
-  Cursor a_end_c = cursor_at(a_cum, na, ra_vals[nra - 1]);
-  Cursor b_end_c = cursor_at(b_cum, nb, b_pos0 + rc_cum[nra]);
-  if (finish) {
-    state[0] = na;
-    state[1] = 0;
-    state[5] = 0;
-    state[6] = 0;
-  } else {
-    state[0] = a_end_c.run;
-    state[1] = a_end_c.rem;
-    // withhold the stitched trailing run for cross-chunk coalescing
-    if (n > 0) {
-      state[5] = out_syms[n - 1];
-      state[6] = out_lens[n - 1];
-      n--;
-    } else {
-      state[5] = 0;
-      state[6] = 0;
-    }
-  }
-  state[2] = b_end_c.run;
-  state[3] = b_end_c.rem;
-  state[4] = ra_vals[nra - 1];
   return n;
 }

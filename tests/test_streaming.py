@@ -89,8 +89,8 @@ class TestStreamingMerge:
 
 
 class TestParallelChunkInterleave:
-    """interleave_chunk_parallel vs the serial chunked path: same runs for
-    ragged chunk boundaries, many slices, and withheld-run coalescing."""
+    """The ctx-based parallel chunked interleave vs the oracle: same runs
+    for ragged chunk boundaries, many slices, and withheld-run coalescing."""
 
     @pytest.mark.parametrize("chunk_runs", [17, 64, 10_000])
     def test_matches_serial(self, rng, chunk_runs):
