@@ -199,10 +199,36 @@ def main() -> None:
                 totals["bases"] += int(lens.sum())
                 yield syms, lens
 
+        profile = os.environ.get("BENCH_PROFILE")
+        stage = {"ra": 0.0, "il+ra": 0.0}
+
+        def timed(it, key):
+            it = iter(it)
+            while True:
+                t1 = time.monotonic()
+                try:
+                    item = next(it)
+                except StopIteration:
+                    return
+                stage[key] += time.monotonic() - t1
+                yield item
+
         t0 = time.monotonic()
+        if profile:
+            ra_stream = timed(ra_stream, "ra")
         chunks = interleave_stream_chunks(a.runs, b.runs, ra_stream)
+        if profile:
+            chunks = timed(chunks, "il+ra")
         write_bwt_stream(out_path, "sga", counted(chunks), merged_alpha)
-        return time.monotonic() - t0, totals["runs"], totals["bases"]
+        dt = time.monotonic() - t0
+        if profile:
+            # ra: producer-side chunk production (device wait + unpack);
+            # il+ra: critical path through the interleave incl. un-hidden ra;
+            # the remainder of dt is the native writer
+            print(f"#   merge stages: ra={stage['ra']:.2f}s "
+                  f"il+ra={stage['il+ra']:.2f}s "
+                  f"write={dt - stage['il+ra']:.2f}s", file=sys.stderr)
+        return dt, totals["runs"], totals["bases"]
 
     # -- warmup + spill-path cross-check.  The production chunk stream (not
     # unpack_search's one-shot transfer) feeds the RankArraySpill ladder so

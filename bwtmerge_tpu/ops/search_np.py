@@ -116,7 +116,25 @@ def compact_sorted_rank_array(v: np.ndarray, k: np.ndarray) -> Tuple[np.ndarray,
 
 def merge_rank_arrays(a: Tuple[np.ndarray, np.ndarray],
                       b: Tuple[np.ndarray, np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
-    """2-way merge of two sorted unique RA run lists (RLArray merge analog)."""
-    values = np.concatenate([a[0], b[0]])
-    counts = np.concatenate([a[1], b[1]])
-    return compact_rank_array(values, counts)
+    """2-way merge of two sorted unique RA run lists (RLArray merge analog).
+
+    Vectorized linear merge: each side's output positions are its own index
+    plus a binary search into the other side — two searchsorted passes and
+    two scatters instead of an O(n log n) argsort of the concatenation
+    (which dominated the spill ladder at tens of millions of runs)."""
+    va, ka = a
+    vb, kb = b
+    if va.size == 0:
+        return np.asarray(vb, np.int64), np.asarray(kb, np.int64)
+    if vb.size == 0:
+        return np.asarray(va, np.int64), np.asarray(ka, np.int64)
+    pos_a = np.arange(va.size, dtype=np.int64) + np.searchsorted(vb, va, side="left")
+    pos_b = np.arange(vb.size, dtype=np.int64) + np.searchsorted(va, vb, side="right")
+    n = va.size + vb.size
+    v = np.empty(n, dtype=np.int64)
+    k = np.empty(n, dtype=np.int64)
+    v[pos_a] = va
+    v[pos_b] = vb
+    k[pos_a] = ka
+    k[pos_b] = kb
+    return compact_sorted_rank_array(v, k)
