@@ -62,7 +62,7 @@ _disable_numpy_thp_madvise()
 from .utils.alphabet import Alphabet, AlphabeticOrder, create_alphabet, identify_alphabet
 from .models.runs import RunArrays
 from .models.fmi import FMI, load_fmi, serialize_fmi
-from .models.merge import MergeConfig, merge_fmi, merge_fmi_to_file
+from .models.merge import MergeConfig, merge_files, merge_fmi, merge_fmi_to_file
 
 __all__ = [
     "Alphabet",
@@ -74,6 +74,7 @@ __all__ = [
     "load_fmi",
     "serialize_fmi",
     "MergeConfig",
+    "merge_files",
     "merge_fmi",
     "merge_fmi_to_file",
     "__version__",

@@ -72,3 +72,44 @@ def test_pathological_shapes(tmp_path):
             merged = merge_fmi(a, b, MergeConfig(backend=backend,
                                                  temp_dir=str(tmp_path)))
             assert merged.runs == oracle.merge_collections([a_seqs, b_seqs])
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_windowed_interleave_fuzz(seed):
+    """Windowed (bounded-memory) interleave vs the oracle under random
+    window sizes, source chunkings, and RA chunkings — incl. degenerate
+    single-run chunks and giant count/gap splits."""
+    from bwtmerge_tpu.models.runs import RunArrays
+    from bwtmerge_tpu.native.windowed import interleave_windowed_chunks
+    from bwtmerge_tpu.ops.search_np import build_rank_array
+
+    rng = np.random.default_rng(4242 + seed)
+    n_a = int(rng.integers(1, 20))
+    n_b = int(rng.integers(1, 20))
+    a_seqs = oracle.random_collection(rng, n_a, 1, int(rng.integers(2, 150)))
+    b_seqs = oracle.random_collection(rng, n_b, 1, int(rng.integers(2, 150)))
+    a, b = _fmi(a_seqs), _fmi(b_seqs)
+    v, c = build_rank_array(
+        a.rank_index, a.alpha.C.astype(np.int64),
+        b.rank_index, b.alpha.C.astype(np.int64),
+        a.sequences(), b.sequences())
+
+    def chunked(syms, lens, n):
+        for s in range(0, syms.size, n):
+            yield syms[s:s + n], lens[s:s + n]
+
+    window = int(rng.integers(1, 5000))  # floor-clamped to 1024 inside
+    src = int(rng.integers(1, 40))
+    rac = int(rng.integers(1, max(2, v.size + 1)))
+    got = [(s.copy(), l.copy()) for s, l in interleave_windowed_chunks(
+        chunked(a.runs.syms, a.runs.lens, src),
+        chunked(b.runs.syms, b.runs.lens, src),
+        chunked(v, c, rac), window_positions=window)]
+    if got:
+        syms = np.concatenate([p[0] for p in got])
+        lens = np.concatenate([p[1] for p in got])
+        merged = RunArrays.from_runs(syms, lens)
+        assert np.all(syms[1:] != syms[:-1])
+    else:
+        merged = RunArrays.empty()
+    assert merged == oracle.merge_collections([a_seqs, b_seqs])
