@@ -213,13 +213,17 @@ def main() -> None:
                 stage[key] += time.monotonic() - t1
                 yield item
 
+        from bwtmerge_tpu.utils.pipeline import prefetch_chunks
+
         t0 = time.monotonic()
         if profile:
             ra_stream = timed(ra_stream, "ra")
         chunks = interleave_stream_chunks(a.runs, b.runs, ra_stream)
         if profile:
             chunks = timed(chunks, "il+ra")
-        write_bwt_stream(out_path, "sga", counted(chunks), merged_alpha)
+        # depth-1 writer stage (safe: the interleave rotates 3 buffers)
+        write_bwt_stream(out_path, "sga", counted(prefetch_chunks(chunks, depth=1)),
+                         merged_alpha)
         dt = time.monotonic() - t0
         if profile:
             # ra: producer-side chunk production (device wait + unpack);

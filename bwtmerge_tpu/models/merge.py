@@ -122,8 +122,13 @@ def merge_fmi_to_file(a: FMI, b: FMI, path: str, fmt: str = "native",
             comp2char=a.alpha.comp2char.copy(),
             C=(a.alpha.C.astype(np.int64) + b.alpha.C.astype(np.int64)).astype(np.uint64),
         )
+        from ..utils.pipeline import prefetch_chunks
+
+        # three pipeline stages on three threads: RA production (inside
+        # interleave_stream_chunks), interleave, format write — safe at
+        # depth 1 because the interleave rotates 3 output buffers
         chunks = interleave_stream_chunks(a.runs, b.runs, ra.stream())
-        write_bwt_stream(path, fmt, chunks, alpha)
+        write_bwt_stream(path, fmt, prefetch_chunks(chunks, depth=1), alpha)
 
     if config.verbose:
         config.timer.report(b.size())

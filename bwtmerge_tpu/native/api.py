@@ -179,19 +179,21 @@ def _configure_stream_interleave(lib) -> None:
     lib._bwtmerge_stream_configured = True
 
 
-def interleave_stream_chunks(a_runs, b_runs, ra_chunks):
+def interleave_stream_chunks(a_runs, b_runs, ra_chunks, n_buffers: int = 3):
     """Generator of merged (syms, lens) run chunks from ascending rank-array
     chunks — the fully streaming merge phase: neither the rank array nor the
     merged output is ever materialized whole.  Chunks are maximal-run clean:
     the stateful C++ emitter withholds the trailing run until the next chunk
     coalesces with it.
 
-    Yielded arrays are VIEWS into buffers reused for the next chunk — they
-    are valid only until the following next() call.  Consumers that retain
-    chunks must copy (interleave_streaming does); the streaming writers and
-    the CLI consume each chunk synchronously.  Reuse matters: on the target
-    VM class a first-touch page fault costs ~50 us, so a fresh 100+ MB
-    output allocation per chunk dominated the merge phase."""
+    Yielded arrays are VIEWS into a rotation of `n_buffers` reused buffer
+    pairs — chunk k stays valid until chunk k+n_buffers-1 is produced.
+    With the default 3, a depth-1 prefetch_chunks stage between this
+    generator and a writer is safe: the producer computes k+2 while the
+    queue holds k+1 and the consumer reads k.  Consumers that retain
+    chunks longer must copy (interleave_streaming does).  Reuse matters: on
+    the target VM class a first-touch page fault costs ~50 us, so a fresh
+    100+ MB output allocation per chunk dominated the merge phase."""
     lib = _lib()
     _configure_stream_interleave(lib)
 
@@ -210,10 +212,14 @@ def interleave_stream_chunks(a_runs, b_runs, ra_chunks):
 
     a_total_pos = int(a_lens.sum())
     consumed = {"a_pos": 0, "b_pos": 0}
-    bufs = {"s": np.empty(1 << 16, dtype=np.uint8),
-            "l": np.empty(1 << 16, dtype=np.int64)}
+    ring = [{"s": np.empty(1 << 16, dtype=np.uint8),
+             "l": np.empty(1 << 16, dtype=np.int64)}
+            for _ in range(max(1, n_buffers))]
+    turn = {"i": 0}
 
     def run_chunk(rv, rc, finish):
+        bufs = ring[turn["i"]]
+        turn["i"] = (turn["i"] + 1) % len(ring)
         rv, rc = _as_i64(rv), _as_i64(rc)
         # Emitted-run bound: fragments of A touched this chunk (min of the
         # position span and the positions remaining, plus one split per RA

@@ -451,7 +451,10 @@ def wavefront_search_device(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     return values, counts, n_emit, overflow
 
 
-EXC_CAP = 8192  # packed-transfer exception slots (gap/count > 254)
+EXC_CAP = 8192       # byte-plane exception slots (gap/count > 254)
+EXC4_CAP = 1 << 17   # nibble-plane exception slots (gap > 14 or count > 15)
+_EXC4_ROWS = 3 * EXC4_CAP // EXC_CAP  # exc4 reshaped to EXC_CAP-wide rows
+META_ROWS = 4 + _EXC4_ROWS            # exc(3) + meta(1) + exc4(reshaped)
 
 
 @jax.jit
@@ -503,10 +506,20 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array,
     """Sort (+ optionally compact) + delta/byte-pack the RA runs ON DEVICE.
 
     Remote-attached TPUs move device->host bytes at tens of MB/s, so the RA
-    stream is reduced before it crosses: emissions are sorted by a-position
-    and the sorted values become u8 deltas and u8 counts (the common case
-    for read collections — mean gap is small), with rare wide gaps/counts
-    spilled to a fixed exception table.  8 B/raw-run becomes 2 B/run.
+    stream is reduced before it crosses.  Two packings are produced in one
+    pass over the sorted runs:
+
+    * byte planes (rows 0-1 of dc): u8 delta + u8 count, exceptions
+      (delta/count > 254) in the `exc` table — 2 B/run, low exception rate
+      on any workload;
+    * nibble plane (row 2 of dc): delta (<= 14) in the low nibble, count
+      (<= 15) in the high nibble — 1 B/run; lanes that do not fit carry the
+      marker low-nibble 15 and spill their true (delta, count) to the
+      larger `exc4` table (compacted via cumsum + searchsorted — sorted by
+      lane, no host argsort needed).
+
+    The consumer picks at runtime: the nibble plane when its exception
+    count fits EXC4_CAP (halves the transfer), the byte planes otherwise.
 
     compact=True additionally sums duplicate a-positions on device
     (compact_ra_device) — two extra full-width sorts.  compact=False ships
@@ -515,9 +528,10 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array,
     cost ~3.5 s on a v5e while the extra transfer hides behind the
     pipelined merge, so the streaming path wants compact=False.
 
-    Returns (dc8, exc, n_packed, n_exc) — unpack with unpack_ra on the
-    host; n_exc > EXC_CAP means the exception table overflowed and the
-    caller must fall back to the unpacked transfer.
+    Returns (dc u8[3, E], exc i32[3, EXC_CAP], exc4 i32[3, EXC4_CAP],
+    n_packed, n_exc, n_exc4) — unpack with unpack_ra on the host; n_exc >
+    EXC_CAP means even the byte planes overflowed and the caller must fall
+    back to the unpacked transfer.
     """
     if compact:
         v, c, n_u = compact_ra_device(values, counts, n)
@@ -543,17 +557,40 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array,
     exc_idx = sel - 1                       # -1 in unused slots (never read)
     exc_delta = delta[idx]
     exc_count = cnt[idx]
+
+    # nibble plane: delta | count << 4 when both fit; marker low-nibble 15
+    # otherwise (a fitting delta is <= 14, so 15 is unambiguous)
+    fits4 = live & (delta <= 14) & (cnt <= 15)
+    nib = jnp.where(live,
+                    jnp.where(fits4, delta | (cnt << 4), 15),
+                    0).astype(jnp.uint8)
+    wide4 = live & ~fits4
+    cs4 = jnp.cumsum(wide4.astype(jnp.int32))
+    n_exc4 = cs4[-1] if e else jnp.int32(0)
+    k4 = min(EXC4_CAP, max(e, 1))
+    # j-th exception's lane via binary search on the running count —
+    # comes out SORTED by lane, so the host skips its argsort
+    slots = jnp.arange(1, k4 + 1, dtype=jnp.int32)
+    lane4 = jnp.searchsorted(cs4, slots).astype(jnp.int32) if e else slots * 0
+    valid4 = jnp.arange(k4, dtype=jnp.int32) < n_exc4
+    safe4 = jnp.where(valid4, lane4, 0)
+    exc4_idx = jnp.where(valid4, lane4, -1)
+    exc4_delta = jnp.where(valid4, delta[safe4], 0)
+    exc4_count = jnp.where(valid4, cnt[safe4], 0)
+
     # single-buffer outputs: each device->host transfer pays ~50-100 ms of
-    # link latency, so the byte planes and the exception table ship as ONE
-    # array each
-    dc8 = jnp.stack([d8, c8])                                  # [2, E] u8
+    # link latency, so the planes and each exception table ship as ONE
+    # array each (the consumer slices the plane it chose)
+    dc = jnp.stack([d8, c8, nib])                              # [3, E] u8
 
-    def fit(x):  # degenerate emit caps smaller than EXC_CAP pad with zeros
-        return (x[:EXC_CAP] if x.shape[0] >= EXC_CAP
-                else jnp.pad(x, (0, EXC_CAP - x.shape[0])))
+    def fit(x, cap):  # degenerate emit caps smaller than cap pad with zeros
+        return x[:cap] if x.shape[0] >= cap else jnp.pad(x, (0, cap - x.shape[0]))
 
-    exc = jnp.stack([fit(exc_idx), fit(exc_delta), fit(exc_count)])
-    return dc8, exc, n_u, n_exc
+    exc = jnp.stack([fit(exc_idx, EXC_CAP), fit(exc_delta, EXC_CAP),
+                     fit(exc_count, EXC_CAP)])
+    exc4 = jnp.stack([fit(exc4_idx, EXC4_CAP), fit(exc4_delta, EXC4_CAP),
+                      fit(exc4_count, EXC4_CAP)])
+    return dc, exc, exc4, n_u, n_exc, n_exc4
 
 
 @functools.partial(jax.jit,
@@ -563,47 +600,74 @@ def search_and_pack(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
                     frontier_cap: int, emit_cap: int, streamed: bool = False):
     """Whole search + compaction + transfer packing with scalar metadata
     folded into the exception buffer: the host needs exactly TWO device reads
-    (meta+exc, then the byte planes sliced to n) instead of five round trips.
+    (meta+exc, then the chosen plane sliced to n) instead of five round trips.
 
-    Returns (dc8 uint8[2, emit_cap], meta_exc int32[4, EXC_CAP]) where
-    meta_exc[3, 0:3] = (n_packed, n_exceptions, overflowed).  The packed
-    runs are SORTED by a-position but may repeat values (compact=False —
-    duplicate summing costs two extra full-width device sorts and is done
-    by the host chunk consumers instead).
+    Returns (dc uint8[3, emit_cap], meta_exc int32[META_ROWS, EXC_CAP]):
+    rows 0-2 of meta_exc are the byte-plane exception table, row 3 is
+    (n_packed, n_exceptions, overflowed, n_exc4), rows 4+ are the
+    nibble-plane exception table reshaped to EXC_CAP width.  The host picks
+    the nibble plane (dc row 2, 1 B/run) when n_exc4 <= EXC4_CAP, else the
+    byte planes (dc rows 0-1, 2 B/run).  The packed runs are SORTED by
+    a-position but may repeat values (compact=False — duplicate summing
+    costs two extra full-width device sorts and is done by the host chunk
+    consumers instead).
     """
     v, c, n, ovf = wavefront_search_device2(
         a_idx, b_idx, b_sp0, b_ep0, a_sequences,
         frontier_cap=frontier_cap, emit_cap=emit_cap, streamed=streamed)
-    dc8, exc, n_u, n_exc = pack_ra_device(v, c, n, compact=False)
+    dc, exc, exc4, n_u, n_exc, n_exc4 = pack_ra_device(v, c, n, compact=False)
     meta = jnp.zeros((1, EXC_CAP), jnp.int32)
     meta = meta.at[0, 0].set(n_u).at[0, 1].set(n_exc)
-    meta = meta.at[0, 2].set(ovf.astype(jnp.int32))
-    return dc8, jnp.concatenate([exc, meta], axis=0)
+    meta = meta.at[0, 2].set(ovf.astype(jnp.int32)).at[0, 3].set(n_exc4)
+    return dc, jnp.concatenate(
+        [exc, meta, exc4.reshape(_EXC4_ROWS, EXC_CAP)], axis=0)
+
+
+def _meta_fields(meta_exc):
+    """(n, n_exc, overflowed, use_nibble, exc4) from a host meta buffer.
+
+    Accepts both layouts: the 4-row byte-plane-only meta (legacy/sharded
+    producers) and the META_ROWS one carrying the nibble exception table."""
+    n = int(meta_exc[3, 0])
+    n_exc = int(meta_exc[3, 1])
+    overflowed = bool(meta_exc[3, 2]) or n_exc > EXC_CAP
+    if meta_exc.shape[0] > 4:
+        n_exc4 = int(meta_exc[3, 3])
+        use_nib = not overflowed and n_exc4 <= EXC4_CAP
+        exc4 = meta_exc[4:4 + _EXC4_ROWS].reshape(3, EXC4_CAP) if use_nib \
+            else None
+    else:
+        n_exc4, use_nib, exc4 = 0, False, None
+    return n, n_exc, overflowed, use_nib, n_exc4, exc4
 
 
 def unpack_search(dc8, meta_exc) -> tuple:
     """Host side of search_and_pack -> (values, counts, overflowed).
 
     Two device reads: the metadata/exception buffer first (this also blocks
-    on the search compute), then the byte planes sliced ON DEVICE to a
+    on the search compute), then the chosen plane sliced ON DEVICE to a
     bucketed length >= n — remote attachments move D2H bytes at tens of
     MB/s, so shipping the full emit-cap padding can double the transfer.
     The bucket sizes ({2^k, 3*2^(k-2)}, <=33% waste) keep the slice
     program cache small on the remote-compile service."""
     meta_exc = jax.device_get(meta_exc)
-    n = int(meta_exc[3, 0])
-    n_exc = int(meta_exc[3, 1])
-    overflowed = bool(meta_exc[3, 2]) or n_exc > EXC_CAP
+    n, n_exc, overflowed, use_nib, n_exc4, exc4 = _meta_fields(meta_exc)
     if overflowed:
         return np.zeros(0, np.int64), np.zeros(0, np.int64), True
+    use_nib = use_nib and dc8.shape[0] > 2
     cap = dc8.shape[1]
     k = 1 << 10
     while k < n:
         k *= 2
     if k // 4 * 3 >= n:
         k = k // 4 * 3
-    dc8 = jax.device_get(dc8[:, :k] if k < cap else dc8)
-    v, c = unpack_ra(dc8[:, :n], meta_exc, n, n_exc)
+    k = min(k, cap)
+    if use_nib:
+        nib = jax.device_get(dc8[2, :k] if k < cap else dc8[2])
+        v, c = unpack_ra4(nib, exc4, n, n_exc4)
+    else:
+        dc8 = jax.device_get(dc8[:2, :k] if k < cap else dc8[:2])
+        v, c = unpack_ra(dc8[:, :n], meta_exc, n, n_exc)
     # the packed runs are sorted but not deduplicated (pack compact=False);
     # one linear host pass restores the sorted-unique contract
     from .search_np import compact_sorted_rank_array
@@ -619,6 +683,13 @@ def _cut_chunk(x, start, length):
     return jax.lax.dynamic_slice(x, (jnp.int32(0), start), (2, length))
 
 
+@functools.partial(jax.jit, static_argnames=("length",))
+def _cut_chunk_nib(x, start, length):
+    """Window slice of the nibble plane (row 2) only — 1 B/run over the
+    host link instead of the byte planes' 2 B/run."""
+    return jax.lax.dynamic_slice(x, (jnp.int32(2), start), (1, length))
+
+
 def stream_packed_ra(dc8, meta_exc, chunk_runs: int = 4 * 1024 * 1024):
     """Generator of ascending sorted-unique (values, counts) chunks straight
     from a packed device RA (search_and_pack output) — the transfer/merge
@@ -631,12 +702,12 @@ def stream_packed_ra(dc8, meta_exc, chunk_runs: int = 4 * 1024 * 1024):
     Raises ValueError on overflow (callers should have checked meta first).
     """
     meta_exc = jax.device_get(meta_exc)
-    n = int(meta_exc[3, 0])
-    n_exc = int(meta_exc[3, 1])
-    if bool(meta_exc[3, 2]) or n_exc > EXC_CAP:
+    n, n_exc, overflowed, use_nib, n_exc4, exc4 = _meta_fields(meta_exc)
+    if overflowed:
         raise ValueError("packed RA overflowed its device buffers")
     if n == 0:
         return
+    use_nib = use_nib and dc8.shape[0] > 2
 
     cap = dc8.shape[1]
     chunk = min(chunk_runs, cap)
@@ -645,18 +716,25 @@ def stream_packed_ra(dc8, meta_exc, chunk_runs: int = 4 * 1024 * 1024):
     # window at cap-chunk and compensate with a host-side offset
     starts = list(range(0, n, chunk))
     dev_starts = [min(s, cap - chunk) for s in starts]
-    slices = [_cut_chunk(dc8, jnp.int32(s), chunk) for s in dev_starts]
+    cut = _cut_chunk_nib if use_nib else _cut_chunk
+    slices = [cut(dc8, jnp.int32(s), chunk) for s in dev_starts]
     # issue EVERY chunk's D2H copy up front: the link then streams them
     # back-to-back (one in-flight copy leaves each chunk's ~RTT exposed);
-    # host-side peak is the same 2 B/run the consumer retires in order
+    # host-side peak is the same 1-2 B/run the consumer retires in order
     for s in slices:
         s.copy_to_host_async()
 
-    exc_idx = meta_exc[0, :n_exc].astype(np.int64)
-    exc_delta = meta_exc[1, :n_exc]
-    exc_count = meta_exc[2, :n_exc]
-    order = np.argsort(exc_idx, kind="stable")
-    exc_idx, exc_delta, exc_count = exc_idx[order], exc_delta[order], exc_count[order]
+    if use_nib:
+        # exc4 indices come out of the device pack already sorted by lane
+        exc_idx = exc4[0, :n_exc4].astype(np.int64)
+        exc_delta, exc_count = exc4[1, :n_exc4], exc4[2, :n_exc4]
+    else:
+        exc_idx = meta_exc[0, :n_exc].astype(np.int64)
+        exc_delta = meta_exc[1, :n_exc]
+        exc_count = meta_exc[2, :n_exc]
+        order = np.argsort(exc_idx, kind="stable")
+        exc_idx, exc_delta, exc_count = (exc_idx[order], exc_delta[order],
+                                         exc_count[order])
 
     carry = 0
     pend_v = pend_c = None  # last run held back for cross-chunk duplicates
@@ -665,8 +743,13 @@ def stream_packed_ra(dc8, meta_exc, chunk_runs: int = 4 * 1024 * 1024):
         slices[k] = None  # release the device slice + its host copy
         off = s - dev_starts[k]
         m = min(chunk, n - s)
-        delta = h[0, off:off + m].astype(np.int64)
-        counts = h[1, off:off + m].astype(np.int64)
+        if use_nib:
+            nib = h[0, off:off + m]
+            delta = (nib & np.uint8(15)).astype(np.int64)
+            counts = (nib >> 4).astype(np.int64)
+        else:
+            delta = h[0, off:off + m].astype(np.int64)
+            counts = h[1, off:off + m].astype(np.int64)
         lo = np.searchsorted(exc_idx, s)
         hi = np.searchsorted(exc_idx, s + m)
         if hi > lo:
@@ -725,6 +808,11 @@ class PackedDeviceRA:
     def n_runs(self) -> int:
         return int(self.meta[3, 0])
 
+    @property
+    def uses_nibble_plane(self) -> bool:
+        _, _, ovf, use_nib, _, _ = _meta_fields(self.meta)
+        return use_nib and self.dc8.shape[0] > 2
+
     def stream(self, chunk_runs: int | None = None):
         if chunk_runs is None:
             # aim for ~8 in-flight windows so the D2H copy of chunk k+1
@@ -746,9 +834,10 @@ class PackedDeviceRA:
 
 
 def unpack_ra(dc8: np.ndarray, exc: np.ndarray, n: int, n_exc: int):
-    """Host-side inverse of pack_ra_device -> sorted (values, counts).
+    """Host-side inverse of pack_ra_device's byte planes -> sorted
+    (values, counts).
 
-    dc8: uint8[2, n] (delta plane, count plane); exc: int32[3, EXC_CAP]
+    dc8: uint8[>=2, n] (delta plane, count plane); exc: int32[3, EXC_CAP]
     (index, delta, count) rows for wide entries.
     """
     delta = dc8[0, :n].astype(np.int64)
@@ -757,6 +846,24 @@ def unpack_ra(dc8: np.ndarray, exc: np.ndarray, n: int, n_exc: int):
         idx = exc[0, :n_exc]
         delta[idx] = exc[1, :n_exc]
         counts[idx] = exc[2, :n_exc]
+    return np.cumsum(delta), counts
+
+
+def unpack_ra4(nib: np.ndarray, exc4: np.ndarray, n: int, n_exc4: int):
+    """Host-side inverse of pack_ra_device's nibble plane -> sorted
+    (values, counts).
+
+    nib: uint8[>=n] (delta in the low nibble, count in the high); exc4:
+    int32[3, >=n_exc4] (index, delta, count) for lanes that did not fit —
+    those lanes carry the marker low-nibble 15 and are fully overwritten.
+    """
+    nib = nib[:n]
+    delta = (nib & np.uint8(15)).astype(np.int64)
+    counts = (nib >> 4).astype(np.int64)
+    if n_exc4:
+        idx = exc4[0, :n_exc4]
+        delta[idx] = exc4[1, :n_exc4]
+        counts[idx] = exc4[2, :n_exc4]
     return np.cumsum(delta), counts
 
 

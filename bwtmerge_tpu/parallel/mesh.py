@@ -67,9 +67,9 @@ def _sharded_search_packed(a_idx, b_idx, a_sequences, b_sequences, mesh,
                            frontier_cap, emit_cap, b_seq_offset, streamed):
     """Run the whole search + device-side packing as ONE shard_map program:
     each device wavefront-searches its own B-sequence block and sorts +
-    byte-packs its RA runs in place (8 B/run -> 2 B/run over the host link).
-    Returns the still-sharded device outputs (dc8, exc, n_emit, n_exc,
-    overflow) plus the mesh size."""
+    packs its RA runs in place (8 B/run -> 1-2 B/run over the host link).
+    Returns the still-sharded device outputs (dc8 [D, 3, E], exc, exc4,
+    n_emit, n_exc, n_exc4, overflow) plus the mesh size."""
     from ..ops.search_jax import default_streamed
 
     if streamed is None:
@@ -100,8 +100,9 @@ def _sharded_search_packed(a_idx, b_idx, a_sequences, b_sequences, mesh,
             # (unpack+compact_rank_array, the chunk streams) sums duplicates
             # anyway, and the device compaction is gather-bound (~4 s at
             # 67M lanes on a v5e vs 0.4 s for the sort-only pack)
-            dc8, exc, n_u, n_exc = pack_ra_device(v, c, n, compact=False)
-            return dc8, exc, n_u, n_exc, ovf
+            dc8, exc, exc4, n_u, n_exc, n_exc4 = pack_ra_device(
+                v, c, n, compact=False)
+            return dc8, exc, exc4, n_u, n_exc, n_exc4, ovf
         return jax.vmap(fn)(sp, ep)
 
     # check_vma=False: the streamed-probe path calls pallas_call inside this
@@ -111,8 +112,9 @@ def _sharded_search_packed(a_idx, b_idx, a_sequences, b_sequences, mesh,
         in_specs=(P(), P(), P(SEQ_AXIS), P(SEQ_AXIS)),
         out_specs=P(SEQ_AXIS), check_vma=False))
 
-    dc8, exc, n_emit, n_exc, overflow = search_all(a_dev, b_dev, sp, ep)
-    return dc8, exc, n_emit, n_exc, overflow, n_dev
+    dc8, exc, exc4, n_emit, n_exc, n_exc4, overflow = search_all(
+        a_dev, b_dev, sp, ep)
+    return dc8, exc, exc4, n_emit, n_exc, n_exc4, overflow, n_dev
 
 
 class ShardedPackedRA:
@@ -129,7 +131,8 @@ class ShardedPackedRA:
     total_spilled_bytes = 0
 
     def __init__(self, shards):
-        self.shards = shards  # [(dc8 on device d [2, E], meta int32[4, EXC_CAP] host)]
+        # [(dc8 on device d [3, E], meta int32[META_ROWS, EXC_CAP] host)]
+        self.shards = shards
 
     @property
     def n_runs(self) -> int:
@@ -166,28 +169,33 @@ def sharded_packed_ra(
     ShardedPackedRA whose stream() feeds the merge phase directly, or None
     when any shard overflowed its static buffers (caller falls back to the
     host driver)."""
-    from ..ops.search_jax import EXC_CAP
+    from ..ops.search_jax import _EXC4_ROWS, EXC_CAP, META_ROWS
 
-    dc8, exc, n_emit, n_exc, overflow, n_dev = _sharded_search_packed(
-        a_idx, b_idx, a_sequences, b_sequences, mesh, frontier_cap,
-        emit_cap, b_seq_offset, streamed)
+    dc8, exc, exc4, n_emit, n_exc, n_exc4, overflow, n_dev = \
+        _sharded_search_packed(
+            a_idx, b_idx, a_sequences, b_sequences, mesh, frontier_cap,
+            emit_cap, b_seq_offset, streamed)
 
     n_emit_h = np.asarray(n_emit)
     n_exc_h = np.asarray(n_exc)
+    n_exc4_h = np.asarray(n_exc4)
     if bool(np.asarray(overflow).any()) or bool((n_exc_h > EXC_CAP).any()):
         return None
 
     exc_h = np.asarray(exc)
+    exc4_h = np.asarray(exc4)
     shards = []
     for shard in dc8.addressable_shards:
         d = shard.index[0].start or 0  # row of this device's packed buffer
         n = int(n_emit_h[d])
         if n == 0:
             continue
-        meta = np.zeros((4, exc_h.shape[2]), np.int32)
+        meta = np.zeros((META_ROWS, exc_h.shape[2]), np.int32)
         meta[:3] = exc_h[d]
         meta[3, 0] = n
         meta[3, 1] = n_exc_h[d]
+        meta[3, 3] = n_exc4_h[d]
+        meta[4:4 + _EXC4_ROWS] = exc4_h[d].reshape(_EXC4_ROWS, -1)
         shards.append((shard.data[0], meta))
     return ShardedPackedRA(shards)
 
@@ -217,9 +225,10 @@ def sharded_rank_array(
     """
     from ..ops.search_np import compact_rank_array
 
-    dc8, exc, n_emit, n_exc, overflow, n_dev = _sharded_search_packed(
-        a_idx, b_idx, a_sequences, b_sequences, mesh, frontier_cap,
-        emit_cap, b_seq_offset, streamed)
+    dc8, exc, exc4, n_emit, n_exc, n_exc4, overflow, n_dev = \
+        _sharded_search_packed(
+            a_idx, b_idx, a_sequences, b_sequences, mesh, frontier_cap,
+            emit_cap, b_seq_offset, streamed)
 
     from ..ops.search_jax import EXC_CAP, unpack_ra
 

@@ -163,7 +163,8 @@ class TestPackedTransfer:
     def test_pack_unpack_round_trip(self, pair):
         import numpy as np
         from bwtmerge_tpu.ops.search_jax import (
-            EXC_CAP, pack_ra_device, unpack_ra, wavefront_search_device)
+            EXC_CAP, pack_ra_device, unpack_ra, unpack_ra4,
+            wavefront_search_device)
         from bwtmerge_tpu.ops.search_np import compact_sorted_rank_array
 
         _, _, a, b = pair
@@ -173,11 +174,16 @@ class TestPackedTransfer:
             a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
             a.sequences(), frontier_cap=4096, emit_cap=65536)
         assert not bool(ovf)
-        dc8, exc, n_u, n_exc = pack_ra_device(v, c, n)
-        n_u, n_exc = int(n_u), int(n_exc)
+        dc8, exc, exc4, n_u, n_exc, n_exc4 = pack_ra_device(v, c, n)
+        n_u, n_exc, n_exc4 = int(n_u), int(n_exc), int(n_exc4)
         assert n_exc <= EXC_CAP
-        got_v, got_c = unpack_ra(np.asarray(dc8[:, :n_u]), np.asarray(exc),
+        got_v, got_c = unpack_ra(np.asarray(dc8[:2, :n_u]), np.asarray(exc),
                                  n_u, n_exc)
+        # the nibble plane must decode to the same runs
+        nib_v, nib_c = unpack_ra4(np.asarray(dc8[2, :n_u]), np.asarray(exc4),
+                                  n_u, n_exc4)
+        assert np.array_equal(nib_v, got_v)
+        assert np.array_equal(nib_c, got_c)
         # pack_ra_device compacts on device: already sorted unique
         got = compact_sorted_rank_array(got_v, got_c)
         assert np.array_equal(got[0], got_v)
@@ -192,20 +198,26 @@ class TestPackedTransfer:
 
     def test_wide_gaps_go_through_exceptions(self, rng):
         import numpy as np
-        from bwtmerge_tpu.ops.search_jax import pack_ra_device, unpack_ra
+        from bwtmerge_tpu.ops.search_jax import (pack_ra_device, unpack_ra,
+                                                 unpack_ra4)
 
-        # sparse large values -> every delta is wide
+        # sparse large values -> every delta is wide (in BOTH packings)
         values = np.sort(rng.choice(10_000_000, size=300, replace=False))
         counts = rng.integers(1, 1000, size=300)
         E = 512
         v = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(values, jnp.int32))
         c = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(counts, jnp.int32))
-        dc8, exc, n_u, n_exc = pack_ra_device(v, c, jnp.int32(300))
+        dc8, exc, exc4, n_u, n_exc, n_exc4 = pack_ra_device(v, c, jnp.int32(300))
         assert int(n_u) == 300  # all values unique
-        got_v, got_c = unpack_ra(np.asarray(dc8[:, :300]), np.asarray(exc),
+        got_v, got_c = unpack_ra(np.asarray(dc8[:2, :300]), np.asarray(exc),
                                  300, int(n_exc))
         assert np.array_equal(got_v, values)
         assert np.array_equal(got_c, counts)
+        assert int(n_exc4) == 300  # every lane spilled to the nibble table
+        nib_v, nib_c = unpack_ra4(np.asarray(dc8[2, :300]), np.asarray(exc4),
+                                  300, int(n_exc4))
+        assert np.array_equal(nib_v, values)
+        assert np.array_equal(nib_c, counts)
 
     def test_device_compaction_sums_duplicates(self, rng):
         import numpy as np
@@ -350,10 +362,36 @@ class TestSearchAndPack:
         E = 512
         v = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(values, jnp.int32))
         c = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(counts, jnp.int32))
-        dc8, exc, n_u, n_exc = pack_ra_device(v, c, jnp.int32(300))
+        dc8, exc, exc4, n_u, n_exc, n_exc4 = pack_ra_device(v, c, jnp.int32(300))
+        # legacy 4-row meta: forces the byte-plane decode path
         meta = jnp.zeros((1, exc.shape[1]), jnp.int32)
         meta = meta.at[0, 0].set(n_u).at[0, 1].set(n_exc)
         meta_exc = jnp.concatenate([exc, meta], axis=0)
+        chunks = list(stream_packed_ra(dc8, meta_exc, chunk_runs=7))
+        got_v = np.concatenate([x[0] for x in chunks])
+        got_c = np.concatenate([x[1] for x in chunks])
+        assert np.array_equal(got_v, values)
+        assert np.array_equal(got_c, counts)
+
+    def test_stream_nibble_exceptions_across_chunk_boundaries(self, rng):
+        from bwtmerge_tpu.ops.search_jax import (_EXC4_ROWS, EXC_CAP,
+                                                 pack_ra_device,
+                                                 stream_packed_ra)
+
+        # mixed widths: ~half the runs fit the nibble, half spill to exc4
+        deltas = rng.integers(1, 30, size=300)  # > 14 -> nibble exception
+        values = np.cumsum(deltas)
+        counts = rng.integers(1, 40, size=300)  # > 15 -> nibble exception
+        E = 512
+        v = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(values, jnp.int32))
+        c = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(counts, jnp.int32))
+        dc8, exc, exc4, n_u, n_exc, n_exc4 = pack_ra_device(v, c, jnp.int32(300))
+        assert 0 < int(n_exc4) < 300
+        meta = jnp.zeros((1, EXC_CAP), jnp.int32)
+        meta = meta.at[0, 0].set(n_u).at[0, 1].set(n_exc)
+        meta = meta.at[0, 3].set(n_exc4)
+        meta_exc = jnp.concatenate(
+            [exc, meta, exc4.reshape(_EXC4_ROWS, EXC_CAP)], axis=0)
         chunks = list(stream_packed_ra(dc8, meta_exc, chunk_runs=7))
         got_v = np.concatenate([x[0] for x in chunks])
         got_c = np.concatenate([x[1] for x in chunks])
