@@ -163,12 +163,12 @@ def main() -> None:
         n_runs = 0
         for s, e in blocks:
             t0 = time.monotonic()
-            dc8, meta_exc = search_and_pack(
+            dc8, meta_exc, exc4 = search_and_pack(
                 a_idx, b_idx, jnp.int32(s), jnp.int32(e),
                 a.sequences(), frontier_cap=fcap, emit_cap=ecap,
                 streamed=streamed)
             t1 = time.monotonic()
-            v, c, ovf = unpack_search(dc8, meta_exc)
+            v, c, ovf = unpack_search(dc8, meta_exc, exc4)
             assert not ovf, "device search overflowed its static buffers"
             t2 = time.monotonic()
             n_runs += v.size
@@ -218,6 +218,9 @@ def main() -> None:
         t0 = time.monotonic()
         if profile:
             ra_stream = timed(ra_stream, "ra")
+        # depth-2 RA stage: device chunk waits + delta decode run on their
+        # own thread (fresh arrays), overlapping the native interleave
+        ra_stream = prefetch_chunks(ra_stream, depth=2)
         chunks = interleave_stream_chunks(a.runs, b.runs, ra_stream)
         if profile:
             chunks = timed(chunks, "il+ra")

@@ -124,10 +124,12 @@ def merge_fmi_to_file(a: FMI, b: FMI, path: str, fmt: str = "native",
         )
         from ..utils.pipeline import prefetch_chunks
 
-        # three pipeline stages on three threads: RA production (inside
-        # interleave_stream_chunks), interleave, format write — safe at
-        # depth 1 because the interleave rotates 3 output buffers
-        chunks = interleave_stream_chunks(a.runs, b.runs, ra.stream())
+        # four pipeline stages on four threads: RA production (device chunk
+        # waits + delta decode — fresh arrays, safe to queue at depth 2),
+        # interleave, format write — the writer stage is safe at depth 1
+        # because the interleave rotates 3 output buffers
+        ra_stream = prefetch_chunks(ra.stream(), depth=2)
+        chunks = interleave_stream_chunks(a.runs, b.runs, ra_stream)
         write_bwt_stream(path, fmt, prefetch_chunks(chunks, depth=1), alpha)
 
     if config.verbose:
@@ -249,11 +251,11 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
                 from ..ops.search_jax import (PackedDeviceRA, default_streamed,
                                               search_and_pack)
 
-                dc8, meta_exc = search_and_pack(
+                dc8, meta_exc, exc4 = search_and_pack(
                     a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
                     a.sequences(), frontier_cap=fcap, emit_cap=ecap,
                     streamed=default_streamed())
-                packed = PackedDeviceRA(dc8, meta_exc)
+                packed = PackedDeviceRA(dc8, meta_exc, exc4)
                 if not packed.overflowed:
                     return packed
             else:

@@ -321,65 +321,90 @@ def wavefront_search_device2(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     a_pos, b_sp, b_ep, count, values, counts, n_emit, ovf = \
         range_loop(cap, st, staged=False, use_streamed=streamed)
 
-    # ---- phase 2: singles only (every live node has b_ep == b_sp)
-    def cond2(st):
-        sa, spos, count, values, counts, n_emit, ovf = st
-        return (count > 0) & ~ovf
+    # ---- phase 2: singles only (every live node has b_ep == b_sp).
+    # A singleton has exactly one child, so `count` is NON-INCREASING: the
+    # phase runs as a capacity LADDER (cap -> cap/2 -> cap/4) — each stage's
+    # loop exits once the frontier fits the next stage, which then runs the
+    # same body on a sliced frontier.  Probes and compaction sorts are
+    # O(lanes) per step, and fixed-length read collections keep ~|B-block|
+    # singletons alive for most of the depth, so fitting the lane count to
+    # the live count (callers size frontier_cap with fan-out headroom the
+    # singles phase never needs) cuts the dominant loop's width 2x.
 
-    def body2(st):
-        sa, spos, count, values, counts, n_emit, ovf = st
-        live = lane < count
-        values, counts, ovf = emit(values, counts, n_emit, ovf, sa,
-                                   jnp.where(live, 1, 0), cap)
-        n_emit = n_emit + count
+    def singles_stage(cap_s: int, next_cap: int, st):
+        """Run the singles loop at `cap_s` lanes until the frontier fits
+        `next_cap` (0 = run to completion) or overflow."""
+        lane_s = jax.lax.broadcasted_iota(jnp.int32, (cap_s, 1), 0)[:, 0]
 
-        lf_b, c_b = b_idx.LF_step(spos)          # 1 row gather: child b-pos
-        rows = a_idx.ranks_all(sa)               # 1 row gather: child a-pos
-        child_a = (a_idx.C[c_b]
-                   + jnp.take_along_axis(rows, c_b[:, None], axis=1)[:, 0])
-        alive = live & (c_b != 0)
+        def cond2(st):
+            sa, spos, count, values, counts, n_emit, ovf = st
+            return (count > next_cap) & ~ovf
 
-        key = jnp.where(alive, jnp.int32(0), jnp.int32(1))
-        _, sa2, spos2 = jax.lax.sort((key, child_a, lf_b), num_keys=1,
-                                     is_stable=False)
-        return (sa2, spos2, jnp.sum(alive.astype(jnp.int32)),
-                values, counts, n_emit, ovf)
+        def body2(st):
+            sa, spos, count, values, counts, n_emit, ovf = st
+            live = lane_s < count
+            values, counts, ovf = emit(values, counts, n_emit, ovf, sa,
+                                       jnp.where(live, 1, 0), cap_s)
+            n_emit = n_emit + count
 
-    def body2_streamed(st):
-        # same math, probes instead of gathers: sort by b-pos for the B
-        # probe (LF step needs the symbol row), then by a-pos for the A
-        # probe; the a-pos sort doubles as next iteration's compaction is
-        # NOT needed — dead lanes carry SENT keys and sort to the back.
-        sa, spos, count, values, counts, n_emit, ovf = st
-        live = lane < count
-        values, counts, ovf = emit(values, counts, n_emit, ovf, sa,
-                                   jnp.where(live, 1, 0), cap)
-        n_emit = n_emit + count
+            lf_b, c_b = b_idx.LF_step(spos)      # 1 row gather: child b-pos
+            rows = a_idx.ranks_all(sa)           # 1 row gather: child a-pos
+            child_a = (a_idx.C[c_b]
+                       + jnp.take_along_axis(rows, c_b[:, None], axis=1)[:, 0])
+            alive = live & (c_b != 0)
 
-        ks, sa_s = jax.lax.sort(
-            (jnp.where(live, spos, jnp.int32(_SENT)),
-             jnp.where(live, sa, jnp.int32(_SENT))),
-            num_keys=1, is_stable=False)
-        pb = _probe_sorted(b_idx.rec, ks)                    # [OUT_W, F]
-        c_b = pb[LANES]
-        lf_b = b_idx.C[jnp.clip(c_b, 0, LANES)] + _row_select(pb, c_b)
+            key = jnp.where(alive, jnp.int32(0), jnp.int32(1))
+            _, sa2, spos2 = jax.lax.sort((key, child_a, lf_b), num_keys=1,
+                                         is_stable=False)
+            return (sa2, spos2, jnp.sum(alive.astype(jnp.int32)),
+                    values, counts, n_emit, ovf)
 
-        ka, lf_s, cb_s = jax.lax.sort((sa_s, lf_b, c_b), num_keys=1,
-                                      is_stable=False)
-        pa = _probe_sorted(a_idx.rec, ka)
-        child_a = (a_idx.C[jnp.clip(cb_s, 0, LANES)]
-                   + _row_select(pa, cb_s))
-        alive = (lane < count) & (cb_s != 0)
+        def body2_streamed(st):
+            # same math, probes instead of gathers: sort by b-pos for the B
+            # probe (LF step needs the symbol row), then by a-pos for the A
+            # probe; the a-pos sort doubles as next iteration's compaction is
+            # NOT needed — dead lanes carry SENT keys and sort to the back.
+            sa, spos, count, values, counts, n_emit, ovf = st
+            live = lane_s < count
+            values, counts, ovf = emit(values, counts, n_emit, ovf, sa,
+                                       jnp.where(live, 1, 0), cap_s)
+            n_emit = n_emit + count
 
-        key = jnp.where(alive, jnp.int32(0), jnp.int32(1))
-        _, sa2, spos2 = jax.lax.sort((key, child_a, lf_s), num_keys=1,
-                                     is_stable=False)
-        return (sa2, spos2, jnp.sum(alive.astype(jnp.int32)),
-                values, counts, n_emit, ovf)
+            ks, sa_s = jax.lax.sort(
+                (jnp.where(live, spos, jnp.int32(_SENT)),
+                 jnp.where(live, sa, jnp.int32(_SENT))),
+                num_keys=1, is_stable=False)
+            pb = _probe_sorted(b_idx.rec, ks)                # [OUT_W, F]
+            c_b = pb[LANES]
+            lf_b = b_idx.C[jnp.clip(c_b, 0, LANES)] + _row_select(pb, c_b)
 
-    st2 = (a_pos, b_sp, count, values, counts, n_emit, ovf)
-    _, _, _, values, counts, n_emit, ovf = jax.lax.while_loop(
-        cond2, body2_streamed if streamed else body2, st2)
+            ka, lf_s, cb_s = jax.lax.sort((sa_s, lf_b, c_b), num_keys=1,
+                                          is_stable=False)
+            pa = _probe_sorted(a_idx.rec, ka)
+            child_a = (a_idx.C[jnp.clip(cb_s, 0, LANES)]
+                       + _row_select(pa, cb_s))
+            alive = (lane_s < count) & (cb_s != 0)
+
+            key = jnp.where(alive, jnp.int32(0), jnp.int32(1))
+            _, sa2, spos2 = jax.lax.sort((key, child_a, lf_s), num_keys=1,
+                                         is_stable=False)
+            return (sa2, spos2, jnp.sum(alive.astype(jnp.int32)),
+                    values, counts, n_emit, ovf)
+
+        return jax.lax.while_loop(
+            cond2, body2_streamed if streamed else body2, st)
+
+    caps2 = [cap]
+    while caps2[-1] // 2 >= 256 and len(caps2) < 3:
+        caps2.append(caps2[-1] // 2)
+    sa, spos = a_pos, b_sp
+    st2 = (sa, spos, count, values, counts, n_emit, ovf)
+    for i, cap_s in enumerate(caps2):
+        next_cap = caps2[i + 1] if i + 1 < len(caps2) else 0
+        if i:  # live lanes are compacted at the front by every producer
+            st2 = (st2[0][:cap_s], st2[1][:cap_s]) + st2[2:]
+        st2 = singles_stage(cap_s, next_cap, st2)
+    _, _, _, values, counts, n_emit, ovf = st2
     return values, counts, n_emit, ovf
 
 
@@ -452,9 +477,8 @@ def wavefront_search_device(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
 
 
 EXC_CAP = 8192       # byte-plane exception slots (gap/count > 254)
-EXC4_CAP = 1 << 17   # nibble-plane exception slots (gap > 14 or count > 15)
-_EXC4_ROWS = 3 * EXC4_CAP // EXC_CAP  # exc4 reshaped to EXC_CAP-wide rows
-META_ROWS = 4 + _EXC4_ROWS            # exc(3) + meta(1) + exc4(reshaped)
+EXC4_CAP = 1 << 20   # nibble-plane exception slots (gap > 14 or count > 15)
+META_ROWS = 4        # byte-plane exc(3 rows) + scalar metadata(1 row)
 
 
 @jax.jit
@@ -602,11 +626,13 @@ def search_and_pack(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     folded into the exception buffer: the host needs exactly TWO device reads
     (meta+exc, then the chosen plane sliced to n) instead of five round trips.
 
-    Returns (dc uint8[3, emit_cap], meta_exc int32[META_ROWS, EXC_CAP]):
-    rows 0-2 of meta_exc are the byte-plane exception table, row 3 is
-    (n_packed, n_exceptions, overflowed, n_exc4), rows 4+ are the
-    nibble-plane exception table reshaped to EXC_CAP width.  The host picks
-    the nibble plane (dc row 2, 1 B/run) when n_exc4 <= EXC4_CAP, else the
+    Returns (dc uint8[3, emit_cap], meta_exc int32[4, EXC_CAP],
+    exc4 int32[3, EXC4_CAP]): rows 0-2 of meta_exc are the byte-plane
+    exception table, row 3 is (n_packed, n_exceptions, overflowed, n_exc4).
+    exc4 is the nibble plane's exception table; it STAYS ON DEVICE and is
+    fetched lazily, sliced to a bucketed n_exc4 (at the 1M default cap it
+    would otherwise add 12 MB to every meta transfer).  The host picks the
+    nibble plane (dc row 2, 1 B/run) when n_exc4 <= EXC4_CAP, else the
     byte planes (dc rows 0-1, 2 B/run).  The packed runs are SORTED by
     a-position but may repeat values (compact=False — duplicate summing
     costs two extra full-width device sorts and is done by the host chunk
@@ -619,42 +645,56 @@ def search_and_pack(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     meta = jnp.zeros((1, EXC_CAP), jnp.int32)
     meta = meta.at[0, 0].set(n_u).at[0, 1].set(n_exc)
     meta = meta.at[0, 2].set(ovf.astype(jnp.int32)).at[0, 3].set(n_exc4)
-    return dc, jnp.concatenate(
-        [exc, meta, exc4.reshape(_EXC4_ROWS, EXC_CAP)], axis=0)
+    return dc, jnp.concatenate([exc, meta], axis=0), exc4
 
 
 def _meta_fields(meta_exc):
-    """(n, n_exc, overflowed, use_nibble, exc4) from a host meta buffer.
-
-    Accepts both layouts: the 4-row byte-plane-only meta (legacy/sharded
-    producers) and the META_ROWS one carrying the nibble exception table."""
+    """(n, n_exc, overflowed, n_exc4) from a host meta buffer (4 rows:
+    byte-plane exception table + scalar metadata row)."""
     n = int(meta_exc[3, 0])
     n_exc = int(meta_exc[3, 1])
     overflowed = bool(meta_exc[3, 2]) or n_exc > EXC_CAP
-    if meta_exc.shape[0] > 4:
-        n_exc4 = int(meta_exc[3, 3])
-        use_nib = not overflowed and n_exc4 <= EXC4_CAP
-        exc4 = meta_exc[4:4 + _EXC4_ROWS].reshape(3, EXC4_CAP) if use_nib \
-            else None
-    else:
-        n_exc4, use_nib, exc4 = 0, False, None
-    return n, n_exc, overflowed, use_nib, n_exc4, exc4
+    n_exc4 = int(meta_exc[3, 3]) if meta_exc.shape[1] > 3 else 0
+    return n, n_exc, overflowed, n_exc4
 
 
-def unpack_search(dc8, meta_exc) -> tuple:
+@functools.partial(jax.jit, static_argnames=("length",))
+def _cut_exc4(x, length):
+    return jax.lax.slice(x, (0, 0), (3, length))
+
+
+def fetch_exc4(exc4_dev, n_exc4: int) -> np.ndarray:
+    """Bucketed device fetch of the first n_exc4 nibble exceptions.
+
+    Power-of-two slice lengths keep the remote-compile program cache small;
+    the waste is bounded at 2x of a table that is ~1% the plane size."""
+    if n_exc4 == 0:
+        return np.zeros((3, 0), np.int32)
+    cap = exc4_dev.shape[1]
+    k = 1 << 10
+    while k < n_exc4:
+        k *= 2
+    if k >= cap:
+        return np.asarray(exc4_dev)
+    return np.asarray(_cut_exc4(exc4_dev, k))
+
+
+def unpack_search(dc8, meta_exc, exc4=None) -> tuple:
     """Host side of search_and_pack -> (values, counts, overflowed).
 
-    Two device reads: the metadata/exception buffer first (this also blocks
-    on the search compute), then the chosen plane sliced ON DEVICE to a
+    Two device reads (three when the nibble plane is chosen and exc4 is
+    non-empty): the metadata/exception buffer first (this also blocks on
+    the search compute), then the chosen plane sliced ON DEVICE to a
     bucketed length >= n — remote attachments move D2H bytes at tens of
     MB/s, so shipping the full emit-cap padding can double the transfer.
     The bucket sizes ({2^k, 3*2^(k-2)}, <=33% waste) keep the slice
     program cache small on the remote-compile service."""
     meta_exc = jax.device_get(meta_exc)
-    n, n_exc, overflowed, use_nib, n_exc4, exc4 = _meta_fields(meta_exc)
+    n, n_exc, overflowed, n_exc4 = _meta_fields(meta_exc)
     if overflowed:
         return np.zeros(0, np.int64), np.zeros(0, np.int64), True
-    use_nib = use_nib and dc8.shape[0] > 2
+    use_nib = (exc4 is not None and n_exc4 <= EXC4_CAP
+               and dc8.shape[0] > 2)
     cap = dc8.shape[1]
     k = 1 << 10
     while k < n:
@@ -664,7 +704,7 @@ def unpack_search(dc8, meta_exc) -> tuple:
     k = min(k, cap)
     if use_nib:
         nib = jax.device_get(dc8[2, :k] if k < cap else dc8[2])
-        v, c = unpack_ra4(nib, exc4, n, n_exc4)
+        v, c = unpack_ra4(nib, fetch_exc4(exc4, n_exc4), n, n_exc4)
     else:
         dc8 = jax.device_get(dc8[:2, :k] if k < cap else dc8[:2])
         v, c = unpack_ra(dc8[:, :n], meta_exc, n, n_exc)
@@ -690,7 +730,8 @@ def _cut_chunk_nib(x, start, length):
     return jax.lax.dynamic_slice(x, (jnp.int32(2), start), (1, length))
 
 
-def stream_packed_ra(dc8, meta_exc, chunk_runs: int = 4 * 1024 * 1024):
+def stream_packed_ra(dc8, meta_exc, exc4=None,
+                     chunk_runs: int = 4 * 1024 * 1024):
     """Generator of ascending sorted-unique (values, counts) chunks straight
     from a packed device RA (search_and_pack output) — the transfer/merge
     pipeline: chunk k+1's device->host copy is issued asynchronously while
@@ -702,12 +743,13 @@ def stream_packed_ra(dc8, meta_exc, chunk_runs: int = 4 * 1024 * 1024):
     Raises ValueError on overflow (callers should have checked meta first).
     """
     meta_exc = jax.device_get(meta_exc)
-    n, n_exc, overflowed, use_nib, n_exc4, exc4 = _meta_fields(meta_exc)
+    n, n_exc, overflowed, n_exc4 = _meta_fields(meta_exc)
     if overflowed:
         raise ValueError("packed RA overflowed its device buffers")
     if n == 0:
         return
-    use_nib = use_nib and dc8.shape[0] > 2
+    use_nib = (exc4 is not None and n_exc4 <= EXC4_CAP
+               and dc8.shape[0] > 2)
 
     cap = dc8.shape[1]
     chunk = min(chunk_runs, cap)
@@ -726,8 +768,9 @@ def stream_packed_ra(dc8, meta_exc, chunk_runs: int = 4 * 1024 * 1024):
 
     if use_nib:
         # exc4 indices come out of the device pack already sorted by lane
-        exc_idx = exc4[0, :n_exc4].astype(np.int64)
-        exc_delta, exc_count = exc4[1, :n_exc4], exc4[2, :n_exc4]
+        exc4_h = fetch_exc4(exc4, n_exc4)
+        exc_idx = exc4_h[0, :n_exc4].astype(np.int64)
+        exc_delta, exc_count = exc4_h[1, :n_exc4], exc4_h[2, :n_exc4]
     else:
         exc_idx = meta_exc[0, :n_exc].astype(np.int64)
         exc_delta = meta_exc[1, :n_exc]
@@ -796,8 +839,9 @@ class PackedDeviceRA:
     n_spill_files = 0
     total_spilled_bytes = 0
 
-    def __init__(self, dc8, meta_exc):
+    def __init__(self, dc8, meta_exc, exc4=None):
         self.dc8 = dc8
+        self.exc4 = exc4
         self.meta = jax.device_get(meta_exc)  # blocks on the search compute
 
     @property
@@ -810,8 +854,9 @@ class PackedDeviceRA:
 
     @property
     def uses_nibble_plane(self) -> bool:
-        _, _, ovf, use_nib, _, _ = _meta_fields(self.meta)
-        return use_nib and self.dc8.shape[0] > 2
+        n, n_exc, ovf, n_exc4 = _meta_fields(self.meta)
+        return (not ovf and self.exc4 is not None and n_exc4 <= EXC4_CAP
+                and self.dc8.shape[0] > 2)
 
     def stream(self, chunk_runs: int | None = None):
         if chunk_runs is None:
@@ -823,7 +868,7 @@ class PackedDeviceRA:
             chunk_runs = 1024 * 1024
             while chunk_runs * 2 <= target and chunk_runs < 4 * 1024 * 1024:
                 chunk_runs *= 2
-        return stream_packed_ra(self.dc8, self.meta, chunk_runs)
+        return stream_packed_ra(self.dc8, self.meta, self.exc4, chunk_runs)
 
     def finish(self):
         parts = list(self.stream())

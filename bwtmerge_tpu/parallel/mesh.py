@@ -131,19 +131,20 @@ class ShardedPackedRA:
     total_spilled_bytes = 0
 
     def __init__(self, shards):
-        # [(dc8 on device d [3, E], meta int32[META_ROWS, EXC_CAP] host)]
+        # [(dc8 on device d [3, E], meta int32[4, EXC_CAP] host,
+        #   exc4 on device d [3, EXC4_CAP])]
         self.shards = shards
 
     @property
     def n_runs(self) -> int:
-        return sum(int(m[3, 0]) for _, m in self.shards)
+        return sum(int(m[3, 0]) for _, m, _ in self.shards)
 
     def stream(self, chunk_runs: int = 4 * 1024 * 1024):
         from ..models.spill import merge_ra_chunk_streams
         from ..ops.search_jax import stream_packed_ra
 
         return merge_ra_chunk_streams(
-            [stream_packed_ra(d, m) for d, m in self.shards],
+            [stream_packed_ra(d, m, e4) for d, m, e4 in self.shards],
             chunk_runs=chunk_runs)
 
     def finish(self):
@@ -169,7 +170,7 @@ def sharded_packed_ra(
     ShardedPackedRA whose stream() feeds the merge phase directly, or None
     when any shard overflowed its static buffers (caller falls back to the
     host driver)."""
-    from ..ops.search_jax import _EXC4_ROWS, EXC_CAP, META_ROWS
+    from ..ops.search_jax import EXC_CAP, META_ROWS
 
     dc8, exc, exc4, n_emit, n_exc, n_exc4, overflow, n_dev = \
         _sharded_search_packed(
@@ -183,7 +184,10 @@ def sharded_packed_ra(
         return None
 
     exc_h = np.asarray(exc)
-    exc4_h = np.asarray(exc4)
+    # exc4 stays sharded on its devices; stream_packed_ra fetches each
+    # shard's table lazily, sliced to its n_exc4 (12 MB/device if eager)
+    exc4_shards = {(s.index[0].start or 0): s.data[0]
+                   for s in exc4.addressable_shards}
     shards = []
     for shard in dc8.addressable_shards:
         d = shard.index[0].start or 0  # row of this device's packed buffer
@@ -195,8 +199,7 @@ def sharded_packed_ra(
         meta[3, 0] = n
         meta[3, 1] = n_exc_h[d]
         meta[3, 3] = n_exc4_h[d]
-        meta[4:4 + _EXC4_ROWS] = exc4_h[d].reshape(_EXC4_ROWS, -1)
-        shards.append((shard.data[0], meta))
+        shards.append((shard.data[0], meta, exc4_shards[d]))
     return ShardedPackedRA(shards)
 
 

@@ -315,10 +315,10 @@ class TestSearchAndPack:
         _, _, a, b = pair
         a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
         b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
-        dc8, meta_exc = search_and_pack(
+        dc8, meta_exc, exc4 = search_and_pack(
             a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
             a.sequences(), frontier_cap=4096, emit_cap=65536)
-        v, c, ovf = unpack_search(dc8, meta_exc)
+        v, c, ovf = unpack_search(dc8, meta_exc, exc4)
         assert not ovf
         got = compact_sorted_rank_array(v, c)
         want = search_np.build_rank_array(
@@ -336,13 +336,13 @@ class TestSearchAndPack:
         _, _, a, b = pair
         a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
         b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
-        dc8, meta_exc = search_and_pack(
+        dc8, meta_exc, exc4 = search_and_pack(
             a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
             a.sequences(), frontier_cap=4096, emit_cap=65536)
-        v, c, ovf = unpack_search(dc8, meta_exc)
+        v, c, ovf = unpack_search(dc8, meta_exc, exc4)
         assert not ovf
         # odd chunk size forces several chunks incl. a clamped final window
-        chunks = list(stream_packed_ra(dc8, meta_exc, chunk_runs=37))
+        chunks = list(stream_packed_ra(dc8, meta_exc, exc4, chunk_runs=37))
         assert len(chunks) > 1
         for cv, _ in chunks:  # each chunk strictly ascending a-positions
             assert np.all(np.diff(cv) > 0)
@@ -363,7 +363,7 @@ class TestSearchAndPack:
         v = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(values, jnp.int32))
         c = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(counts, jnp.int32))
         dc8, exc, exc4, n_u, n_exc, n_exc4 = pack_ra_device(v, c, jnp.int32(300))
-        # legacy 4-row meta: forces the byte-plane decode path
+        # no exc4 handed over: forces the byte-plane decode path
         meta = jnp.zeros((1, exc.shape[1]), jnp.int32)
         meta = meta.at[0, 0].set(n_u).at[0, 1].set(n_exc)
         meta_exc = jnp.concatenate([exc, meta], axis=0)
@@ -374,8 +374,7 @@ class TestSearchAndPack:
         assert np.array_equal(got_c, counts)
 
     def test_stream_nibble_exceptions_across_chunk_boundaries(self, rng):
-        from bwtmerge_tpu.ops.search_jax import (_EXC4_ROWS, EXC_CAP,
-                                                 pack_ra_device,
+        from bwtmerge_tpu.ops.search_jax import (EXC_CAP, pack_ra_device,
                                                  stream_packed_ra)
 
         # mixed widths: ~half the runs fit the nibble, half spill to exc4
@@ -390,9 +389,8 @@ class TestSearchAndPack:
         meta = jnp.zeros((1, EXC_CAP), jnp.int32)
         meta = meta.at[0, 0].set(n_u).at[0, 1].set(n_exc)
         meta = meta.at[0, 3].set(n_exc4)
-        meta_exc = jnp.concatenate(
-            [exc, meta, exc4.reshape(_EXC4_ROWS, EXC_CAP)], axis=0)
-        chunks = list(stream_packed_ra(dc8, meta_exc, chunk_runs=7))
+        meta_exc = jnp.concatenate([exc, meta], axis=0)
+        chunks = list(stream_packed_ra(dc8, meta_exc, exc4, chunk_runs=7))
         got_v = np.concatenate([x[0] for x in chunks])
         got_c = np.concatenate([x[1] for x in chunks])
         assert np.array_equal(got_v, values)
@@ -404,8 +402,8 @@ class TestSearchAndPack:
         _, _, a, b = pair
         a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
         b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
-        dc8, meta_exc = search_and_pack(
+        dc8, meta_exc, exc4 = search_and_pack(
             a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
             a.sequences(), frontier_cap=256, emit_cap=64)
-        _, _, ovf = unpack_search(dc8, meta_exc)
+        _, _, ovf = unpack_search(dc8, meta_exc, exc4)
         assert ovf

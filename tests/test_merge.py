@@ -151,7 +151,8 @@ class TestDeviceOverflowFallback:
         def fake_pack(*args, **kwargs):
             calls["n"] += 1
             meta = jnp.zeros((4, sj.EXC_CAP), jnp.int32).at[3, 2].set(1)
-            return jnp.zeros((2, 64), jnp.uint8), meta
+            return (jnp.zeros((2, 64), jnp.uint8), meta,
+                    jnp.zeros((3, 8), jnp.int32))
         monkeypatch.setattr(sj, "search_and_pack", fake_pack)
 
         merged = merge_fmi(a, b, MergeConfig(backend="jax"))
