@@ -360,36 +360,39 @@ def wavefront_search_device2(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
                     values, counts, n_emit, ovf)
 
         def body2_streamed(st):
-            # same math, probes instead of gathers: sort by b-pos for the B
-            # probe (LF step needs the symbol row), then by a-pos for the A
-            # probe; the a-pos sort doubles as next iteration's compaction is
-            # NOT needed — dead lanes carry SENT keys and sort to the back.
+            # same math, probes instead of gathers.  The loop CARRIES the
+            # invariant "spos ascending, dead lanes (lane >= count) at SENT,
+            # sa aligned to spos", so the B probe needs NO sort; the only
+            # sorts are by a-pos for the A probe (which also compacts dead
+            # lanes to the back) and by child b-pos to re-establish the
+            # invariant.  Emission order is irrelevant — pack_ra_device does
+            # one global sort at the end — so the old third sort (ordering
+            # children by a-pos) was pure overhead: 2 sorts/depth, not 3.
             sa, spos, count, values, counts, n_emit, ovf = st
             live = lane_s < count
             values, counts, ovf = emit(values, counts, n_emit, ovf, sa,
                                        jnp.where(live, 1, 0), cap_s)
             n_emit = n_emit + count
 
-            ks, sa_s = jax.lax.sort(
-                (jnp.where(live, spos, jnp.int32(_SENT)),
-                 jnp.where(live, sa, jnp.int32(_SENT))),
-                num_keys=1, is_stable=False)
-            pb = _probe_sorted(b_idx.rec, ks)                # [OUT_W, F]
+            pb = _probe_sorted(b_idx.rec, spos)              # [OUT_W, F]
             c_b = pb[LANES]
             lf_b = b_idx.C[jnp.clip(c_b, 0, LANES)] + _row_select(pb, c_b)
 
-            ka, lf_s, cb_s = jax.lax.sort((sa_s, lf_b, c_b), num_keys=1,
-                                          is_stable=False)
+            alive = live & (c_b != 0)
+            ka, lf_s, cb_s = jax.lax.sort(
+                (jnp.where(alive, sa, jnp.int32(_SENT)),
+                 jnp.where(alive, lf_b, jnp.int32(_SENT)),
+                 c_b), num_keys=1, is_stable=False)
             pa = _probe_sorted(a_idx.rec, ka)
             child_a = (a_idx.C[jnp.clip(cb_s, 0, LANES)]
                        + _row_select(pa, cb_s))
-            alive = (lane_s < count) & (cb_s != 0)
-
-            key = jnp.where(alive, jnp.int32(0), jnp.int32(1))
-            _, sa2, spos2 = jax.lax.sort((key, child_a, lf_s), num_keys=1,
-                                         is_stable=False)
-            return (sa2, spos2, jnp.sum(alive.astype(jnp.int32)),
-                    values, counts, n_emit, ovf)
+            count2 = jnp.sum(alive.astype(jnp.int32))
+            alive2 = lane_s < count2       # ka sort compacted alive to front
+            spos2, sa2 = jax.lax.sort(
+                (jnp.where(alive2, lf_s, jnp.int32(_SENT)),
+                 jnp.where(alive2, child_a, jnp.int32(_SENT))),
+                num_keys=1, is_stable=False)
+            return (sa2, spos2, count2, values, counts, n_emit, ovf)
 
         return jax.lax.while_loop(
             cond2, body2_streamed if streamed else body2, st)
@@ -397,8 +400,15 @@ def wavefront_search_device2(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     caps2 = [cap]
     while caps2[-1] // 2 >= 256 and len(caps2) < 3:
         caps2.append(caps2[-1] // 2)
-    sa, spos = a_pos, b_sp
-    st2 = (sa, spos, count, values, counts, n_emit, ovf)
+    if streamed:
+        # establish the singles invariant (spos ascending, dead at SENT)
+        spos_i, sa_i = jax.lax.sort(
+            (jnp.where(lane < count, b_sp, jnp.int32(_SENT)),
+             jnp.where(lane < count, a_pos, jnp.int32(_SENT))),
+            num_keys=1, is_stable=False)
+    else:
+        sa_i, spos_i = a_pos, b_sp
+    st2 = (sa_i, spos_i, count, values, counts, n_emit, ovf)
     for i, cap_s in enumerate(caps2):
         next_cap = caps2[i + 1] if i + 1 < len(caps2) else 0
         if i:  # live lanes are compacted at the front by every producer
@@ -574,13 +584,19 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array,
     c8 = jnp.where(wide, 255, jnp.minimum(cnt, 254)).astype(jnp.uint8)
 
     n_exc = jnp.sum(wide.astype(jnp.int32))
-    # top_k instead of a 4-operand full sort: the <= EXC_CAP wide lanes are
-    # selected in O(E log K); order is irrelevant (hosts assign / argsort)
+    # the <= EXC_CAP wide lanes via binary search on the running count of
+    # wide lanes (EXC_CAP queries over the cumsum: ~0.06 s at 67M lanes on
+    # v5e vs 0.14 s for top_k) — comes out SORTED by lane, so the host
+    # skips its argsort
     k = min(EXC_CAP, e)
-    sel, idx = jax.lax.top_k(jnp.where(wide, lane + 1, 0), k)
-    exc_idx = sel - 1                       # -1 in unused slots (never read)
-    exc_delta = delta[idx]
-    exc_count = cnt[idx]
+    cs = jnp.cumsum(wide.astype(jnp.int32))
+    slots = jnp.arange(1, k + 1, dtype=jnp.int32)
+    lane_w = jnp.searchsorted(cs, slots).astype(jnp.int32) if e else slots * 0
+    valid = jnp.arange(k, dtype=jnp.int32) < n_exc
+    safe = jnp.where(valid, lane_w, 0)
+    exc_idx = jnp.where(valid, lane_w, -1)  # -1 in unused slots (never read)
+    exc_delta = jnp.where(valid, delta[safe], 0)
+    exc_count = jnp.where(valid, cnt[safe], 0)
 
     # nibble plane: delta | count << 4 when both fit; marker low-nibble 15
     # otherwise (a fitting delta is <= 14, so 15 is unambiguous)
@@ -589,18 +605,21 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array,
                     jnp.where(fits4, delta | (cnt << 4), 15),
                     0).astype(jnp.uint8)
     wide4 = live & ~fits4
-    cs4 = jnp.cumsum(wide4.astype(jnp.int32))
-    n_exc4 = cs4[-1] if e else jnp.int32(0)
+    n_exc4 = jnp.sum(wide4.astype(jnp.int32))
     k4 = min(EXC4_CAP, max(e, 1))
-    # j-th exception's lane via binary search on the running count —
-    # comes out SORTED by lane, so the host skips its argsort
-    slots = jnp.arange(1, k4 + 1, dtype=jnp.int32)
-    lane4 = jnp.searchsorted(cs4, slots).astype(jnp.int32) if e else slots * 0
+    # exception lanes by one non-stable 3-operand sort (wide4 lanes carry
+    # their lane index, the rest a sentinel): O(E) flat cost — measured
+    # 0.27 s at 67M lanes vs 0.70 s for EXC4_CAP searchsorted queries,
+    # and still SORTED by lane (the host skips its argsort).  The nibble
+    # exception count is ~1% of runs and scales with the data, so the
+    # per-query cost mattered.
+    key4 = jnp.where(wide4, lane, jnp.int32(2**31 - 1))
+    ki, kd, kc = jax.lax.sort((key4, delta, cnt), num_keys=1,
+                              is_stable=False)
     valid4 = jnp.arange(k4, dtype=jnp.int32) < n_exc4
-    safe4 = jnp.where(valid4, lane4, 0)
-    exc4_idx = jnp.where(valid4, lane4, -1)
-    exc4_delta = jnp.where(valid4, delta[safe4], 0)
-    exc4_count = jnp.where(valid4, cnt[safe4], 0)
+    exc4_idx = jnp.where(valid4, ki[:k4], -1)
+    exc4_delta = jnp.where(valid4, kd[:k4], 0)
+    exc4_count = jnp.where(valid4, kc[:k4], 0)
 
     # single-buffer outputs: each device->host transfer pays ~50-100 ms of
     # link latency, so the planes and each exception table ship as ONE
