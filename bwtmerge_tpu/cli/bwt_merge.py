@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sequence blocks per device (default 4)")
     p.add_argument("-t", dest="devices", type=int, default=None, metavar="N",
                    help="device/thread parallelism (default: all devices)")
+    p.add_argument("--device-blocks", dest="device_blocks", type=int,
+                   default=None, metavar="N",
+                   help="single-device search programs per merge: block k+1's"
+                        " search overlaps block k's rank-array transfer"
+                        " (default: auto)")
     p.add_argument("-d", dest="temp_dir", default=".", metavar="DIR",
                    help="temp directory for rank-array spills (default .)")
     p.add_argument("-v", dest="patterns", default=None, metavar="FILE",
@@ -232,6 +237,8 @@ def main(argv=None) -> int:
         config.sequence_blocks = args.sequence_blocks
     if args.devices is not None:
         config.devices = args.devices
+    if args.device_blocks is not None:
+        config.device_blocks = args.device_blocks
     config.sanitize()
 
     if not args.quiet:

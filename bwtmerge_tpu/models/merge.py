@@ -41,6 +41,11 @@ class MergeConfig:
     temp_dir: str = "."
     backend: str = "numpy"
     interleave: str = "native"  # 'native' (host C++) | 'device'
+    # single-device jax path: number of sequence blocks dispatched as
+    # SEPARATE device programs so block k+1's search compute overlaps block
+    # k's rank-array D2H transfer (0 = auto: 2 blocks once B is big enough
+    # that the transfer time is worth hiding)
+    device_blocks: int = 0
     verbose: bool = False
     timer: PhaseTimer = field(default_factory=PhaseTimer)
 
@@ -48,6 +53,7 @@ class MergeConfig:
         self.sequence_blocks = max(1, self.sequence_blocks)
         self.devices = max(1, self.devices)
         self.merge_buffers = max(1, self.merge_buffers)
+        self.device_blocks = max(0, self.device_blocks)
         return self
 
     def temp_prefix(self) -> str:
@@ -202,6 +208,49 @@ def merge_files(a_path: str, b_path: str, out_path: str,
         config.timer.report(b_size)
 
 
+class _PrimedStream:
+    """A chunk stream whose first chunk was pulled eagerly (to surface
+    per-block overflow BEFORE any output is written) — duck-types the
+    RankArraySpill consumption surface like PackedDeviceRA."""
+
+    prefer_stream = True
+    n_spill_files = 0
+    total_spilled_bytes = 0
+
+    def __init__(self, first, rest):
+        self._first = first
+        self._rest = rest
+
+    def stream(self, chunk_runs=None):
+        import itertools
+
+        if self._first is None:
+            return iter(())
+        return itertools.chain([self._first], self._rest)
+
+    def finish(self):
+        parts = list(self.stream())
+        if not parts:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
+
+
+def _prime_stream(packed):
+    """Start a BlockedPackedRA's merged stream and pull its first chunk.
+
+    The k-way merge reads every block's meta before yielding anything, so a
+    block that overflowed its static device buffers raises ValueError here —
+    before a single output byte exists.  Returns the primed stream, or None
+    on overflow (caller falls back)."""
+    try:
+        stream = packed.stream()
+        first = next(stream, None)
+    except ValueError:
+        return None
+    return _PrimedStream(first, stream)
+
+
 def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
     """Run the search phase, emitting into a spill-backed accumulator.
 
@@ -248,9 +297,38 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
                 # (the transfer overlaps the interleave downstream)
                 import jax.numpy as jnp
 
-                from ..ops.search_jax import (PackedDeviceRA, default_streamed,
+                from ..ops.search_jax import (PackedDeviceRA,
+                                              blocked_search_and_pack,
+                                              default_streamed,
                                               search_and_pack)
 
+                n_blk = config.device_blocks
+                if n_blk == 0:
+                    # auto: one program.  Blocked overlap (device_blocks=2)
+                    # wins when the D2H link is slow relative to the search
+                    # compute (measured: 18 vs 27 s on a ~10 MB/s degraded
+                    # remote relay) but adds k-way merge overhead on a fast
+                    # host link — so it stays an explicit knob
+                    # (--device-blocks).
+                    n_blk = 1
+                n_blk = min(n_blk, max(1, b.sequences()))
+                if n_blk > 1:
+                    # per-block caps (largest block), one program shape
+                    blk_seqs = (b.sequences() + n_blk - 1) // n_blk
+                    blk_bases = (b.size() // b.sequences() + 1) * blk_seqs
+                    # +1: fan-out headroom for the range phase (singles never
+                    # exceed blk_seqs, but early range nodes can)
+                    fcap_b = 1 << max(12, (blk_seqs - 1).bit_length() + 1)
+                    ecap_b = 1 << (blk_bases + blk_seqs + fcap_b + 16).bit_length()
+                    packed = blocked_search_and_pack(
+                        a_idx, b_idx, a.sequences(), b.sequences(), n_blk,
+                        frontier_cap=fcap_b, emit_cap=ecap_b,
+                        streamed=default_streamed())
+                    primed = _prime_stream(packed)
+                    if primed is not None:
+                        return primed
+                    # a block overflowed its static buffers: fall through to
+                    # the single-program path (wider caps), then host driver
                 dc8, meta_exc, exc4 = search_and_pack(
                     a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
                     a.sequences(), frontier_cap=fcap, emit_cap=ecap,

@@ -750,7 +750,8 @@ def _cut_chunk_nib(x, start, length):
 
 
 def stream_packed_ra(dc8, meta_exc, exc4=None,
-                     chunk_runs: int = 4 * 1024 * 1024):
+                     chunk_runs: int = 4 * 1024 * 1024,
+                     presliced=None):
     """Generator of ascending sorted-unique (values, counts) chunks straight
     from a packed device RA (search_and_pack output) — the transfer/merge
     pipeline: chunk k+1's device->host copy is issued asynchronously while
@@ -771,14 +772,22 @@ def stream_packed_ra(dc8, meta_exc, exc4=None,
                and dc8.shape[0] > 2)
 
     cap = dc8.shape[1]
-    chunk = min(chunk_runs, cap)
-
-    # dynamic_slice clamps the start when start+chunk > cap: issue the last
-    # window at cap-chunk and compensate with a host-side offset
-    starts = list(range(0, n, chunk))
-    dev_starts = [min(s, cap - chunk) for s in starts]
-    cut = _cut_chunk_nib if use_nib else _cut_chunk
-    slices = [cut(dc8, jnp.int32(s), chunk) for s in dev_starts]
+    if use_nib and presliced is not None:
+        # pre-dispatched static nibble-plane grid (BlockedPackedRA): the
+        # slice programs already ran right after this block's search, so
+        # their D2H DMA can overlap the NEXT block's search compute
+        chunk = presliced[1]
+        starts = list(range(0, n, chunk))
+        dev_starts = starts
+        slices = list(presliced[0][:len(starts)])
+    else:
+        chunk = min(chunk_runs, cap)
+        # dynamic_slice clamps the start when start+chunk > cap: issue the
+        # last window at cap-chunk and compensate with a host-side offset
+        starts = list(range(0, n, chunk))
+        dev_starts = [min(s, cap - chunk) for s in starts]
+        cut = _cut_chunk_nib if use_nib else _cut_chunk
+        slices = [cut(dc8, jnp.int32(s), chunk) for s in dev_starts]
     # issue EVERY chunk's D2H copy up front: the link then streams them
     # back-to-back (one in-flight copy leaves each chunk's ~RTT exposed);
     # host-side peak is the same 1-2 B/run the consumer retires in order
@@ -895,6 +904,126 @@ class PackedDeviceRA:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
         return (np.concatenate([p[0] for p in parts]),
                 np.concatenate([p[1] for p in parts]))
+
+
+class BlockedPackedRA:
+    """Packed per-sequence-block search results left ON DEVICE, consumed as
+    one ascending sorted-unique chunk stream.
+
+    The device executes programs in dispatch order, so blocked_search_and_pack
+    dispatches each block's search IMMEDIATELY followed by a static grid of
+    nibble-plane slice programs over its packed buffer: block k's slices are
+    computed before block k+1's search starts.  A prefetch thread then reads
+    each block's metadata as it lands and issues the D2H copies for the live
+    windows — pure DMA against already-computed arrays, overlapping block
+    k+1's search COMPUTE with block k's chunk TRANSFERS.  This overlaps the
+    search and transfer phases the way the reference overlaps its search and
+    merge threads (fmi.cpp:351-357, bwt.cpp:286-298), but across sequence
+    blocks on one chip.  Blocks partition B's sequences, so each stream is
+    ascending sorted; merge_ra_chunk_streams sums the duplicate a-positions
+    across block boundaries.
+
+    NOTE: `overflowed` blocks on EVERY block's search — prefer consuming
+    stream() and catching ValueError before the first chunk (the k-way merge
+    reads every block's meta before yielding anything, so overflow always
+    surfaces before any output is produced).
+    """
+
+    prefer_stream = True
+    n_spill_files = 0
+    total_spilled_bytes = 0
+    CHUNK = 2 * 1024 * 1024
+
+    def __init__(self, parts):
+        # [(dc8, meta_exc dev, exc4 dev, (nib_slices, chunk))] — unread;
+        # 3-tuples (no pre-dispatched slice grid) are normalized to sliced=None
+        self.parts = [p if len(p) == 4 else (*p, None) for p in parts]
+        self._metas = [None] * len(self.parts)
+        self._prefetcher = None
+
+    def _meta(self, i):
+        if self._metas[i] is None:
+            self._metas[i] = jax.device_get(self.parts[i][1])
+        return self._metas[i]
+
+    @property
+    def overflowed(self) -> bool:
+        return any(
+            bool(self._meta(i)[3, 2]) or int(self._meta(i)[3, 1]) > EXC_CAP
+            for i in range(len(self.parts)))
+
+    @property
+    def n_runs(self) -> int:
+        return sum(int(self._meta(i)[3, 0]) for i in range(len(self.parts)))
+
+    def _prefetch(self):
+        """Issue each block's live-window D2H copies the moment its meta
+        lands; jax.Array caches the host copy, so the consumer's later
+        np.asarray reuses the transfer instead of re-fetching."""
+        for i, part in enumerate(self.parts):
+            dc8, _m, exc4, sliced = part if len(part) == 4 else (*part, None)
+            try:
+                m = self._meta(i)
+            except Exception:
+                return
+            n, n_exc, ovf, n_exc4 = _meta_fields(m)
+            if ovf or sliced is None or n_exc4 > EXC4_CAP or dc8.shape[0] <= 2:
+                continue
+            slices, chunk = sliced
+            for s in slices[:(n + chunk - 1) // chunk]:
+                s.copy_to_host_async()
+
+    def start_prefetch(self):
+        if self._prefetcher is None:
+            import threading
+
+            self._prefetcher = threading.Thread(target=self._prefetch,
+                                                daemon=True)
+            self._prefetcher.start()
+
+    def stream(self, chunk_runs: int = CHUNK):
+        from ..models.spill import merge_ra_chunk_streams
+
+        self.start_prefetch()
+        norm = [p if len(p) == 4 else (*p, None) for p in self.parts]
+        return merge_ra_chunk_streams(
+            [stream_packed_ra(dc8,
+                              self._metas[i] if self._metas[i] is not None
+                              else meta, exc4, chunk_runs, presliced=sliced)
+             for i, (dc8, meta, exc4, sliced) in enumerate(norm)],
+            chunk_runs=chunk_runs)
+
+    def finish(self):
+        parts = list(self.stream())
+        if not parts:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
+
+
+def blocked_search_and_pack(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
+                            a_sequences: int, b_sequences: int,
+                            n_blocks: int, frontier_cap: int, emit_cap: int,
+                            streamed: bool = False,
+                            chunk_runs: int = BlockedPackedRA.CHUNK
+                            ) -> BlockedPackedRA:
+    """Dispatch one search_and_pack program per sequence block plus its
+    static nibble-plane slice grid (all async, one program shape) and return
+    the BlockedPackedRA over the results.  Callers size
+    frontier_cap/emit_cap for the LARGEST block."""
+    from ..utils.ranges import get_bounds
+
+    parts = []
+    for sp, ep in get_bounds((0, b_sequences - 1), max(1, n_blocks)):
+        dc8, meta, exc4 = search_and_pack(
+            a_idx, b_idx, jnp.int32(sp), jnp.int32(ep), a_sequences,
+            frontier_cap=frontier_cap, emit_cap=emit_cap, streamed=streamed)
+        cap = dc8.shape[1]
+        chunk = min(chunk_runs, cap)
+        slices = [_cut_chunk_nib(dc8, jnp.int32(s), chunk)
+                  for s in range(0, cap, chunk)]
+        parts.append((dc8, meta, exc4, (slices, chunk)))
+    return BlockedPackedRA(parts)
 
 
 def unpack_ra(dc8: np.ndarray, exc: np.ndarray, n: int, n_exc: int):

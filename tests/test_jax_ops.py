@@ -295,6 +295,45 @@ class TestSingletonSpecializedDriver:
         assert np.array_equal(got[1], want[1])
 
 
+class TestBlockedPackedRA:
+    def test_blocked_stream_matches_oracle(self, pair):
+        from bwtmerge_tpu.ops.search_jax import blocked_search_and_pack
+
+        _, _, a, b = pair
+        a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
+        b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
+        packed = blocked_search_and_pack(
+            a_idx, b_idx, a.sequences(), b.sequences(), n_blocks=3,
+            frontier_cap=4096, emit_cap=65536)
+        assert not packed.overflowed
+        chunks = list(packed.stream(chunk_runs=53))
+        got_v = np.concatenate([x[0] for x in chunks])
+        got_c = np.concatenate([x[1] for x in chunks])
+        assert np.all(np.diff(got_v) > 0)  # globally ascending unique
+        want = search_np.build_rank_array(
+            a.rank_index, a.alpha.C.astype(np.int64),
+            b.rank_index, b.alpha.C.astype(np.int64),
+            a.sequences(), b.sequences())
+        assert np.array_equal(got_v, want[0])
+        assert np.array_equal(got_c, want[1])
+        assert packed.n_runs >= want[0].size  # raw runs, pre-dedup
+
+    def test_blocked_overflow_surfaces_before_output(self):
+        import jax.numpy as jnp
+
+        from bwtmerge_tpu.ops.search_jax import EXC_CAP, BlockedPackedRA
+
+        ok_meta = jnp.zeros((4, EXC_CAP), jnp.int32)
+        bad_meta = jnp.zeros((4, EXC_CAP), jnp.int32).at[3, 2].set(1)
+        dc = jnp.zeros((3, 64), jnp.uint8)
+        e4 = jnp.zeros((3, 8), jnp.int32)
+        packed = BlockedPackedRA([(dc, ok_meta, e4), (dc, bad_meta, e4)])
+        assert packed.overflowed
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            next(iter(packed.stream()), None)
+
+
 class TestChunkedBatchCount:
     def test_many_patterns_chunked(self, pair):
         _, _, a, _ = pair

@@ -131,6 +131,46 @@ class TestInterleaveBackendChoice:
             assert merge_fmi(a, b, cfg).runs == want
 
 
+class TestDeviceBlocks:
+    def test_blocked_device_merge_matches_oracle(self, rng):
+        """device_blocks > 1 dispatches per-block search programs whose RA
+        streams k-way-merge into the interleave; result must be identical."""
+        from bwtmerge_tpu.models import oracle
+
+        a_seqs = oracle.random_collection(rng, 12, 10, 60)
+        b_seqs = oracle.random_collection(rng, 9, 10, 60)
+        a = FMI.from_runs(oracle.build_bwt(a_seqs))
+        b = FMI.from_runs(oracle.build_bwt(b_seqs))
+        want = oracle.merge_collections([a_seqs, b_seqs])
+        merged = merge_fmi(a, b, MergeConfig(backend="jax", device_blocks=3))
+        assert merged.runs == want
+
+    def test_blocked_overflow_falls_back(self, rng, monkeypatch):
+        """A block overflowing its static buffers must surface before any
+        output and fall back to a correct path."""
+        import jax.numpy as jnp
+
+        from bwtmerge_tpu.models import oracle
+        from bwtmerge_tpu.ops import search_jax as sj
+
+        a_seqs = oracle.random_collection(rng, 6, 10, 40)
+        b_seqs = oracle.random_collection(rng, 5, 10, 40)
+        a = FMI.from_runs(oracle.build_bwt(a_seqs))
+        b = FMI.from_runs(oracle.build_bwt(b_seqs))
+
+        real_blocked = sj.blocked_search_and_pack
+
+        def overflowing_blocked(*args, **kwargs):
+            packed = real_blocked(*args, **kwargs)
+            bad = jnp.zeros((4, sj.EXC_CAP), jnp.int32).at[3, 2].set(1)
+            packed.parts[-1] = (packed.parts[-1][0], bad, packed.parts[-1][2])
+            return packed
+        monkeypatch.setattr(sj, "blocked_search_and_pack", overflowing_blocked)
+
+        merged = merge_fmi(a, b, MergeConfig(backend="jax", device_blocks=2))
+        assert merged.runs == oracle.merge_collections([a_seqs, b_seqs])
+
+
 class TestDeviceOverflowFallback:
     def test_fallback_to_host_driver(self, rng, monkeypatch):
         """When the single-program device search overflows its static
