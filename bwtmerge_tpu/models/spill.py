@@ -11,19 +11,51 @@ fmi.cpp:139-218) and k-way disk merger (RankArray, support.h:576-638):
      array (numpy merges whole chunk frontiers at once instead of the
      reference's per-run binary heap, support.h:612-629)
 
-Spill files use the native RLArray cell codec (native/src/spill.cpp); a crash
-leaves .bwtmerge_tpu_<pid>_<k> files like the reference leaves
-.bwtmerge_<host>_<pid>_<k> (utils.cpp:124-134).
+Spill files use the native RLArray cell codec (native/src/spill.cpp), named
+.bwtmerge_tpu_<pid>_<k> like the reference's .bwtmerge_<host>_<pid>_<k>
+(utils.cpp:124-134).  Unlike the reference — where a crash leaks the temp
+files (RankArray only deletes them in its destructor, support.cpp:532-536) —
+every live spill path is tracked in a process-wide registry and removed by an
+atexit hook, so an unhandled exception or clean SIGTERM leaves no litter.
 """
 
 from __future__ import annotations
 
+import atexit
 import os
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Optional, Set, Tuple
 
 import numpy as np
 
 from ..ops.search_np import compact_rank_array, merge_rank_arrays
+
+# -- crash-safe temp-file registry ------------------------------------------------
+
+_live_spills: Set[str] = set()
+_cleanup_registered = False
+
+
+def _register_spill(path: str) -> None:
+    global _cleanup_registered
+    if not _cleanup_registered:
+        atexit.register(cleanup_spills)
+        _cleanup_registered = True
+    _live_spills.add(path)
+
+
+def cleanup_spills() -> int:
+    """Remove every spill file still on disk (runs automatically at
+    interpreter exit; callable eagerly from supervisors).  Returns the number
+    of files removed."""
+    removed = 0
+    for p in list(_live_spills):
+        try:
+            os.remove(p)
+            removed += 1
+        except OSError:
+            pass
+        _live_spills.discard(p)
+    return removed
 
 
 class _SpillFile:
@@ -73,6 +105,7 @@ class _SpillFile:
             os.remove(self.path)
         except OSError:
             pass
+        _live_spills.discard(self.path)
 
 
 class _ChunkSource:
@@ -186,6 +219,7 @@ class RankArraySpill:
         data = ra_encode(values, counts)
         with open(path, "wb") as f:
             f.write(data)
+        _register_spill(path)
         self.total_spilled_bytes += len(data)
         self._files.append(_SpillFile(path, values.size))
         self._base = None

@@ -71,6 +71,42 @@ class TestSpillStream:
         assert spill.finish()[0].size == 0
 
 
+class TestCrashCleanup:
+    def test_atexit_registry_removes_abandoned_spills(self, rng, tmp_path):
+        """A spill abandoned mid-merge (crash profile) is removed by the
+        atexit hook — unlike the reference, which leaks the temp files when
+        the RankArray destructor never runs (support.cpp:532-536)."""
+        from bwtmerge_tpu.models import spill as spill_mod
+
+        spill = RankArraySpill(temp_dir=str(tmp_path),
+                               spill_threshold_runs=1000, compact_every=500)
+        for _ in range(5):
+            spill.emit(rng.integers(0, 10000, size=800).astype(np.int64),
+                       np.ones(800, dtype=np.int64))
+        assert spill.n_spill_files >= 1
+        on_disk = [f for f in os.listdir(tmp_path) if f.startswith(".bwtmerge")]
+        assert on_disk
+        # simulate interpreter exit without consuming the stream
+        removed = spill_mod.cleanup_spills()
+        assert removed >= len(on_disk)
+        assert not [f for f in os.listdir(tmp_path) if f.startswith(".bwtmerge")]
+
+    def test_consumed_spills_leave_registry_empty(self, rng, tmp_path):
+        """Normal consumption unregisters each file, so the exit hook has
+        nothing to do."""
+        from bwtmerge_tpu.models import spill as spill_mod
+
+        spill = RankArraySpill(temp_dir=str(tmp_path),
+                               spill_threshold_runs=1000, compact_every=500)
+        for _ in range(5):
+            spill.emit(rng.integers(0, 10000, size=800).astype(np.int64),
+                       np.ones(800, dtype=np.int64))
+        assert spill.n_spill_files >= 1
+        list(spill.stream())
+        assert not spill_mod._live_spills
+        assert spill_mod.cleanup_spills() == 0
+
+
 class TestStreamingInterleave:
     def test_matches_direct(self, rng):
         from bwtmerge_tpu.native import interleave_native, interleave_streaming
