@@ -63,8 +63,12 @@ from .utils.alphabet import Alphabet, AlphabeticOrder, create_alphabet, identify
 from .models.runs import RunArrays
 from .models.fmi import FMI, load_fmi, serialize_fmi
 from .models.merge import MergeConfig, merge_files, merge_fmi, merge_fmi_to_file
+from .models.build import build_from_reads, read_plain_reads, rlo_order
 
 __all__ = [
+    "build_from_reads",
+    "read_plain_reads",
+    "rlo_order",
     "Alphabet",
     "AlphabeticOrder",
     "create_alphabet",

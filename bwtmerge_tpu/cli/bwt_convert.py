@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="input format (default sga)")
     p.add_argument("-o", dest="output_format", default="native", metavar="FMT",
                    help="output format (default native)")
+    p.add_argument("--rlo", action="store_true",
+                   help="re-order the reads reverse-lexicographically while "
+                        "converting (shrinks the run count; query-equivalent)")
     p.add_argument("--list-formats", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--quiet", action="store_true")
     return p
@@ -50,6 +53,14 @@ def main(argv=None) -> int:
     start = time.monotonic()
     fmi = load_fmi(args.input, args.input_format)
     size = fmi.size()
+    if args.rlo:
+        from ..models.build import rlo_reorder
+        from ..models.fmi import FMI
+
+        before = fmi.runs.n_runs
+        fmi = FMI.from_runs(rlo_reorder(fmi))
+        if not args.quiet:
+            print(f"RLO reorder: {before} -> {fmi.runs.n_runs} runs")
     serialize_fmi(fmi, args.output, args.output_format)
     seconds = time.monotonic() - start
 

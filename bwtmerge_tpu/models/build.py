@@ -64,6 +64,18 @@ def build_from_reads(sequences: Sequence[np.ndarray], rlo: bool = False
     return oracle.build_bwt(ordered), order
 
 
+def rlo_reorder(fmi) -> RunArrays:
+    """RLO-reorder the reads of an EXISTING BWT (bwt_convert --rlo).
+
+    Extracts every read with batched lockstep LF walks (FMI.extract_all),
+    sorts them reverse-lexicographically, and rebuilds — turning an
+    arbitrary-order BWT into the run-count-minimizing order without access
+    to the original reads.  Query-equivalent by construction.
+    """
+    runs, _ = build_from_reads(fmi.extract_all(), rlo=True)
+    return runs
+
+
 def read_plain_reads(path: str, char2comp: np.ndarray = DEFAULT_CHAR2COMP
                      ) -> List[np.ndarray]:
     """Parse a plain reads file: one read per line (empty lines skipped).

@@ -182,6 +182,32 @@ class FMI:
             pos = int(lf[0])
         return np.array(out[::-1], dtype=np.int64)
 
+    def extract_all(self) -> list:
+        """Recover EVERY sequence with lockstep batched LF walks.
+
+        One vectorized inverse_select per depth for all m sequences at once
+        instead of m Python-level walks (the batched analog of the per-row
+        extract loop, bwt.h:134-164).  A finished walk parks on its endmarker
+        row, where LF_step keeps yielding comp 0, so the loop ends when every
+        lane is parked.  Returns a list of comp arrays in sequence-rank order.
+        """
+        m = self.sequences()
+        if m == 0:
+            return []
+        pos = np.arange(m, dtype=np.int64)
+        cols = []
+        while True:
+            lf, sym = self.LF_step(pos)
+            if not (sym != 0).any():
+                break
+            cols.append(sym.astype(np.uint8))
+            pos = np.where(sym != 0, lf, pos)
+        if not cols:
+            return [np.zeros(0, dtype=np.int64) for _ in range(m)]
+        rev = np.stack(cols, axis=1)  # [m, max_len] reversed reads, 0 tail
+        lens = (rev != 0).sum(axis=1)
+        return [rev[i, : lens[i]][::-1].astype(np.int64) for i in range(m)]
+
     def hash(self) -> int:
         """FNV-1a over the decoded BWT (bwt.cpp:538-549). Uses the native
         runtime when available."""

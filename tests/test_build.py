@@ -71,6 +71,66 @@ class TestBuildFromReads:
         assert runs == want
 
 
+class TestExtractAll:
+    def test_matches_per_sequence_extract(self, rng):
+        reads = [rng.integers(1, 6, int(rng.integers(1, 15)))
+                 for _ in range(12)]
+        fmi = FMI.from_runs(oracle.build_bwt(reads))
+        got = fmi.extract_all()
+        assert len(got) == fmi.sequences()
+        for k, g in enumerate(got):
+            assert np.array_equal(g, fmi.extract_sequence(k)), k
+
+    def test_empty_collection(self):
+        from bwtmerge_tpu.models.runs import RunArrays
+
+        fmi = FMI.from_runs(RunArrays.from_values(np.zeros(0, np.uint8)))
+        assert fmi.extract_all() == []
+
+
+class TestRLOReorderExisting:
+    def test_reorder_is_query_equivalent(self, rng):
+        from bwtmerge_tpu.models.build import rlo_reorder
+
+        base = rng.integers(1, 5, 30)
+        reads = [np.concatenate([rng.integers(1, 5, int(rng.integers(0, 4))),
+                                 base[int(rng.integers(0, 15)):]])
+                 for _ in range(30)]
+        orig = FMI.from_runs(oracle.build_bwt(reads))
+        rlo = FMI.from_runs(rlo_reorder(orig))
+        assert rlo.runs.n_runs <= orig.runs.n_runs
+        assert np.array_equal(orig.runs.counts(6), rlo.runs.counts(6))
+        pats = [rng.integers(1, 5, int(rng.integers(2, 6)))
+                for _ in range(15)]
+        assert np.array_equal(orig.verify(pats), rlo.verify(pats))
+        # rebuild equals a direct RLO build of the same reads
+        want, _ = build_from_reads(reads, rlo=True)
+        assert rlo.runs == want
+
+    def test_convert_cli_rlo(self, rng, tmp_path):
+        from bwtmerge_tpu.formats import write_bwt
+        from bwtmerge_tpu.models.build import alphabet_for
+
+        reads = [rng.integers(1, 4, 10) for _ in range(10)]
+        runs = oracle.build_bwt(reads)
+        src = str(tmp_path / "in.sga")
+        write_bwt(src, "sga", runs, alphabet_for(runs))
+        dst = str(tmp_path / "out.native")
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env["PYTHONPATH"] = os.pathsep.join(
+            [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+            + env.get("PYTHONPATH", "").split(os.pathsep))
+        r = subprocess.run(
+            [sys.executable, "-m", "bwtmerge_tpu.cli.bwt_convert",
+             src, dst, "-i", "sga", "-o", "native", "--rlo"],
+            capture_output=True, text=True, env=env)
+        assert r.returncode == 0, r.stderr
+        assert "RLO reorder:" in r.stdout
+        got, _, _ = read_bwt(dst, "native")
+        want, _ = build_from_reads(reads, rlo=True)
+        assert got == want
+
+
 class TestReadPlainReads:
     def test_parses_and_skips_blank_lines(self, tmp_path):
         p = tmp_path / "reads.txt"
