@@ -18,6 +18,7 @@ try:
         interleave_stream_chunks,
         ra_encode,
         ra_decode_chunk,
+        ra_decode_nib_chunk,
         sga_stream_chunk,
         native_stream_chunk,
     )

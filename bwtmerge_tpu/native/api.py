@@ -151,6 +151,41 @@ def ra_decode_chunk(data: np.ndarray, state: np.ndarray, max_runs: int):
     return values[:n], counts[:n]
 
 
+def _configure_ra_decode(lib) -> None:
+    if getattr(lib, "_bwtmerge_radecode_configured", False):
+        return
+    lib.ra_decode_nib_chunk.restype = ctypes.c_int64
+    lib.ra_decode_nib_chunk.argtypes = [
+        _u8p, ctypes.c_int64,
+        _i64p, _i64p, _i64p, ctypes.c_int64,
+        _i64p, ctypes.c_int32, _i64p, _i64p,
+    ]
+    lib._bwtmerge_radecode_configured = True
+
+
+def ra_decode_nib_chunk(nib: np.ndarray, exc_idx, exc_delta, exc_count,
+                        state: np.ndarray, finish: bool):
+    """One fused pass from a window of the device's packed nibble plane to
+    dedup-summed sorted (values, counts) runs.
+
+    nib: uint8[m] plane bytes; exc_*: window-relative ascending exception
+    rows; state: int64[4] = {carry, pend_v, pend_c, have_pend}, updated in
+    place (the trailing run is withheld until `finish` so cross-chunk
+    duplicates merge).  Replaces the numpy nibble-split/cumsum/reduceat
+    chain in stream_packed_ra — one GIL-released sweep instead of five
+    materialized intermediates.
+    """
+    lib = _lib()
+    _configure_ra_decode(lib)
+    nib = _as_u8(nib)
+    ei, ed, ec = _as_i64(exc_idx), _as_i64(exc_delta), _as_i64(exc_count)
+    out_v = np.empty(nib.size + 1, dtype=np.int64)
+    out_c = np.empty(nib.size + 1, dtype=np.int64)
+    n = lib.ra_decode_nib_chunk(nib, nib.size, ei, ed, ec, ei.size,
+                                state, 1 if finish else 0, out_v, out_c)
+    return out_v[:n], out_c[:n]
+
+
 def _configure_stream_interleave(lib) -> None:
     if getattr(lib, "_bwtmerge_stream_configured", False):
         return

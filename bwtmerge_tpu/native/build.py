@@ -14,7 +14,8 @@ import threading
 
 _SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libbwtmerge_native.so")
-_SOURCES = ["codec.cpp", "interleave.cpp", "spill.cpp", "writer.cpp"]
+_SOURCES = ["codec.cpp", "interleave.cpp", "spill.cpp", "writer.cpp",
+            "radecode.cpp"]
 _lock = threading.Lock()
 _lib = None
 

@@ -1,0 +1,77 @@
+// Rank-array transfer-plane decode: one pass from the device's packed
+// nibble plane to dedup-summed sorted (value, count) runs.
+//
+// The device ships the rank array as a delta/count nibble plane plus an
+// exception table (ops/search_jax.py pack_ra_device); the host previously
+// reassembled it with a chain of numpy passes (nibble split, exception
+// scatter, cumsum, segment-head dedup) costing ~0.7 s per 45M runs while
+// holding the GIL against the interleave threads.  This kernel fuses the
+// whole reassembly into one sequential sweep (~0.2 s, GIL released), with
+// cross-chunk state so a windowed stream decodes incrementally — the
+// device-transfer analog of the reference's RLArray chunk decode
+// (support.h:505-516 / support.cpp), re-derived for the packed plane.
+
+#include <cstdint>
+
+#define EXPORT extern "C" __attribute__((visibility("default")))
+
+// state layout: {carry, pend_v, pend_c, have_pend}
+//   carry:    running absolute a-position (sum of all deltas so far)
+//   pend_*:   trailing run withheld for cross-chunk duplicate merging
+// finish != 0 flushes the pending run after the last lane.
+//
+// nib: m plane bytes (delta in the low nibble, count in the high; low
+// nibble 15 marks an exception lane).  exc_idx/exc_d/exc_c: n_exc
+// window-RELATIVE ascending exception rows overriding their lanes.
+// out_v/out_c: capacity >= m + 1.  Returns runs written (>= 0).
+EXPORT int64_t ra_decode_nib_chunk(const uint8_t* nib, int64_t m,
+                                   const int64_t* exc_idx,
+                                   const int64_t* exc_d,
+                                   const int64_t* exc_c, int64_t n_exc,
+                                   int64_t* state, int32_t finish,
+                                   int64_t* out_v, int64_t* out_c) {
+  int64_t carry = state[0];
+  int64_t pend_v = state[1];
+  int64_t pend_c = state[2];
+  bool have_pend = state[3] != 0;
+  int64_t n_out = 0;
+  int64_t e = 0;
+  int64_t next_exc = (e < n_exc) ? exc_idx[e] : -1;
+  for (int64_t i = 0; i < m; i++) {
+    int64_t d, c;
+    if (i == next_exc) {
+      d = exc_d[e];
+      c = exc_c[e];
+      e++;
+      next_exc = (e < n_exc) ? exc_idx[e] : -1;
+    } else {
+      uint8_t b = nib[i];
+      d = b & 15;
+      c = b >> 4;
+    }
+    carry += d;
+    if (have_pend && carry == pend_v) {
+      pend_c += c;
+    } else {
+      if (have_pend) {
+        out_v[n_out] = pend_v;
+        out_c[n_out] = pend_c;
+        n_out++;
+      }
+      pend_v = carry;
+      pend_c = c;
+      have_pend = true;
+    }
+  }
+  if (finish && have_pend) {
+    out_v[n_out] = pend_v;
+    out_c[n_out] = pend_c;
+    n_out++;
+    have_pend = false;
+  }
+  state[0] = carry;
+  state[1] = pend_v;
+  state[2] = pend_c;
+  state[3] = have_pend ? 1 : 0;
+  return n_out;
+}

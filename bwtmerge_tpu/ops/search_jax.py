@@ -807,13 +807,34 @@ def stream_packed_ra(dc8, meta_exc, exc4=None,
         exc_idx, exc_delta, exc_count = (exc_idx[order], exc_delta[order],
                                          exc_count[order])
 
+    native_decode = None
+    if use_nib:
+        try:
+            from ..native import ra_decode_nib_chunk as native_decode
+        except Exception:  # pragma: no cover - native build unavailable
+            native_decode = None
+
+    # state: {carry, pend_v, pend_c, have_pend} — the trailing run is
+    # withheld until the last window so cross-chunk duplicates merge
+    dec_state = np.zeros(4, np.int64)
     carry = 0
-    pend_v = pend_c = None  # last run held back for cross-chunk duplicates
+    pend_v = pend_c = None  # numpy-path equivalent of dec_state[1:]
     for k, s in enumerate(starts):
         h = np.asarray(slices[k])
         slices[k] = None  # release the device slice + its host copy
         off = s - dev_starts[k]
         m = min(chunk, n - s)
+        lo = np.searchsorted(exc_idx, s)
+        hi = np.searchsorted(exc_idx, s + m)
+        if native_decode is not None:
+            # fused native sweep: nibble split + exception patch + cumsum +
+            # duplicate-sum in one GIL-released pass (native/src/radecode.cpp)
+            uv, uc = native_decode(h[0, off:off + m], exc_idx[lo:hi] - s,
+                                   exc_delta[lo:hi], exc_count[lo:hi],
+                                   dec_state, finish=(k + 1 == len(starts)))
+            if uv.size:
+                yield uv, uc
+            continue
         if use_nib:
             nib = h[0, off:off + m]
             delta = (nib & np.uint8(15)).astype(np.int64)
@@ -821,8 +842,6 @@ def stream_packed_ra(dc8, meta_exc, exc4=None,
         else:
             delta = h[0, off:off + m].astype(np.int64)
             counts = h[1, off:off + m].astype(np.int64)
-        lo = np.searchsorted(exc_idx, s)
-        hi = np.searchsorted(exc_idx, s + m)
         if hi > lo:
             loc = exc_idx[lo:hi] - s
             delta[loc] = exc_delta[lo:hi]

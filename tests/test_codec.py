@@ -159,3 +159,85 @@ class TestNativeInterleave:
         over_c[0] += b.size()
         with pytest.raises(ValueError):
             interleave_streaming(a, b, iter([(values, over_c)]))
+
+
+class TestNativeRaDecode:
+    """native/src/radecode.cpp vs a straight numpy re-derivation."""
+
+    @staticmethod
+    def _numpy_ref(nib, exc_idx, exc_d, exc_c, carry):
+        delta = (nib & np.uint8(15)).astype(np.int64)
+        counts = (nib >> 4).astype(np.int64)
+        if exc_idx.size:
+            delta[exc_idx] = exc_d
+            counts[exc_idx] = exc_c
+        values = np.cumsum(delta) + carry
+        head = np.ones(values.size, np.bool_)
+        head[1:] = values[1:] != values[:-1]
+        su = np.flatnonzero(head)
+        return values[su], np.add.reduceat(counts, su)
+
+    @staticmethod
+    def _make_plane(rng, m, dup_rate=0.2, exc_rate=0.1):
+        delta = rng.geometric(0.4, size=m).astype(np.int64)
+        delta[rng.random(m) < dup_rate] = 0          # duplicate a-positions
+        wide = rng.random(m) < exc_rate
+        delta[wide] += 20                             # > 14: exception lane
+        counts = rng.integers(1, 5, size=m).astype(np.int64)
+        counts[rng.random(m) < 0.03] += 100           # > 15: exception lane
+        fits = (delta <= 14) & (counts <= 15)
+        nib = np.where(fits, delta | (counts << 4), 15).astype(np.uint8)
+        exc_idx = np.flatnonzero(~fits).astype(np.int64)
+        return (nib, exc_idx, delta[exc_idx].copy(), counts[exc_idx].copy(),
+                delta, counts)
+
+    def test_single_window_matches_numpy(self, rng):
+        rng = np.random.default_rng(7)
+        nib, ei, ed, ec, delta, counts = self._make_plane(rng, 4096)
+        state = np.zeros(4, np.int64)
+        v, c = native.ra_decode_nib_chunk(nib, ei, ed, ec, state, finish=True)
+        wv, wc = self._numpy_ref(nib, ei, ed, ec, 0)
+        assert np.array_equal(v, wv)
+        assert np.array_equal(c, wc)
+        assert np.all(np.diff(v) > 0)
+        assert c.sum() == counts.sum()
+
+    def test_windowed_stream_matches_one_shot(self, rng):
+        rng = np.random.default_rng(8)
+        nib, ei, ed, ec, _, _ = self._make_plane(rng, 10_000, dup_rate=0.5)
+        want_v, want_c = self._numpy_ref(nib, ei, ed, ec, 0)
+        for chunk in (37, 256, 9_999):
+            state = np.zeros(4, np.int64)
+            parts = []
+            for s in range(0, nib.size, chunk):
+                m = min(chunk, nib.size - s)
+                lo = np.searchsorted(ei, s)
+                hi = np.searchsorted(ei, s + m)
+                parts.append(native.ra_decode_nib_chunk(
+                    nib[s:s + m], ei[lo:hi] - s, ed[lo:hi], ec[lo:hi],
+                    state, finish=(s + m == nib.size)))
+            v = np.concatenate([p[0] for p in parts])
+            c = np.concatenate([p[1] for p in parts])
+            assert np.array_equal(v, want_v), chunk
+            assert np.array_equal(c, want_c), chunk
+            # every yielded window is internally strictly ascending
+            for pv, _ in parts:
+                assert np.all(np.diff(pv) > 0)
+
+    def test_all_duplicates_collapse_to_one_run(self):
+        nib = np.full(64, 1 << 4, np.uint8)  # delta 0, count 1 everywhere
+        none = np.zeros(0, np.int64)
+        state = np.zeros(4, np.int64)
+        v, c = native.ra_decode_nib_chunk(nib[:32], none, none, none,
+                                          state, finish=False)
+        assert v.size == 0  # whole window held as the pending run
+        v, c = native.ra_decode_nib_chunk(nib[32:], none, none, none,
+                                          state, finish=True)
+        assert np.array_equal(v, [0]) and np.array_equal(c, [64])
+
+    def test_empty_plane(self):
+        none = np.zeros(0, np.int64)
+        state = np.zeros(4, np.int64)
+        v, c = native.ra_decode_nib_chunk(np.zeros(0, np.uint8), none, none,
+                                          none, state, finish=True)
+        assert v.size == 0 and c.size == 0
