@@ -163,12 +163,12 @@ def main() -> None:
         n_runs = 0
         for s, e in blocks:
             t0 = time.monotonic()
-            dc8, meta_exc, exc4 = search_and_pack(
+            dc8, meta_exc, exc4, esc = search_and_pack(
                 a_idx, b_idx, jnp.int32(s), jnp.int32(e),
                 a.sequences(), frontier_cap=fcap, emit_cap=ecap,
                 streamed=streamed)
             t1 = time.monotonic()
-            v, c, ovf = unpack_search(dc8, meta_exc, exc4)
+            v, c, ovf = unpack_search(dc8, meta_exc, exc4, esc)
             assert not ovf, "device search overflowed its static buffers"
             t2 = time.monotonic()
             n_runs += v.size

@@ -329,11 +329,11 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
                         return primed
                     # a block overflowed its static buffers: fall through to
                     # the single-program path (wider caps), then host driver
-                dc8, meta_exc, exc4 = search_and_pack(
+                dc8, meta_exc, exc4, esc = search_and_pack(
                     a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
                     a.sequences(), frontier_cap=fcap, emit_cap=ecap,
                     streamed=default_streamed())
-                packed = PackedDeviceRA(dc8, meta_exc, exc4)
+                packed = PackedDeviceRA(dc8, meta_exc, exc4, esc)
                 if not packed.overflowed:
                     return packed
             else:

@@ -19,6 +19,7 @@ try:
         ra_encode,
         ra_decode_chunk,
         ra_decode_nib_chunk,
+        ra_decode_q4_chunk,
         sga_stream_chunk,
         native_stream_chunk,
     )

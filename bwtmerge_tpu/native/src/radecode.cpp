@@ -75,3 +75,77 @@ EXPORT int64_t ra_decode_nib_chunk(const uint8_t* nib, int64_t m,
   state[3] = have_pend ? 1 : 0;
   return n_out;
 }
+
+// Pair-code (q4) plane decode: two 4-bit codes per byte (low nibble first)
+// naming (delta, count) pairs in the caller-supplied 16-entry tables; code
+// 15 escapes to one nibble-coded byte consumed in lane order from the
+// block-global side stream `esc` (which may itself be the marker 15 —
+// those lanes are overridden by the exception rows, exactly as on the
+// nibble plane).  state extends the nibble layout with {4: esc_off}, the
+// running escape-stream cursor across windows.  q4 points at this
+// window's bytes (window starts are even, so window-relative lane parity
+// equals nibble parity).  Returns runs written, or -1 when the escape
+// stream would overrun (corrupt packed RA; state unchanged semantics not
+// guaranteed — callers abort the stream).
+EXPORT int64_t ra_decode_q4_chunk(const uint8_t* q4, int64_t m,
+                                  const int64_t* tab_d, const int64_t* tab_c,
+                                  const uint8_t* esc, int64_t n_esc,
+                                  const int64_t* exc_idx,
+                                  const int64_t* exc_d,
+                                  const int64_t* exc_c, int64_t n_exc,
+                                  int64_t* state, int32_t finish,
+                                  int64_t* out_v, int64_t* out_c) {
+  int64_t carry = state[0];
+  int64_t pend_v = state[1];
+  int64_t pend_c = state[2];
+  bool have_pend = state[3] != 0;
+  int64_t esc_off = state[4];
+  int64_t n_out = 0;
+  int64_t e = 0;
+  int64_t next_exc = (e < n_exc) ? exc_idx[e] : -1;
+  for (int64_t i = 0; i < m; i++) {
+    uint8_t b = q4[i >> 1];
+    uint8_t code = (i & 1) ? (b >> 4) : (b & 15);
+    int64_t d, c;
+    if (code == 15) {
+      if (esc_off >= n_esc) return -1;  // corrupt escape stream
+      uint8_t eb = esc[esc_off++];
+      d = eb & 15;
+      c = eb >> 4;
+    } else {
+      d = tab_d[code];
+      c = tab_c[code];
+    }
+    if (i == next_exc) {
+      d = exc_d[e];
+      c = exc_c[e];
+      e++;
+      next_exc = (e < n_exc) ? exc_idx[e] : -1;
+    }
+    carry += d;
+    if (have_pend && carry == pend_v) {
+      pend_c += c;
+    } else {
+      if (have_pend) {
+        out_v[n_out] = pend_v;
+        out_c[n_out] = pend_c;
+        n_out++;
+      }
+      pend_v = carry;
+      pend_c = c;
+      have_pend = true;
+    }
+  }
+  if (finish && have_pend) {
+    out_v[n_out] = pend_v;
+    out_c[n_out] = pend_c;
+    n_out++;
+    have_pend = false;
+  }
+  state[0] = carry;
+  state[1] = pend_v;
+  state[2] = pend_c;
+  state[3] = have_pend ? 1 : 0;
+  state[4] = esc_off;
+  return n_out;
+}

@@ -490,6 +490,20 @@ EXC_CAP = 8192       # byte-plane exception slots (gap/count > 254)
 EXC4_CAP = 1 << 20   # nibble-plane exception slots (gap > 14 or count > 15)
 META_ROWS = 4        # byte-plane exc(3 rows) + scalar metadata(1 row)
 
+# 4-bit pair-code table: codes 0-14 name the most frequent (delta, count)
+# runs of read-collection rank arrays (measured on 50 bp read merges at a 2:1
+# base ratio — deltas are ~geometric with mean |A|/runs ~ 2-3, counts mostly
+# 1-2); code 15 escapes to a 1-byte nibble entry in a compacted side stream.
+# ~85% of runs hit the table, so the plane costs ~0.5 + 0.15 B/run vs the
+# nibble plane's 1 B/run.  A mismatched workload only raises the escape rate;
+# the consumer picks the cheapest plane per block from the measured counts.
+Q4_PAIRS = ((1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (6, 1), (7, 1), (8, 1),
+            (1, 2), (2, 2), (3, 2), (4, 2), (1, 3), (2, 3), (5, 2))
+Q4_ESCAPE = 15
+# numpy decode tables (escape slot holds 0; overwritten from the side stream)
+Q4_TABLE_D = np.array([p[0] for p in Q4_PAIRS] + [0], dtype=np.int64)
+Q4_TABLE_C = np.array([p[1] for p in Q4_PAIRS] + [0], dtype=np.int64)
+
 
 @jax.jit
 def compact_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array):
@@ -562,10 +576,15 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array,
     cost ~3.5 s on a v5e while the extra transfer hides behind the
     pipelined merge, so the streaming path wants compact=False.
 
-    Returns (dc u8[3, E], exc i32[3, EXC_CAP], exc4 i32[3, EXC4_CAP],
-    n_packed, n_exc, n_exc4) — unpack with unpack_ra on the host; n_exc >
-    EXC_CAP means even the byte planes overflowed and the caller must fall
-    back to the unpacked transfer.
+    * pair-code plane (row 3 of dc, first E/2 bytes): 4-bit codes over the
+      static Q4_PAIRS table — 0.5 B/run; misses (code 15) append their
+      nibble byte to the lane-ordered `esc` side stream.
+
+    Returns (dc u8[4, E], exc i32[3, EXC_CAP], exc4 i32[3, EXC4_CAP],
+    esc u8[E], n_packed, n_exc, n_exc4, n_esc2) — unpack with unpack_ra /
+    unpack_ra4 / the native q4 decode on the host; n_exc > EXC_CAP means
+    even the byte planes overflowed and the caller must fall back to the
+    unpacked transfer.
     """
     if compact:
         v, c, n_u = compact_ra_device(values, counts, n)
@@ -604,6 +623,24 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array,
     nib = jnp.where(live,
                     jnp.where(fits4, delta | (cnt << 4), 15),
                     0).astype(jnp.uint8)
+
+    # 4-bit pair-code plane (row 3 of dc, two codes per byte): table hits
+    # cost half a byte; misses escape (code 15) to their nibble entry in a
+    # lane-ordered side stream (esc) — which may itself be the marker 15,
+    # resolved by the shared exc4 table.  Dead lanes encode as code 0 so
+    # they never consume an escape slot.
+    code = jnp.full_like(delta, Q4_ESCAPE)
+    for kq, (dd, cc) in enumerate(Q4_PAIRS):
+        code = jnp.where((delta == dd) & (cnt == cc), kq, code)
+    code = jnp.where(live, code, 0).astype(jnp.uint8)
+    esc_lane = live & (code == Q4_ESCAPE)
+    n_esc2 = jnp.sum(esc_lane.astype(jnp.int32))
+    ekey = jnp.where(esc_lane, lane, jnp.int32(2**31 - 1))
+    _, esc_nib = jax.lax.sort((ekey, nib), num_keys=1, is_stable=False)
+    e2 = e + (e & 1)  # pair the codes; odd emit caps pad one dead lane
+    cpair = jnp.pad(code, (0, e2 - e)).reshape(e2 // 2, 2)
+    q4 = (cpair[:, 0] | (cpair[:, 1] << 4)).astype(jnp.uint8)
+    q4row = jnp.pad(q4, (0, e - q4.shape[0]))  # dc rows are E wide
     wide4 = live & ~fits4
     n_exc4 = jnp.sum(wide4.astype(jnp.int32))
     k4 = min(EXC4_CAP, max(e, 1))
@@ -624,7 +661,7 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array,
     # single-buffer outputs: each device->host transfer pays ~50-100 ms of
     # link latency, so the planes and each exception table ship as ONE
     # array each (the consumer slices the plane it chose)
-    dc = jnp.stack([d8, c8, nib])                              # [3, E] u8
+    dc = jnp.stack([d8, c8, nib, q4row])                       # [4, E] u8
 
     def fit(x, cap):  # degenerate emit caps smaller than cap pad with zeros
         return x[:cap] if x.shape[0] >= cap else jnp.pad(x, (0, cap - x.shape[0]))
@@ -633,7 +670,7 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array,
                      fit(exc_count, EXC_CAP)])
     exc4 = jnp.stack([fit(exc4_idx, EXC4_CAP), fit(exc4_delta, EXC4_CAP),
                       fit(exc4_count, EXC4_CAP)])
-    return dc, exc, exc4, n_u, n_exc, n_exc4
+    return dc, exc, exc4, esc_nib, n_u, n_exc, n_exc4, n_esc2
 
 
 @functools.partial(jax.jit,
@@ -645,36 +682,41 @@ def search_and_pack(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     folded into the exception buffer: the host needs exactly TWO device reads
     (meta+exc, then the chosen plane sliced to n) instead of five round trips.
 
-    Returns (dc uint8[3, emit_cap], meta_exc int32[4, EXC_CAP],
-    exc4 int32[3, EXC4_CAP]): rows 0-2 of meta_exc are the byte-plane
-    exception table, row 3 is (n_packed, n_exceptions, overflowed, n_exc4).
-    exc4 is the nibble plane's exception table; it STAYS ON DEVICE and is
-    fetched lazily, sliced to a bucketed n_exc4 (at the 1M default cap it
-    would otherwise add 12 MB to every meta transfer).  The host picks the
-    nibble plane (dc row 2, 1 B/run) when n_exc4 <= EXC4_CAP, else the
-    byte planes (dc rows 0-1, 2 B/run).  The packed runs are SORTED by
-    a-position but may repeat values (compact=False — duplicate summing
-    costs two extra full-width device sorts and is done by the host chunk
-    consumers instead).
+    Returns (dc uint8[4, emit_cap], meta_exc int32[4, EXC_CAP],
+    exc4 int32[3, EXC4_CAP], esc uint8[emit_cap]): rows 0-2 of meta_exc are
+    the byte-plane exception table, row 3 is (n_packed, n_exceptions,
+    overflowed, n_exc4, n_esc2).  exc4 (the nibble/pair-code planes'
+    exception table) and esc (the pair-code escape stream) STAY ON DEVICE
+    and are fetched lazily, sliced to bucketed lengths (at the 1M default
+    cap exc4 would otherwise add 12 MB to every meta transfer).  The host
+    picks the cheapest valid plane per block: pair-code (dc row 3,
+    0.5 B/run + 1 B/escape), nibble (dc row 2, 1 B/run), byte planes
+    (dc rows 0-1, 2 B/run).  The packed runs are SORTED by a-position but
+    may repeat values (compact=False — duplicate summing costs two extra
+    full-width device sorts and is done by the host chunk consumers
+    instead).
     """
     v, c, n, ovf = wavefront_search_device2(
         a_idx, b_idx, b_sp0, b_ep0, a_sequences,
         frontier_cap=frontier_cap, emit_cap=emit_cap, streamed=streamed)
-    dc, exc, exc4, n_u, n_exc, n_exc4 = pack_ra_device(v, c, n, compact=False)
+    dc, exc, exc4, esc, n_u, n_exc, n_exc4, n_esc2 = pack_ra_device(
+        v, c, n, compact=False)
     meta = jnp.zeros((1, EXC_CAP), jnp.int32)
     meta = meta.at[0, 0].set(n_u).at[0, 1].set(n_exc)
     meta = meta.at[0, 2].set(ovf.astype(jnp.int32)).at[0, 3].set(n_exc4)
-    return dc, jnp.concatenate([exc, meta], axis=0), exc4
+    meta = meta.at[0, 4].set(n_esc2)
+    return dc, jnp.concatenate([exc, meta], axis=0), exc4, esc
 
 
 def _meta_fields(meta_exc):
-    """(n, n_exc, overflowed, n_exc4) from a host meta buffer (4 rows:
-    byte-plane exception table + scalar metadata row)."""
+    """(n, n_exc, overflowed, n_exc4, n_esc2) from a host meta buffer
+    (4 rows: byte-plane exception table + scalar metadata row)."""
     n = int(meta_exc[3, 0])
     n_exc = int(meta_exc[3, 1])
     overflowed = bool(meta_exc[3, 2]) or n_exc > EXC_CAP
     n_exc4 = int(meta_exc[3, 3]) if meta_exc.shape[1] > 3 else 0
-    return n, n_exc, overflowed, n_exc4
+    n_esc2 = int(meta_exc[3, 4]) if meta_exc.shape[1] > 4 else 0
+    return n, n_exc, overflowed, n_exc4, n_esc2
 
 
 @functools.partial(jax.jit, static_argnames=("length",))
@@ -698,22 +740,73 @@ def fetch_exc4(exc4_dev, n_exc4: int) -> np.ndarray:
     return np.asarray(_cut_exc4(exc4_dev, k))
 
 
-def unpack_search(dc8, meta_exc, exc4=None) -> tuple:
+@functools.partial(jax.jit, static_argnames=("length",))
+def _cut_esc(x, length):
+    return jax.lax.slice(x, (0,), (length,))
+
+
+def _esc_bucket(n_esc2: int, cap: int) -> int:
+    """Power-of-two prefix length covering the first n_esc2 escape bytes
+    (bounded by the buffer) — shared by fetch_esc and the blocked
+    prefetcher so a pre-dispatched prefix is found by exact length."""
+    k = 1 << 10
+    while k < n_esc2 and k < cap:
+        k *= 2
+    return min(k, cap)
+
+
+def fetch_esc(esc_dev, n_esc2: int, presliced=None) -> np.ndarray:
+    """Bucketed device fetch of the first n_esc2 escape bytes (the pair-code
+    plane's side stream).  `presliced` maps bucket length -> pre-dispatched
+    device prefix (BlockedPackedRA's prefetch thread)."""
+    if n_esc2 == 0:
+        return np.zeros(0, np.uint8)
+    cap = esc_dev.shape[0]
+    k = _esc_bucket(n_esc2, cap)
+    if presliced is not None and k in presliced:
+        return np.asarray(presliced[k])
+    if k >= cap:
+        return np.asarray(esc_dev)
+    return np.asarray(_cut_esc(esc_dev, k))
+
+
+# Minimum transfer-byte saving before the pair-code plane is preferred over
+# the nibble plane: q4 reads the escape stream as one EXTRA bucketed device
+# read, which costs ~a link round trip — only worth paying once the halved
+# plane clears it.  (Plane choice is per block at runtime; tests force a
+# plane explicitly.)
+Q4_MIN_SAVE = 4 << 20
+
+
+def _choose_plane(dc8, n: int, n_exc4: int, n_esc2: int,
+                  exc4, esc, plane: str | None = None) -> str:
+    """Pick the cheapest valid transfer plane for a packed RA block:
+    'q4' (0.5 B/run + 1 B/escape), 'nib' (1 B/run), 'byte' (2 B/run)."""
+    if plane is not None:
+        return plane
+    nib_ok = exc4 is not None and n_exc4 <= EXC4_CAP and dc8.shape[0] > 2
+    q4_ok = (nib_ok and esc is not None and dc8.shape[0] > 3
+             and dc8.shape[1] % 2 == 0)
+    if q4_ok and n // 2 - n_esc2 > Q4_MIN_SAVE:
+        return "q4"
+    return "nib" if nib_ok else "byte"
+
+
+def unpack_search(dc8, meta_exc, exc4=None, esc=None, plane=None) -> tuple:
     """Host side of search_and_pack -> (values, counts, overflowed).
 
     Two device reads (three when the nibble plane is chosen and exc4 is
-    non-empty): the metadata/exception buffer first (this also blocks on
-    the search compute), then the chosen plane sliced ON DEVICE to a
-    bucketed length >= n — remote attachments move D2H bytes at tens of
-    MB/s, so shipping the full emit-cap padding can double the transfer.
-    The bucket sizes ({2^k, 3*2^(k-2)}, <=33% waste) keep the slice
-    program cache small on the remote-compile service."""
+    non-empty, four for the pair-code plane): the metadata/exception buffer
+    first (this also blocks on the search compute), then the chosen plane
+    sliced ON DEVICE to a bucketed length >= n — remote attachments move
+    D2H bytes at tens of MB/s, so shipping the full emit-cap padding can
+    double the transfer.  The bucket sizes ({2^k, 3*2^(k-2)}, <=33% waste)
+    keep the slice program cache small on the remote-compile service."""
     meta_exc = jax.device_get(meta_exc)
-    n, n_exc, overflowed, n_exc4 = _meta_fields(meta_exc)
+    n, n_exc, overflowed, n_exc4, n_esc2 = _meta_fields(meta_exc)
     if overflowed:
         return np.zeros(0, np.int64), np.zeros(0, np.int64), True
-    use_nib = (exc4 is not None and n_exc4 <= EXC4_CAP
-               and dc8.shape[0] > 2)
+    plane = _choose_plane(dc8, n, n_exc4, n_esc2, exc4, esc, plane)
     cap = dc8.shape[1]
     k = 1 << 10
     while k < n:
@@ -721,7 +814,12 @@ def unpack_search(dc8, meta_exc, exc4=None) -> tuple:
     if k // 4 * 3 >= n:
         k = k // 4 * 3
     k = min(k, cap)
-    if use_nib:
+    if plane == "q4":
+        kb = min(max(1, (k + 1) // 2), cap)
+        q4b = jax.device_get(dc8[3, :kb] if kb < cap else dc8[3])
+        v, c = unpack_ra_q4(q4b, fetch_esc(esc, n_esc2),
+                            fetch_exc4(exc4, n_exc4), n, n_exc4)
+    elif plane == "nib":
         nib = jax.device_get(dc8[2, :k] if k < cap else dc8[2])
         v, c = unpack_ra4(nib, fetch_exc4(exc4, n_exc4), n, n_exc4)
     else:
@@ -749,9 +847,17 @@ def _cut_chunk_nib(x, start, length):
     return jax.lax.dynamic_slice(x, (jnp.int32(2), start), (1, length))
 
 
+@functools.partial(jax.jit, static_argnames=("length",))
+def _cut_chunk_q4(x, byte_start, length):
+    """Window slice of the pair-code plane (row 3) in BYTES — 0.5 B/run;
+    the row is emit-cap wide while only ceil(n/2) bytes carry data, so a
+    chunk/2-byte window never clamps."""
+    return jax.lax.dynamic_slice(x, (jnp.int32(3), byte_start), (1, length))
+
+
 def stream_packed_ra(dc8, meta_exc, exc4=None,
                      chunk_runs: int = 4 * 1024 * 1024,
-                     presliced=None):
+                     presliced=None, esc=None, plane=None):
     """Generator of ascending sorted-unique (values, counts) chunks straight
     from a packed device RA (search_and_pack output) — the transfer/merge
     pipeline: chunk k+1's device->host copy is issued asynchronously while
@@ -763,61 +869,82 @@ def stream_packed_ra(dc8, meta_exc, exc4=None,
     Raises ValueError on overflow (callers should have checked meta first).
     """
     meta_exc = jax.device_get(meta_exc)
-    n, n_exc, overflowed, n_exc4 = _meta_fields(meta_exc)
+    n, n_exc, overflowed, n_exc4, n_esc2 = _meta_fields(meta_exc)
     if overflowed:
         raise ValueError("packed RA overflowed its device buffers")
     if n == 0:
         return
-    use_nib = (exc4 is not None and n_exc4 <= EXC4_CAP
-               and dc8.shape[0] > 2)
+    if presliced is not None and not isinstance(presliced, dict):
+        presliced = {"nib": presliced}  # legacy (slices, chunk) tuple
+    plane = _choose_plane(dc8, n, n_exc4, n_esc2, exc4, esc, plane)
 
     cap = dc8.shape[1]
-    if use_nib and presliced is not None:
-        # pre-dispatched static nibble-plane grid (BlockedPackedRA): the
-        # slice programs already ran right after this block's search, so
-        # their D2H DMA can overlap the NEXT block's search compute
-        chunk = presliced[1]
+    grid = (presliced or {}).get(plane)
+    if grid is not None:
+        # pre-dispatched static plane grid (BlockedPackedRA): the slice
+        # programs already ran right after this block's search, so their
+        # D2H DMA can overlap the NEXT block's search compute
+        chunk = grid[1]
         starts = list(range(0, n, chunk))
         dev_starts = starts
-        slices = list(presliced[0][:len(starts)])
+        slices = list(grid[0][:len(starts)])
     else:
         chunk = min(chunk_runs, cap)
+        if plane == "q4":
+            # two runs per byte: even windows keep every lane's nibble
+            # parity equal to its window-relative parity
+            chunk = max(2, chunk - (chunk & 1))
         # dynamic_slice clamps the start when start+chunk > cap: issue the
         # last window at cap-chunk and compensate with a host-side offset
+        # (cap and chunk are both even on the q4 plane, so the clamped
+        # starts stay nibble-aligned)
         starts = list(range(0, n, chunk))
         dev_starts = [min(s, cap - chunk) for s in starts]
-        cut = _cut_chunk_nib if use_nib else _cut_chunk
-        slices = [cut(dc8, jnp.int32(s), chunk) for s in dev_starts]
+        if plane == "q4":
+            slices = [_cut_chunk_q4(dc8, jnp.int32(s // 2), chunk // 2)
+                      for s in dev_starts]
+        elif plane == "nib":
+            slices = [_cut_chunk_nib(dc8, jnp.int32(s), chunk)
+                      for s in dev_starts]
+        else:
+            slices = [_cut_chunk(dc8, jnp.int32(s), chunk)
+                      for s in dev_starts]
     # issue EVERY chunk's D2H copy up front: the link then streams them
     # back-to-back (one in-flight copy leaves each chunk's ~RTT exposed);
-    # host-side peak is the same 1-2 B/run the consumer retires in order
+    # host-side peak is the same 0.5-2 B/run the consumer retires in order
     for s in slices:
         s.copy_to_host_async()
 
-    if use_nib:
-        # exc4 indices come out of the device pack already sorted by lane
-        exc4_h = fetch_exc4(exc4, n_exc4)
-        exc_idx = exc4_h[0, :n_exc4].astype(np.int64)
-        exc_delta, exc_count = exc4_h[1, :n_exc4], exc4_h[2, :n_exc4]
-    else:
+    if plane == "byte":
         exc_idx = meta_exc[0, :n_exc].astype(np.int64)
         exc_delta = meta_exc[1, :n_exc]
         exc_count = meta_exc[2, :n_exc]
         order = np.argsort(exc_idx, kind="stable")
         exc_idx, exc_delta, exc_count = (exc_idx[order], exc_delta[order],
                                          exc_count[order])
+    else:
+        # exc4 indices come out of the device pack already sorted by lane
+        exc4_h = fetch_exc4(exc4, n_exc4)
+        exc_idx = exc4_h[0, :n_exc4].astype(np.int64)
+        exc_delta, exc_count = exc4_h[1, :n_exc4], exc4_h[2, :n_exc4]
+    esc_h = (fetch_esc(esc, n_esc2, presliced=(presliced or {}).get("esc"))
+             if plane == "q4" else None)
 
     native_decode = None
-    if use_nib:
+    if plane != "byte":
         try:
-            from ..native import ra_decode_nib_chunk as native_decode
+            if plane == "q4":
+                from ..native import ra_decode_q4_chunk as native_decode
+            else:
+                from ..native import ra_decode_nib_chunk as native_decode
         except Exception:  # pragma: no cover - native build unavailable
             native_decode = None
 
-    # state: {carry, pend_v, pend_c, have_pend} — the trailing run is
-    # withheld until the last window so cross-chunk duplicates merge
-    dec_state = np.zeros(4, np.int64)
+    # state: {carry, pend_v, pend_c, have_pend, esc_off} — the trailing run
+    # is withheld until the last window so cross-chunk duplicates merge
+    dec_state = np.zeros(5, np.int64)
     carry = 0
+    esc_off = 0  # numpy-path equivalent of dec_state[4]
     pend_v = pend_c = None  # numpy-path equivalent of dec_state[1:]
     for k, s in enumerate(starts):
         h = np.asarray(slices[k])
@@ -826,16 +953,40 @@ def stream_packed_ra(dc8, meta_exc, exc4=None,
         m = min(chunk, n - s)
         lo = np.searchsorted(exc_idx, s)
         hi = np.searchsorted(exc_idx, s + m)
+        finish = k + 1 == len(starts)
         if native_decode is not None:
-            # fused native sweep: nibble split + exception patch + cumsum +
+            # fused native sweep: plane split + exception patch + cumsum +
             # duplicate-sum in one GIL-released pass (native/src/radecode.cpp)
-            uv, uc = native_decode(h[0, off:off + m], exc_idx[lo:hi] - s,
-                                   exc_delta[lo:hi], exc_count[lo:hi],
-                                   dec_state, finish=(k + 1 == len(starts)))
+            if plane == "q4":
+                uv, uc = native_decode(
+                    h[0, off // 2:(off + m + 1) // 2], m, esc_h,
+                    exc_idx[lo:hi] - s, exc_delta[lo:hi], exc_count[lo:hi],
+                    dec_state, finish, Q4_TABLE_D, Q4_TABLE_C)
+            else:
+                uv, uc = native_decode(h[0, off:off + m], exc_idx[lo:hi] - s,
+                                       exc_delta[lo:hi], exc_count[lo:hi],
+                                       dec_state, finish=finish)
             if uv.size:
                 yield uv, uc
             continue
-        if use_nib:
+        if plane == "q4":
+            hb = h[0, off // 2:(off + m + 1) // 2]
+            codes = np.empty(hb.size * 2, np.uint8)
+            codes[0::2] = hb & np.uint8(15)
+            codes[1::2] = hb >> 4
+            codes = codes[:m]
+            delta = Q4_TABLE_D[codes]
+            counts = Q4_TABLE_C[codes]
+            em = codes == Q4_ESCAPE
+            ke = int(em.sum())
+            eb = esc_h[esc_off:esc_off + ke]
+            if eb.size != ke:
+                raise ValueError("pair-code escape stream exhausted "
+                                 "(corrupt packed RA)")
+            esc_off += ke
+            delta[em] = (eb & np.uint8(15)).astype(np.int64)
+            counts[em] = (eb >> 4).astype(np.int64)
+        elif plane == "nib":
             nib = h[0, off:off + m]
             delta = (nib & np.uint8(15)).astype(np.int64)
             counts = (nib >> 4).astype(np.int64)
@@ -886,9 +1037,10 @@ class PackedDeviceRA:
     n_spill_files = 0
     total_spilled_bytes = 0
 
-    def __init__(self, dc8, meta_exc, exc4=None):
+    def __init__(self, dc8, meta_exc, exc4=None, esc=None):
         self.dc8 = dc8
         self.exc4 = exc4
+        self.esc = esc
         self.meta = jax.device_get(meta_exc)  # blocks on the search compute
 
     @property
@@ -900,10 +1052,10 @@ class PackedDeviceRA:
         return int(self.meta[3, 0])
 
     @property
-    def uses_nibble_plane(self) -> bool:
-        n, n_exc, ovf, n_exc4 = _meta_fields(self.meta)
-        return (not ovf and self.exc4 is not None and n_exc4 <= EXC4_CAP
-                and self.dc8.shape[0] > 2)
+    def plane(self) -> str:
+        """Transfer plane the consumers will pick ('q4'/'nib'/'byte')."""
+        n, n_exc, ovf, n_exc4, n_esc2 = _meta_fields(self.meta)
+        return _choose_plane(self.dc8, n, n_exc4, n_esc2, self.exc4, self.esc)
 
     def stream(self, chunk_runs: int | None = None):
         if chunk_runs is None:
@@ -915,7 +1067,8 @@ class PackedDeviceRA:
             chunk_runs = 1024 * 1024
             while chunk_runs * 2 <= target and chunk_runs < 4 * 1024 * 1024:
                 chunk_runs *= 2
-        return stream_packed_ra(self.dc8, self.meta, self.exc4, chunk_runs)
+        return stream_packed_ra(self.dc8, self.meta, self.exc4, chunk_runs,
+                                esc=self.esc)
 
     def finish(self):
         parts = list(self.stream())
@@ -954,9 +1107,10 @@ class BlockedPackedRA:
     CHUNK = 2 * 1024 * 1024
 
     def __init__(self, parts):
-        # [(dc8, meta_exc dev, exc4 dev, (nib_slices, chunk))] — unread;
-        # 3-tuples (no pre-dispatched slice grid) are normalized to sliced=None
-        self.parts = [p if len(p) == 4 else (*p, None) for p in parts]
+        # [(dc8, meta_exc dev, exc4 dev, esc dev, {plane: (slices, chunk),
+        #   "esc": {bucket: prefix}})] — unread; shorter tuples (no escape
+        # stream / no pre-dispatched slice grid) are padded with None
+        self.parts = [(*p, *([None] * (5 - len(p)))) for p in parts]
         self._metas = [None] * len(self.parts)
         self._prefetcher = None
 
@@ -980,17 +1134,29 @@ class BlockedPackedRA:
         lands; jax.Array caches the host copy, so the consumer's later
         np.asarray reuses the transfer instead of re-fetching."""
         for i, part in enumerate(self.parts):
-            dc8, _m, exc4, sliced = part if len(part) == 4 else (*part, None)
+            dc8, _m, exc4, esc, sliced = part
             try:
                 m = self._meta(i)
             except Exception:
                 return
-            n, n_exc, ovf, n_exc4 = _meta_fields(m)
-            if ovf or sliced is None or n_exc4 > EXC4_CAP or dc8.shape[0] <= 2:
+            n, n_exc, ovf, n_exc4, n_esc2 = _meta_fields(m)
+            if ovf or sliced is None:
                 continue
-            slices, chunk = sliced
+            plane = _choose_plane(dc8, n, n_exc4, n_esc2, exc4, esc)
+            grid = sliced.get(plane)
+            if grid is None:
+                continue
+            slices, chunk = grid
             for s in slices[:(n + chunk - 1) // chunk]:
                 s.copy_to_host_async()
+            if plane == "q4" and n_esc2:
+                # dispatch + start the escape-stream prefix copy; the
+                # consumer's fetch_esc finds it under the same bucket key
+                eb = sliced.setdefault("esc", {})
+                k = _esc_bucket(n_esc2, esc.shape[0])
+                if k not in eb:
+                    eb[k] = esc if k >= esc.shape[0] else _cut_esc(esc, k)
+                eb[k].copy_to_host_async()
 
     def start_prefetch(self):
         if self._prefetcher is None:
@@ -1004,12 +1170,12 @@ class BlockedPackedRA:
         from ..models.spill import merge_ra_chunk_streams
 
         self.start_prefetch()
-        norm = [p if len(p) == 4 else (*p, None) for p in self.parts]
         return merge_ra_chunk_streams(
             [stream_packed_ra(dc8,
                               self._metas[i] if self._metas[i] is not None
-                              else meta, exc4, chunk_runs, presliced=sliced)
-             for i, (dc8, meta, exc4, sliced) in enumerate(norm)],
+                              else meta, exc4, chunk_runs, presliced=sliced,
+                              esc=esc)
+             for i, (dc8, meta, exc4, esc, sliced) in enumerate(self.parts)],
             chunk_runs=chunk_runs)
 
     def finish(self):
@@ -1027,21 +1193,30 @@ def blocked_search_and_pack(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
                             chunk_runs: int = BlockedPackedRA.CHUNK
                             ) -> BlockedPackedRA:
     """Dispatch one search_and_pack program per sequence block plus its
-    static nibble-plane slice grid (all async, one program shape) and return
-    the BlockedPackedRA over the results.  Callers size
-    frontier_cap/emit_cap for the LARGEST block."""
+    static plane slice grids (all async, one program shape) and return the
+    BlockedPackedRA over the results.  Both the nibble and pair-code grids
+    are dispatched (the on-device copies cost ~1.5 B/run of HBM bandwidth,
+    noise next to the search); only the chosen plane's windows ever cross
+    the D2H link.  Callers size frontier_cap/emit_cap for the LARGEST
+    block."""
     from ..utils.ranges import get_bounds
 
     parts = []
     for sp, ep in get_bounds((0, b_sequences - 1), max(1, n_blocks)):
-        dc8, meta, exc4 = search_and_pack(
+        dc8, meta, exc4, esc = search_and_pack(
             a_idx, b_idx, jnp.int32(sp), jnp.int32(ep), a_sequences,
             frontier_cap=frontier_cap, emit_cap=emit_cap, streamed=streamed)
         cap = dc8.shape[1]
         chunk = min(chunk_runs, cap)
-        slices = [_cut_chunk_nib(dc8, jnp.int32(s), chunk)
-                  for s in range(0, cap, chunk)]
-        parts.append((dc8, meta, exc4, (slices, chunk)))
+        chunk = max(2, chunk - (chunk & 1))  # q4 nibble alignment
+        grid = {
+            "nib": ([_cut_chunk_nib(dc8, jnp.int32(s), chunk)
+                     for s in range(0, cap, chunk)], chunk),
+            "q4": ([_cut_chunk_q4(dc8, jnp.int32(s // 2), chunk // 2)
+                    for s in range(0, cap, chunk)], chunk),
+            "esc": {},
+        }
+        parts.append((dc8, meta, exc4, esc, grid))
     return BlockedPackedRA(parts)
 
 
@@ -1072,6 +1247,39 @@ def unpack_ra4(nib: np.ndarray, exc4: np.ndarray, n: int, n_exc4: int):
     nib = nib[:n]
     delta = (nib & np.uint8(15)).astype(np.int64)
     counts = (nib >> 4).astype(np.int64)
+    if n_exc4:
+        idx = exc4[0, :n_exc4]
+        delta[idx] = exc4[1, :n_exc4]
+        counts[idx] = exc4[2, :n_exc4]
+    return np.cumsum(delta), counts
+
+
+def unpack_ra_q4(q4b: np.ndarray, esc: np.ndarray, exc4: np.ndarray,
+                 n: int, n_exc4: int):
+    """Host-side inverse of pack_ra_device's pair-code plane -> sorted
+    (values, counts).
+
+    q4b: uint8[>= ceil(n/2)] plane bytes (two 4-bit codes per byte, low
+    nibble first); esc: lane-ordered escape bytes, one nibble-coded byte
+    per code-15 lane; exc4: int32[3, >= n_exc4] lane-indexed overrides for
+    runs that fit neither plane (their escape byte is the marker 15).
+    """
+    nb = (n + 1) // 2
+    b = q4b[:nb]
+    codes = np.empty(nb * 2, np.uint8)
+    codes[0::2] = b & np.uint8(15)
+    codes[1::2] = b >> 4
+    codes = codes[:n]
+    delta = Q4_TABLE_D[codes]
+    counts = Q4_TABLE_C[codes]
+    em = codes == Q4_ESCAPE
+    ke = int(em.sum())
+    eb = esc[:ke]
+    if eb.size != ke:
+        raise ValueError("pair-code escape stream exhausted (corrupt "
+                         "packed RA)")
+    delta[em] = (eb & np.uint8(15)).astype(np.int64)
+    counts[em] = (eb >> 4).astype(np.int64)
     if n_exc4:
         idx = exc4[0, :n_exc4]
         delta[idx] = exc4[1, :n_exc4]

@@ -100,9 +100,9 @@ def _sharded_search_packed(a_idx, b_idx, a_sequences, b_sequences, mesh,
             # (unpack+compact_rank_array, the chunk streams) sums duplicates
             # anyway, and the device compaction is gather-bound (~4 s at
             # 67M lanes on a v5e vs 0.4 s for the sort-only pack)
-            dc8, exc, exc4, n_u, n_exc, n_exc4 = pack_ra_device(
+            dc8, exc, exc4, esc, n_u, n_exc, n_exc4, n_esc2 = pack_ra_device(
                 v, c, n, compact=False)
-            return dc8, exc, exc4, n_u, n_exc, n_exc4, ovf
+            return dc8, exc, exc4, esc, n_u, n_exc, n_exc4, n_esc2, ovf
         return jax.vmap(fn)(sp, ep)
 
     # check_vma=False: the streamed-probe path calls pallas_call inside this
@@ -112,9 +112,10 @@ def _sharded_search_packed(a_idx, b_idx, a_sequences, b_sequences, mesh,
         in_specs=(P(), P(), P(SEQ_AXIS), P(SEQ_AXIS)),
         out_specs=P(SEQ_AXIS), check_vma=False))
 
-    dc8, exc, exc4, n_emit, n_exc, n_exc4, overflow = search_all(
-        a_dev, b_dev, sp, ep)
-    return dc8, exc, exc4, n_emit, n_exc, n_exc4, overflow, n_dev
+    dc8, exc, exc4, esc, n_emit, n_exc, n_exc4, n_esc2, overflow = \
+        search_all(a_dev, b_dev, sp, ep)
+    return (dc8, exc, exc4, esc, n_emit, n_exc, n_exc4, n_esc2, overflow,
+            n_dev)
 
 
 class ShardedPackedRA:
@@ -131,20 +132,21 @@ class ShardedPackedRA:
     total_spilled_bytes = 0
 
     def __init__(self, shards):
-        # [(dc8 on device d [3, E], meta int32[4, EXC_CAP] host,
-        #   exc4 on device d [3, EXC4_CAP])]
+        # [(dc8 on device d [4, E], meta int32[4, EXC_CAP] host,
+        #   exc4 on device d [3, EXC4_CAP], esc on device d [E])]
         self.shards = shards
 
     @property
     def n_runs(self) -> int:
-        return sum(int(m[3, 0]) for _, m, _ in self.shards)
+        return sum(int(m[3, 0]) for _, m, _, _ in self.shards)
 
     def stream(self, chunk_runs: int = 4 * 1024 * 1024):
         from ..models.spill import merge_ra_chunk_streams
         from ..ops.search_jax import stream_packed_ra
 
         return merge_ra_chunk_streams(
-            [stream_packed_ra(d, m, e4) for d, m, e4 in self.shards],
+            [stream_packed_ra(d, m, e4, esc=es)
+             for d, m, e4, es in self.shards],
             chunk_runs=chunk_runs)
 
     def finish(self):
@@ -172,7 +174,7 @@ def sharded_packed_ra(
     host driver)."""
     from ..ops.search_jax import EXC_CAP, META_ROWS
 
-    dc8, exc, exc4, n_emit, n_exc, n_exc4, overflow, n_dev = \
+    dc8, exc, exc4, esc, n_emit, n_exc, n_exc4, n_esc2, overflow, n_dev = \
         _sharded_search_packed(
             a_idx, b_idx, a_sequences, b_sequences, mesh, frontier_cap,
             emit_cap, b_seq_offset, streamed)
@@ -180,14 +182,17 @@ def sharded_packed_ra(
     n_emit_h = np.asarray(n_emit)
     n_exc_h = np.asarray(n_exc)
     n_exc4_h = np.asarray(n_exc4)
+    n_esc2_h = np.asarray(n_esc2)
     if bool(np.asarray(overflow).any()) or bool((n_exc_h > EXC_CAP).any()):
         return None
 
     exc_h = np.asarray(exc)
-    # exc4 stays sharded on its devices; stream_packed_ra fetches each
-    # shard's table lazily, sliced to its n_exc4 (12 MB/device if eager)
+    # exc4/esc stay sharded on their devices; stream_packed_ra fetches each
+    # shard's table lazily, sliced to its n_exc4/n_esc2 (12 MB/device eager)
     exc4_shards = {(s.index[0].start or 0): s.data[0]
                    for s in exc4.addressable_shards}
+    esc_shards = {(s.index[0].start or 0): s.data[0]
+                  for s in esc.addressable_shards}
     shards = []
     for shard in dc8.addressable_shards:
         d = shard.index[0].start or 0  # row of this device's packed buffer
@@ -199,7 +204,8 @@ def sharded_packed_ra(
         meta[3, 0] = n
         meta[3, 1] = n_exc_h[d]
         meta[3, 3] = n_exc4_h[d]
-        shards.append((shard.data[0], meta, exc4_shards[d]))
+        meta[3, 4] = n_esc2_h[d]
+        shards.append((shard.data[0], meta, exc4_shards[d], esc_shards[d]))
     return ShardedPackedRA(shards)
 
 
@@ -228,7 +234,7 @@ def sharded_rank_array(
     """
     from ..ops.search_np import compact_rank_array
 
-    dc8, exc, exc4, n_emit, n_exc, n_exc4, overflow, n_dev = \
+    dc8, exc, exc4, esc, n_emit, n_exc, n_exc4, n_esc2, overflow, n_dev = \
         _sharded_search_packed(
             a_idx, b_idx, a_sequences, b_sequences, mesh, frontier_cap,
             emit_cap, b_seq_offset, streamed)

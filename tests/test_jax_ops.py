@@ -174,7 +174,8 @@ class TestPackedTransfer:
             a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
             a.sequences(), frontier_cap=4096, emit_cap=65536)
         assert not bool(ovf)
-        dc8, exc, exc4, n_u, n_exc, n_exc4 = pack_ra_device(v, c, n)
+        dc8, exc, exc4, esc, n_u, n_exc, n_exc4, n_esc2 = pack_ra_device(
+            v, c, n)
         n_u, n_exc, n_exc4 = int(n_u), int(n_exc), int(n_exc4)
         assert n_exc <= EXC_CAP
         got_v, got_c = unpack_ra(np.asarray(dc8[:2, :n_u]), np.asarray(exc),
@@ -184,6 +185,12 @@ class TestPackedTransfer:
                                   n_u, n_exc4)
         assert np.array_equal(nib_v, got_v)
         assert np.array_equal(nib_c, got_c)
+        # ... and so must the pair-code plane + its escape stream
+        from bwtmerge_tpu.ops.search_jax import unpack_ra_q4
+        q4_v, q4_c = unpack_ra_q4(np.asarray(dc8[3]), np.asarray(esc),
+                                  np.asarray(exc4), n_u, n_exc4)
+        assert np.array_equal(q4_v, got_v)
+        assert np.array_equal(q4_c, got_c)
         # pack_ra_device compacts on device: already sorted unique
         got = compact_sorted_rank_array(got_v, got_c)
         assert np.array_equal(got[0], got_v)
@@ -207,7 +214,8 @@ class TestPackedTransfer:
         E = 512
         v = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(values, jnp.int32))
         c = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(counts, jnp.int32))
-        dc8, exc, exc4, n_u, n_exc, n_exc4 = pack_ra_device(v, c, jnp.int32(300))
+        dc8, exc, exc4, esc, n_u, n_exc, n_exc4, n_esc2 = pack_ra_device(
+            v, c, jnp.int32(300))
         assert int(n_u) == 300  # all values unique
         got_v, got_c = unpack_ra(np.asarray(dc8[:2, :300]), np.asarray(exc),
                                  300, int(n_exc))
@@ -218,6 +226,14 @@ class TestPackedTransfer:
                                   300, int(n_exc4))
         assert np.array_equal(nib_v, values)
         assert np.array_equal(nib_c, counts)
+        # pair-code plane: every lane escapes (wide pairs never hit the
+        # table) and every escape byte is the marker 15 -> exc4 overrides
+        from bwtmerge_tpu.ops.search_jax import unpack_ra_q4
+        assert int(n_esc2) == 300
+        q4_v, q4_c = unpack_ra_q4(np.asarray(dc8[3]), np.asarray(esc),
+                                  np.asarray(exc4), 300, int(n_exc4))
+        assert np.array_equal(q4_v, values)
+        assert np.array_equal(q4_c, counts)
 
     def test_device_compaction_sums_duplicates(self, rng):
         import numpy as np
@@ -354,10 +370,10 @@ class TestSearchAndPack:
         _, _, a, b = pair
         a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
         b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
-        dc8, meta_exc, exc4 = search_and_pack(
+        dc8, meta_exc, exc4, esc = search_and_pack(
             a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
             a.sequences(), frontier_cap=4096, emit_cap=65536)
-        v, c, ovf = unpack_search(dc8, meta_exc, exc4)
+        v, c, ovf = unpack_search(dc8, meta_exc, exc4, esc)
         assert not ovf
         got = compact_sorted_rank_array(v, c)
         want = search_np.build_rank_array(
@@ -366,6 +382,13 @@ class TestSearchAndPack:
             a.sequences(), b.sequences())
         assert np.array_equal(got[0], want[0])
         assert np.array_equal(got[1], want[1])
+        # every transfer plane decodes to the same rank array
+        for plane in ("q4", "nib", "byte"):
+            pv, pc, povf = unpack_search(dc8, meta_exc, exc4, esc,
+                                         plane=plane)
+            assert not povf
+            assert np.array_equal(pv, v)
+            assert np.array_equal(pc, c)
 
     def test_stream_matches_unpack(self, pair):
         from bwtmerge_tpu.ops.search_jax import (search_and_pack,
@@ -375,20 +398,24 @@ class TestSearchAndPack:
         _, _, a, b = pair
         a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
         b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
-        dc8, meta_exc, exc4 = search_and_pack(
+        dc8, meta_exc, exc4, esc = search_and_pack(
             a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
             a.sequences(), frontier_cap=4096, emit_cap=65536)
-        v, c, ovf = unpack_search(dc8, meta_exc, exc4)
+        v, c, ovf = unpack_search(dc8, meta_exc, exc4, esc)
         assert not ovf
         # odd chunk size forces several chunks incl. a clamped final window
-        chunks = list(stream_packed_ra(dc8, meta_exc, exc4, chunk_runs=37))
-        assert len(chunks) > 1
-        for cv, _ in chunks:  # each chunk strictly ascending a-positions
-            assert np.all(np.diff(cv) > 0)
-        got_v = np.concatenate([x[0] for x in chunks])
-        got_c = np.concatenate([x[1] for x in chunks])
-        assert np.array_equal(got_v, v)
-        assert np.array_equal(got_c, c)
+        # (and, on the q4 plane, the even-alignment fixup)
+        for plane in (None, "q4", "nib", "byte"):
+            chunks = list(stream_packed_ra(dc8, meta_exc, exc4,
+                                           chunk_runs=37, esc=esc,
+                                           plane=plane))
+            assert len(chunks) > 1
+            for cv, _ in chunks:  # each chunk strictly ascending a-positions
+                assert np.all(np.diff(cv) > 0)
+            got_v = np.concatenate([x[0] for x in chunks])
+            got_c = np.concatenate([x[1] for x in chunks])
+            assert np.array_equal(got_v, v)
+            assert np.array_equal(got_c, c)
 
     def test_stream_exceptions_across_chunk_boundaries(self, rng):
         from bwtmerge_tpu.ops.search_jax import (pack_ra_device,
@@ -401,7 +428,8 @@ class TestSearchAndPack:
         E = 512
         v = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(values, jnp.int32))
         c = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(counts, jnp.int32))
-        dc8, exc, exc4, n_u, n_exc, n_exc4 = pack_ra_device(v, c, jnp.int32(300))
+        dc8, exc, exc4, esc, n_u, n_exc, n_exc4, n_esc2 = pack_ra_device(
+            v, c, jnp.int32(300))
         # no exc4 handed over: forces the byte-plane decode path
         meta = jnp.zeros((1, exc.shape[1]), jnp.int32)
         meta = meta.at[0, 0].set(n_u).at[0, 1].set(n_exc)
@@ -423,17 +451,64 @@ class TestSearchAndPack:
         E = 512
         v = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(values, jnp.int32))
         c = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(counts, jnp.int32))
-        dc8, exc, exc4, n_u, n_exc, n_exc4 = pack_ra_device(v, c, jnp.int32(300))
+        dc8, exc, exc4, esc, n_u, n_exc, n_exc4, n_esc2 = pack_ra_device(
+            v, c, jnp.int32(300))
         assert 0 < int(n_exc4) < 300
         meta = jnp.zeros((1, EXC_CAP), jnp.int32)
         meta = meta.at[0, 0].set(n_u).at[0, 1].set(n_exc)
-        meta = meta.at[0, 3].set(n_exc4)
+        meta = meta.at[0, 3].set(n_exc4).at[0, 4].set(n_esc2)
         meta_exc = jnp.concatenate([exc, meta], axis=0)
         chunks = list(stream_packed_ra(dc8, meta_exc, exc4, chunk_runs=7))
         got_v = np.concatenate([x[0] for x in chunks])
         got_c = np.concatenate([x[1] for x in chunks])
         assert np.array_equal(got_v, values)
         assert np.array_equal(got_c, counts)
+        # the pair-code plane (escape-heavy here: most pairs miss the
+        # table) round-trips the same stream through the escape side
+        # stream + the shared exc4 table, across chunk boundaries
+        chunks = list(stream_packed_ra(dc8, meta_exc, exc4, chunk_runs=8,
+                                       esc=esc, plane="q4"))
+        got_v = np.concatenate([x[0] for x in chunks])
+        got_c = np.concatenate([x[1] for x in chunks])
+        assert np.array_equal(got_v, values)
+        assert np.array_equal(got_c, counts)
+
+    def test_q4_pure_numpy_matches_native(self, rng):
+        """The numpy q4 window decode and the native kernel agree (incl.
+        escape-cursor state across windows)."""
+        import bwtmerge_tpu.ops.search_jax as sj
+
+        deltas = rng.integers(1, 20, size=400)
+        values = np.cumsum(deltas)
+        counts = rng.integers(1, 5, size=400)
+        E = 512
+        v = jnp.zeros(E, jnp.int32).at[:400].set(jnp.asarray(values, jnp.int32))
+        c = jnp.zeros(E, jnp.int32).at[:400].set(jnp.asarray(counts, jnp.int32))
+        dc8, exc, exc4, esc, n_u, n_exc, n_exc4, n_esc2 = sj.pack_ra_device(
+            v, c, jnp.int32(400))
+        meta = jnp.zeros((1, sj.EXC_CAP), jnp.int32)
+        meta = meta.at[0, 0].set(n_u).at[0, 1].set(n_exc)
+        meta = meta.at[0, 3].set(n_exc4).at[0, 4].set(n_esc2)
+        meta_exc = jnp.concatenate([exc, meta], axis=0)
+
+        def run():
+            chunks = list(sj.stream_packed_ra(dc8, meta_exc, exc4,
+                                              chunk_runs=64, esc=esc,
+                                              plane="q4"))
+            return (np.concatenate([x[0] for x in chunks]),
+                    np.concatenate([x[1] for x in chunks]))
+
+        got_native = run()
+        import unittest.mock as mock
+        with mock.patch.dict("sys.modules"):
+            # hide the native module so the numpy fallback runs
+            import sys
+            sys.modules["bwtmerge_tpu.native"] = None
+            got_np = run()
+        assert np.array_equal(got_native[0], got_np[0])
+        assert np.array_equal(got_native[1], got_np[1])
+        assert np.array_equal(got_native[0], values)
+        assert np.array_equal(got_native[1], counts)
 
     def test_overflow_reported(self, pair):
         from bwtmerge_tpu.ops.search_jax import search_and_pack, unpack_search
@@ -441,8 +516,8 @@ class TestSearchAndPack:
         _, _, a, b = pair
         a_idx = DeviceFMIndex.build(a.runs, a.alpha.counts())
         b_idx = DeviceFMIndex.build(b.runs, b.alpha.counts())
-        dc8, meta_exc, exc4 = search_and_pack(
+        dc8, meta_exc, exc4, esc = search_and_pack(
             a_idx, b_idx, jnp.int32(0), jnp.int32(b.sequences() - 1),
             a.sequences(), frontier_cap=256, emit_cap=64)
-        _, _, ovf = unpack_search(dc8, meta_exc, exc4)
+        _, _, ovf = unpack_search(dc8, meta_exc, exc4, esc)
         assert ovf

@@ -163,7 +163,8 @@ class TestDeviceBlocks:
         def overflowing_blocked(*args, **kwargs):
             packed = real_blocked(*args, **kwargs)
             bad = jnp.zeros((4, sj.EXC_CAP), jnp.int32).at[3, 2].set(1)
-            packed.parts[-1] = (packed.parts[-1][0], bad, packed.parts[-1][2])
+            packed.parts[-1] = (packed.parts[-1][0], bad,
+                                *packed.parts[-1][2:])
             return packed
         monkeypatch.setattr(sj, "blocked_search_and_pack", overflowing_blocked)
 
@@ -192,7 +193,7 @@ class TestDeviceOverflowFallback:
             calls["n"] += 1
             meta = jnp.zeros((4, sj.EXC_CAP), jnp.int32).at[3, 2].set(1)
             return (jnp.zeros((2, 64), jnp.uint8), meta,
-                    jnp.zeros((3, 8), jnp.int32))
+                    jnp.zeros((3, 8), jnp.int32), jnp.zeros(64, jnp.uint8))
         monkeypatch.setattr(sj, "search_and_pack", fake_pack)
 
         merged = merge_fmi(a, b, MergeConfig(backend="jax"))
