@@ -491,14 +491,16 @@ EXC4_CAP = 1 << 20   # nibble-plane exception slots (gap > 14 or count > 15)
 META_ROWS = 4        # byte-plane exc(3 rows) + scalar metadata(1 row)
 
 # 4-bit pair-code table: codes 0-14 name the most frequent (delta, count)
-# runs of read-collection rank arrays (measured on 50 bp read merges at a 2:1
-# base ratio — deltas are ~geometric with mean |A|/runs ~ 2-3, counts mostly
-# 1-2); code 15 escapes to a 1-byte nibble entry in a compacted side stream.
-# ~85% of runs hit the table, so the plane costs ~0.5 + 0.15 B/run vs the
-# nibble plane's 1 B/run.  A mismatched workload only raises the escape rate;
-# the consumer picks the cheapest plane per block from the measured counts.
-Q4_PAIRS = ((1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (6, 1), (7, 1), (8, 1),
-            (1, 2), (2, 2), (3, 2), (4, 2), (1, 3), (2, 3), (5, 2))
+# runs of RAW (uncompacted) rank-array streams — measured on 50 bp read
+# merges at a 2:1 base ratio: delta 0 (a duplicate value; the pack ships
+# compact=False) is ~32% of runs, the rest is a geometric delta tail with
+# count almost always 1.  Code 15 escapes to a 1-byte nibble entry in a
+# lane-ordered side stream.  98% of runs hit this table on the measured
+# workload, so the plane costs ~0.52 B/run vs the nibble plane's 1 B/run.
+# A mismatched workload only raises the escape rate; the consumer picks the
+# cheapest plane per block from the measured counts.
+Q4_PAIRS = ((0, 1), (1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (6, 1), (7, 1),
+            (8, 1), (9, 1), (10, 1), (11, 1), (12, 1), (0, 2), (13, 1))
 Q4_ESCAPE = 15
 # numpy decode tables (escape slot holds 0; overwritten from the side stream)
 Q4_TABLE_D = np.array([p[0] for p in Q4_PAIRS] + [0], dtype=np.int64)
