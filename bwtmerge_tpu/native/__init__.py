@@ -17,6 +17,7 @@ try:
         interleave_streaming,
         interleave_stream_chunks,
         ra_encode,
+        ra_merge_pair,
         ra_decode_chunk,
         ra_decode_nib_chunk,
         ra_decode_q4_chunk,

@@ -50,6 +50,10 @@ def _lib() -> ctypes.CDLL:
         lib.ra_decode_chunk.restype = ctypes.c_int64
         lib.ra_decode_chunk.argtypes = [_u8p, ctypes.c_int64, ctypes.c_int64,
                                         _i64p, _i64p, _i64p]
+        lib.ra_merge_pair.restype = ctypes.c_int64
+        lib.ra_merge_pair.argtypes = [_i64p, _i64p, ctypes.c_int64,
+                                      _i64p, _i64p, ctypes.c_int64,
+                                      _i64p, _i64p]
         lib._bwtmerge_configured = True
     return lib
 
@@ -128,6 +132,26 @@ def interleave_native(a_runs, b_runs, ra_values, ra_counts,
     if n < 0:
         raise RuntimeError(f"native interleave failed (code {n})")
     return RunArrays(out_syms[:n].copy(), out_lens[:n].copy())
+
+
+def ra_merge_pair(a: Tuple[np.ndarray, np.ndarray],
+                  b: Tuple[np.ndarray, np.ndarray],
+                  out_v: Optional[np.ndarray] = None,
+                  out_k: Optional[np.ndarray] = None):
+    """Linear 2-way merge of sorted-unique (values, counts) run lists,
+    summing counts of equal values (RLArray merge analog, support.h:434-453).
+
+    When `out_v`/`out_k` (int64, size >= len(a)+len(b)) are given the merge
+    writes into them and returns VIEWS — callers reuse persistent buffers to
+    dodge this VM class's ~40 us/page first-touch faults."""
+    va, ka = _as_i64(a[0]), _as_i64(a[1])
+    vb, kb = _as_i64(b[0]), _as_i64(b[1])
+    n = va.size + vb.size
+    if out_v is None or out_v.size < n:
+        out_v = np.empty(n, dtype=np.int64)
+        out_k = np.empty(n, dtype=np.int64)
+    m = _lib().ra_merge_pair(va, ka, va.size, vb, kb, vb.size, out_v, out_k)
+    return out_v[:m], out_k[:m]
 
 
 def ra_encode(values, counts) -> bytes:
@@ -255,21 +279,36 @@ def _configure_stream_interleave(lib) -> None:
     lib._bwtmerge_stream_configured = True
 
 
-def interleave_stream_chunks(a_runs, b_runs, ra_chunks, n_buffers: int = 3):
+# Process-wide pool of interleave output buffer pairs: checked out per
+# generator, returned on close.  Buffers grow to their steady-state size once
+# and are REUSED across merge passes — on the target VM class a first-touch
+# page fault costs ~40 us, so re-faulting a ~60 MB ring every merge call cost
+# more than the interleave itself.
+_il_buffer_pool: list = []
+
+# RA chunks are re-sliced to this many runs before interleaving: output
+# buffer size scales with the RA chunk's span, so huge transfer-side chunks
+# (sized for D2H link efficiency) must not dictate host buffer footprint.
+IL_CHUNK_RUNS = 1 << 20
+
+
+def interleave_stream_chunks(a_runs, b_runs, ra_chunks, n_buffers: int = 3,
+                             max_chunk_runs: int = IL_CHUNK_RUNS):
     """Generator of merged (syms, lens) run chunks from ascending rank-array
     chunks — the fully streaming merge phase: neither the rank array nor the
     merged output is ever materialized whole.  Chunks are maximal-run clean:
     the stateful C++ emitter withholds the trailing run until the next chunk
     coalesces with it.
 
-    Yielded arrays are VIEWS into a rotation of `n_buffers` reused buffer
-    pairs — chunk k stays valid until chunk k+n_buffers-1 is produced.
-    With the default 3, a depth-1 prefetch_chunks stage between this
-    generator and a writer is safe: the producer computes k+2 while the
-    queue holds k+1 and the consumer reads k.  Consumers that retain
-    chunks longer must copy (interleave_streaming does).  Reuse matters: on
-    the target VM class a first-touch page fault costs ~50 us, so a fresh
-    100+ MB output allocation per chunk dominated the merge phase."""
+    Incoming RA chunks are internally re-sliced to `max_chunk_runs` so the
+    output buffers stay small regardless of the producer's (transfer-
+    optimized) chunking.  Yielded arrays are VIEWS into a rotation of
+    `n_buffers` reused buffer pairs — chunk k stays valid until chunk
+    k+n_buffers-1 is produced.  With the default 3, a depth-1
+    prefetch_chunks stage between this generator and a writer is safe: the
+    producer computes k+2 while the queue holds k+1 and the consumer reads
+    k.  Consumers that retain chunks longer must copy (interleave_streaming
+    does)."""
     lib = _lib()
     _configure_stream_interleave(lib)
 
@@ -288,8 +327,9 @@ def interleave_stream_chunks(a_runs, b_runs, ra_chunks, n_buffers: int = 3):
 
     a_total_pos = int(a_lens.sum())
     consumed = {"a_pos": 0, "b_pos": 0}
-    ring = [{"s": np.empty(1 << 16, dtype=np.uint8),
-             "l": np.empty(1 << 16, dtype=np.int64)}
+    ring = [_il_buffer_pool.pop() if _il_buffer_pool
+            else {"s": np.empty(1 << 16, dtype=np.uint8),
+                  "l": np.empty(1 << 16, dtype=np.int64)}
             for _ in range(max(1, n_buffers))]
     turn = {"i": 0}
 
@@ -337,8 +377,13 @@ def interleave_stream_chunks(a_runs, b_runs, ra_chunks, n_buffers: int = 3):
     # (bwt.cpp:152-190) with the RABuffer slot as a depth-2 queue
     from ..utils.pipeline import prefetch_chunks
 
+    def sliced(chunks):
+        for rv, rc in chunks:
+            for s in range(0, len(rv), max_chunk_runs):
+                yield rv[s:s + max_chunk_runs], rc[s:s + max_chunk_runs]
+
     try:
-        for rv, rc in prefetch_chunks(ra_chunks, depth=2):
+        for rv, rc in prefetch_chunks(sliced(ra_chunks), depth=2):
             s, l = run_chunk(rv, rc, finish=False)
             if s.size:
                 yield s, l
@@ -348,6 +393,7 @@ def interleave_stream_chunks(a_runs, b_runs, ra_chunks, n_buffers: int = 3):
             yield s, l
     finally:
         lib.interleave_ctx_free(ctx)
+        _il_buffer_pool.extend(ring)
 
 
 def interleave_streaming(a_runs, b_runs, ra_chunks):

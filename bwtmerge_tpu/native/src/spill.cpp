@@ -76,6 +76,41 @@ EXPORT int64_t ra_encode(const int64_t* values, const int64_t* counts, int64_t n
   return pos;
 }
 
+// Linear 2-way merge of two sorted-unique (value, count) run lists, summing
+// counts of equal values — the hot inner op of the k-way chunk-stream merge
+// (models/spill.py merge_ra_chunk_streams; reference counterpart: the
+// RLArray 2-way merge constructor, support.h:434-453).  One branchy pass at
+// ~3 ns/run replaces two numpy searchsorted passes + scatters (~70 ns/run
+// measured on the 4-core target VM).  Output buffers must hold na + nb
+// runs; returns the merged (deduplicated) count.
+EXPORT int64_t ra_merge_pair(const int64_t* va, const int64_t* ka, int64_t na,
+                             const int64_t* vb, const int64_t* kb, int64_t nb,
+                             int64_t* out_v, int64_t* out_k) {
+  int64_t i = 0, j = 0, m = 0;
+  while (i < na && j < nb) {
+    int64_t x = va[i], y = vb[j];
+    if (x < y) {
+      out_v[m] = x;
+      out_k[m++] = ka[i++];
+    } else if (y < x) {
+      out_v[m] = y;
+      out_k[m++] = kb[j++];
+    } else {
+      out_v[m] = x;
+      out_k[m++] = ka[i++] + kb[j++];
+    }
+  }
+  while (i < na) {
+    out_v[m] = va[i];
+    out_k[m++] = ka[i++];
+  }
+  while (j < nb) {
+    out_v[m] = vb[j];
+    out_k[m++] = kb[j++];
+  }
+  return m;
+}
+
 // Decode up to max_runs runs starting at state[0] = byte offset with
 // state[1] = previous value.  Updates state in place; returns runs decoded.
 EXPORT int64_t ra_decode_chunk(const uint8_t* data, int64_t bytes,

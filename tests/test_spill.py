@@ -33,6 +33,55 @@ class TestRACodec:
         assert np.array_equal(np.concatenate(got_c), counts)
 
 
+class TestNativeMergePair:
+    def test_matches_numpy_merge(self, rng):
+        from bwtmerge_tpu.native import ra_merge_pair
+        from bwtmerge_tpu.ops.search_np import merge_rank_arrays
+
+        for _ in range(50):
+            na, nb = rng.integers(0, 200, 2)
+            va = np.unique(rng.integers(0, 500, na)).astype(np.int64)
+            vb = np.unique(rng.integers(0, 500, nb)).astype(np.int64)
+            ka = rng.integers(1, 9, va.size).astype(np.int64)
+            kb = rng.integers(1, 9, vb.size).astype(np.int64)
+            v1, c1 = ra_merge_pair((va, ka), (vb, kb))
+            v2, c2 = merge_rank_arrays((va, ka), (vb, kb))
+            assert np.array_equal(v1, v2)
+            assert np.array_equal(c1, c2)
+
+    def test_into_caller_buffers(self, rng):
+        from bwtmerge_tpu.native import ra_merge_pair
+
+        va = np.array([1, 3, 5], np.int64)
+        vb = np.array([2, 3, 9], np.int64)
+        ka = np.array([10, 20, 30], np.int64)
+        kb = np.array([1, 2, 3], np.int64)
+        ov = np.empty(6, np.int64)
+        ok = np.empty(6, np.int64)
+        v, c = ra_merge_pair((va, ka), (vb, kb), ov, ok)
+        assert v.base is ov and c.base is ok
+        assert v.tolist() == [1, 2, 3, 5, 9]
+        assert c.tolist() == [10, 1, 22, 30, 3]
+
+
+class TestMergeSortedParts:
+    def test_fold_matches_concat_compact(self, rng):
+        from bwtmerge_tpu.models.spill import _merge_sorted_parts
+
+        for k in (1, 2, 3, 5, 8):
+            parts = []
+            for _ in range(k):
+                v = np.unique(rng.integers(0, 300, rng.integers(1, 100)))
+                parts.append((v.astype(np.int64),
+                              rng.integers(1, 9, v.size).astype(np.int64)))
+            got_v, got_c = _merge_sorted_parts([p for p in parts])
+            want_v, want_c = compact_rank_array(
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
+            assert np.array_equal(got_v, want_v)
+            assert np.array_equal(got_c, want_c)
+
+
 class TestSpillStream:
     def test_kway_merge_matches_oracle(self, rng, tmp_path):
         spill = RankArraySpill(temp_dir=str(tmp_path),
