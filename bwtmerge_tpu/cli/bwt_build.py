@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rlo", action="store_true",
                    help="sort reads in reverse-lexicographic order first "
                         "(shrinks the run count; see paper.tex:278)")
+    p.add_argument("--backend", choices=("auto", "jax", "numpy"),
+                   default="auto",
+                   help="suffix sort backend: device lax.sort prefix "
+                        "doubling (jax, ~100x at 100 Mbp), host numpy, or "
+                        "auto by collection size (default)")
     p.add_argument("--list-formats", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--quiet", action="store_true")
     return p
@@ -63,7 +68,7 @@ def main(argv=None) -> int:
         print(f"bwt_build: no reads in {args.input}", file=sys.stderr)
         return 1
 
-    runs, _ = build_from_reads(reads, rlo=args.rlo)
+    runs, _ = build_from_reads(reads, rlo=args.rlo, backend=args.backend)
     write_bwt(args.output, args.output_format, runs, alphabet_for(runs))
     seconds = time.monotonic() - start
 

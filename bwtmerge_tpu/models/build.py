@@ -50,21 +50,62 @@ def rlo_order(sequences: Sequence[np.ndarray]) -> np.ndarray:
     return np.lexsort(tuple(keys[:, j] for j in range(max_len - 1, -1, -1)))
 
 
-def build_from_reads(sequences: Sequence[np.ndarray], rlo: bool = False
-                     ) -> Tuple[RunArrays, np.ndarray]:
+# Collections below this many total positions build faster on the host than
+# the device path's dispatch + compile-cache lookup + transfers cost.
+_DEVICE_BUILD_MIN_POSITIONS = 1 << 20
+
+
+def _use_device_build(backend: str, n_positions: int) -> bool:
+    if backend == "numpy":
+        return False
+    if backend == "jax":
+        return True
+    # auto: device only when the collection is big enough to pay for the
+    # dispatch and a device backend is actually present
+    if n_positions < _DEVICE_BUILD_MIN_POSITIONS:
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover - jax always present in this env
+        return False
+
+
+def build_from_reads(sequences: Sequence[np.ndarray], rlo: bool = False,
+                     backend: str = "auto") -> Tuple[RunArrays, np.ndarray]:
     """BWT of a read collection (comp values 1..sigma-1 per read).
 
     With rlo=True the reads are first sorted reverse-lexicographically
     (run-count-minimizing heuristic, paper.tex:278).  Returns the RunArrays
     and the read order actually used (identity when rlo=False).
+
+    backend: 'numpy' (host prefix doubling, models/oracle.py), 'jax' (device
+    lax.sort prefix doubling, ops/sa_jax.py — ~100x at 100 Mbp), or 'auto'
+    (device when present and the collection exceeds ~1M positions).
     """
+    from ..ops.sa_jax import pack_collection
+
+    flat, lengths = pack_collection(sequences)
+    n_positions = int(lengths.sum()) + lengths.size
+    device = _use_device_build(backend, n_positions)
+    if device:
+        from ..ops.sa_jax import (_reorder_packed, build_bwt_device,
+                                  rlo_order_device)
+
+        if rlo:
+            order = rlo_order_device((flat, lengths))
+            packed = _reorder_packed(flat, lengths, order)
+        else:
+            order = np.arange(lengths.size, dtype=np.int64)
+            packed = (flat, lengths)
+        return build_bwt_device(packed), order
     seqs = [np.asarray(s, dtype=np.int64) for s in sequences]
     order = rlo_order(seqs) if rlo else np.arange(len(seqs), dtype=np.int64)
-    ordered = [seqs[i] for i in order]
-    return oracle.build_bwt(ordered), order
+    return oracle.build_bwt([seqs[i] for i in order]), order
 
 
-def rlo_reorder(fmi) -> RunArrays:
+def rlo_reorder(fmi, backend: str = "auto") -> RunArrays:
     """RLO-reorder the reads of an EXISTING BWT (bwt_convert --rlo).
 
     Extracts every read with batched lockstep LF walks (FMI.extract_all),
@@ -72,7 +113,7 @@ def rlo_reorder(fmi) -> RunArrays:
     arbitrary-order BWT into the run-count-minimizing order without access
     to the original reads.  Query-equivalent by construction.
     """
-    runs, _ = build_from_reads(fmi.extract_all(), rlo=True)
+    runs, _ = build_from_reads(fmi.extract_all(), rlo=True, backend=backend)
     return runs
 
 
