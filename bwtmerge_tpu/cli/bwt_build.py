@@ -17,7 +17,8 @@ import sys
 import time
 
 from ..formats import write_bwt
-from ..models.build import alphabet_for, build_from_reads, read_plain_reads
+from ..models.build import (alphabet_for, build_from_reads,
+                            read_plain_reads_packed)
 from ..utils.metrics import in_gigabytes, in_megabytes, memory_usage
 from .common import check_format, print_formats
 
@@ -60,21 +61,22 @@ def main(argv=None) -> int:
 
     start = time.monotonic()
     try:
-        reads = read_plain_reads(args.input)
+        flat, lengths = read_plain_reads_packed(args.input)
     except (OSError, ValueError) as e:
         print(f"bwt_build: {e}", file=sys.stderr)
         return 1
-    if not reads:
+    if lengths.size == 0:
         print(f"bwt_build: no reads in {args.input}", file=sys.stderr)
         return 1
 
-    runs, _ = build_from_reads(reads, rlo=args.rlo, backend=args.backend)
+    runs, _ = build_from_reads((flat, lengths), rlo=args.rlo,
+                               backend=args.backend)
     write_bwt(args.output, args.output_format, runs, alphabet_for(runs))
     seconds = time.monotonic() - start
 
     if not args.quiet:
-        bases = sum(r.size for r in reads)
-        print(f"{len(reads)} reads, {bases} bases, {runs.n_runs} runs "
+        bases = int(lengths.sum())
+        print(f"{lengths.size} reads, {bases} bases, {runs.n_runs} runs "
               f"({in_megabytes(bases) / max(seconds, 1e-9):.2f} MB/s)")
         print(f"Total time:       {seconds:.2f} seconds")
         print(f"Peak memory:      {in_gigabytes(memory_usage()):.3f} GB")

@@ -100,7 +100,9 @@ def build_from_reads(sequences: Sequence[np.ndarray], rlo: bool = False,
             order = np.arange(lengths.size, dtype=np.int64)
             packed = (flat, lengths)
         return build_bwt_device(packed), order
-    seqs = [np.asarray(s, dtype=np.int64) for s in sequences]
+    ends = np.cumsum(lengths)
+    seqs = [flat[e - ln:e].astype(np.int64)
+            for e, ln in zip(ends, lengths)]
     order = rlo_order(seqs) if rlo else np.arange(len(seqs), dtype=np.int64)
     return oracle.build_bwt([seqs[i] for i in order]), order
 
@@ -125,21 +127,51 @@ def read_plain_reads(path: str, char2comp: np.ndarray = DEFAULT_CHAR2COMP
     (support.cpp:39-62): ACGT/acgt map to comps 1..4, every other byte maps
     to N — EXCEPT endmarker characters ('$' and NUL, comp 0), which are never
     legal inside a read and raise with the offending file:line."""
-    reads: List[np.ndarray] = []
-    with open(path, "rb") as f:
-        for ln, raw in enumerate(f, 1):
-            line = raw.rstrip(b"\r\n")
-            if not line:
-                continue
-            chars = np.frombuffer(line, dtype=np.uint8)
-            comps = char2comp[chars].astype(np.int64)
-            if (comps == 0).any():
-                j = int(np.flatnonzero(comps == 0)[0])
-                raise ValueError(
-                    f"{path}:{ln}: endmarker character {chr(chars[j])!r} "
-                    f"inside a read")
-            reads.append(comps)
-    return reads
+    flat, lengths = read_plain_reads_packed(path, char2comp)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    return [flat[s:e].astype(np.int64) for s, e in zip(starts, ends)]
+
+
+def read_plain_reads_packed(path: str,
+                            char2comp: np.ndarray = DEFAULT_CHAR2COMP
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+    """read_plain_reads in packed (flat int32, lengths int64) form — one
+    vectorized pass over the file bytes instead of a Python loop per read
+    (2M reads cost minutes per-line; this is ~1 s).  Feed the result
+    straight to build_from_reads."""
+    data = np.fromfile(path, dtype=np.uint8)
+    if data.size and data[-1] != 0x0A:
+        data = np.concatenate([data, np.array([0x0A], np.uint8)])
+    if data.size == 0:
+        return np.zeros(0, np.int32), np.zeros(0, np.int64)
+    nl = np.flatnonzero(data == 0x0A)
+    starts = np.concatenate([[0], nl[:-1] + 1])
+    ends = nl.copy()
+    # \r\n line endings: drop the trailing \r
+    crlf = ends > starts
+    crlf[crlf] = data[ends[crlf] - 1] == 0x0D
+    ends = ends - crlf.astype(ends.dtype)
+    keep = ends > starts                      # skip empty lines
+    starts, ends = starts[keep], ends[keep]
+
+    line_mask = np.zeros(data.size + 1, np.int8)
+    np.add.at(line_mask, starts, 1)
+    np.add.at(line_mask, ends, -1)
+    inside = np.cumsum(line_mask[:-1]).astype(bool)
+    flat = char2comp[data[inside]].astype(np.int32)
+    lengths = (ends - starts).astype(np.int64)
+    if (flat == 0).any():
+        # reconstruct the offending file:line for the error message
+        bad = int(np.flatnonzero(flat == 0)[0])
+        row = int(np.searchsorted(np.cumsum(lengths), bad, side="right"))
+        col = bad - (int(np.cumsum(lengths)[row - 1]) if row else 0)
+        ch = chr(data[starts[row] + col])
+        # line number counts every line in the file, empty ones included
+        ln = int(np.searchsorted(nl, starts[row], side="left")) + 1
+        raise ValueError(
+            f"{path}:{ln}: endmarker character {ch!r} inside a read")
+    return flat, lengths
 
 
 def alphabet_for(runs: RunArrays, sigma: int = 6) -> Alphabet:

@@ -150,6 +150,24 @@ class TestReadPlainReads:
         with pytest.raises(ValueError, match=r"reads.txt:2"):
             read_plain_reads(str(p))
 
+    def test_packed_matches_list_form(self, tmp_path):
+        from bwtmerge_tpu.models.build import read_plain_reads_packed
+
+        p = tmp_path / "reads.txt"
+        p.write_bytes(b"ACGT\r\n\nGGN\nTT")  # crlf, blank, no trailing \n
+        reads = read_plain_reads(str(p))
+        flat, lens = read_plain_reads_packed(str(p))
+        assert lens.tolist() == [r.size for r in reads]
+        assert flat.tolist() == np.concatenate(reads).tolist()
+
+    def test_packed_empty_file(self, tmp_path):
+        from bwtmerge_tpu.models.build import read_plain_reads_packed
+
+        p = tmp_path / "reads.txt"
+        p.write_bytes(b"")
+        flat, lens = read_plain_reads_packed(str(p))
+        assert flat.size == 0 and lens.size == 0
+
 
 class TestBuildCLI:
     def _write_reads(self, path, reads):
