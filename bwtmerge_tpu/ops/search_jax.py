@@ -1170,13 +1170,20 @@ class BlockedPackedRA:
 
     def stream(self, chunk_runs: int = CHUNK):
         from ..models.spill import merge_ra_chunk_streams
+        from ..utils.pipeline import prefetch_chunks
 
         self.start_prefetch()
+        # each block's decode (device window waits + native plane decode)
+        # runs on its OWN thread: the k-way merge thread then only merges —
+        # serializing k decodes behind the merge doubled the blocked merge
+        # window vs the single-block path
         return merge_ra_chunk_streams(
-            [stream_packed_ra(dc8,
-                              self._metas[i] if self._metas[i] is not None
-                              else meta, exc4, chunk_runs, presliced=sliced,
-                              esc=esc)
+            [prefetch_chunks(
+                stream_packed_ra(dc8,
+                                 self._metas[i] if self._metas[i] is not None
+                                 else meta, exc4, chunk_runs,
+                                 presliced=sliced, esc=esc),
+                depth=2)
              for i, (dc8, meta, exc4, esc, sliced) in enumerate(self.parts)],
             chunk_runs=chunk_runs)
 
