@@ -304,13 +304,13 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
 
                 n_blk = config.device_blocks
                 if n_blk == 0:
-                    # auto: one program.  Blocked overlap (device_blocks=2)
-                    # wins when the D2H link is slow relative to the search
-                    # compute (measured: 18 vs 27 s on a ~10 MB/s degraded
-                    # remote relay) but adds k-way merge overhead on a fast
-                    # host link — so it stays an explicit knob
-                    # (--device-blocks).
-                    n_blk = 1
+                    # auto: 2 blocks once B is big enough that hiding the RA
+                    # transfer+decode behind block 2's search compute pays.
+                    # With per-source decode threads and the native pair
+                    # merge, the blocked path's k-way overhead is gone
+                    # (measured at 40 Mbp: blocked 1.4 s vs 1.3 s sequential
+                    # on a fast link; 5.4 s vs 9.1 s on the remote relay).
+                    n_blk = 2 if b.size() >= 16 * 1024 * 1024 else 1
                 n_blk = min(n_blk, max(1, b.sequences()))
                 if n_blk > 1:
                     # per-block caps (largest block), one program shape
