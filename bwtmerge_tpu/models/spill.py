@@ -281,50 +281,40 @@ class RankArraySpill:
     def stream(self, chunk_runs: int = 4 * 1024 * 1024
                ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yield ascending sorted-unique (values, counts) chunks; values never
-        overlap across chunks.  Consumes and deletes the spill files."""
+        overlap across chunks.  Consumes and deletes the spill files.
+
+        Each spill file decodes on its own prefetch thread (the native
+        delta+varint decode releases the GIL), so k decodes overlap the
+        k-way merge — the same pipelining BlockedPackedRA.stream uses for
+        device streams."""
+        from ..utils.pipeline import prefetch_chunks
+
         self._compact()
         sources: List[_SpillFile] = list(self._files)
         resident = self._base
         self._base = None
         self._files = []
 
-        res_pos = 0
-        res_v, res_c = (resident if resident is not None
-                        else (np.zeros(0, np.int64), np.zeros(0, np.int64)))
-
-        try:
+        def file_chunks(f: _SpillFile):
             while True:
-                for f in sources:
-                    f.refill(chunk_runs)
-                live = [f for f in sources if not f.done()]
-                res_live = res_pos < res_v.size
-
-                if not live and not res_live:
+                f.refill(chunk_runs)
+                v, c = f.head_values, f.head_counts
+                f.head_values = np.zeros(0, np.int64)
+                f.head_counts = np.zeros(0, np.int64)
+                if v.size:
+                    yield v, c
+                if f.exhausted:
                     return
 
-                # Merge bound: smallest "last head value" over live sources —
-                # every run <= bound is present in some head, so the merged
-                # prefix up to bound is complete and safe to yield.
-                bounds = [int(f.head_values[-1]) for f in live if f.head_values.size]
-                if res_live:
-                    bounds.append(int(res_v[min(res_pos + chunk_runs, res_v.size) - 1]))
-                bound = min(bounds)
+        def resident_chunks(v, c):
+            for s in range(0, v.size, chunk_runs):
+                yield v[s:s + chunk_runs], c[s:s + chunk_runs]
 
-                parts = []
-                for f in live:
-                    v, c = f.take_until(bound)
-                    if v.size:
-                        parts.append((v, c))
-                if res_live:
-                    k = int(np.searchsorted(res_v, bound, side="right"))
-                    if k > res_pos:
-                        parts.append((res_v[res_pos:k], res_c[res_pos:k]))
-                        res_pos = k
-
-                if parts:
-                    merged = _merge_sorted_parts(parts)
-                    if merged[0].size:
-                        yield merged
+        iters = [prefetch_chunks(file_chunks(f), depth=2) for f in sources]
+        if resident is not None and resident[0].size:
+            iters.append(resident_chunks(*resident))
+        try:
+            yield from merge_ra_chunk_streams(iters, chunk_runs=chunk_runs)
         finally:
             for f in sources:
                 f.delete()
