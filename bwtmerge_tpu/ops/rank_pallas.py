@@ -206,9 +206,9 @@ def _streamed_ranks_padded(rec: jax.Array, q_sorted: jax.Array, nblk: int,
         in_specs=[
             pl.BlockSpec((TILE, REC), lambda t, qs: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),       # queries stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),          # queries stay in HBM
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # output stays in HBM
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),     # output stays in HBM
         scratch_shapes=[
             pltpu.VMEM((2, 1, QT), jnp.int32),         # qbuf, 2 slots
             pltpu.VMEM((2, OUT_W, QT), jnp.int32),     # obuf, 2 slots
