@@ -353,6 +353,26 @@ def main() -> None:
             int(n_only)
         device_search_s = min(device_search_s, time.monotonic() - t0)
 
+    # -- construction rate (beyond-reference feature): device prefix-doubling
+    # suffix array on a 26 Mbp read set.  Guarded: never fails the bench.
+    build_s = build_mbp = None
+    try:
+        from bwtmerge_tpu.models.build import build_from_reads
+
+        rng = np.random.default_rng(9)
+        m_r, len_r = 512_000, 50
+        flat = rng.integers(1, 5, size=m_r * len_r).astype(np.int32)
+        lens_r = np.full(m_r, len_r, np.int64)
+        build_from_reads((flat, lens_r), rlo=True, backend="jax")  # warm
+        t0 = time.monotonic()
+        runs_built, _ = build_from_reads((flat, lens_r), rlo=True,
+                                         backend="jax")
+        build_s = time.monotonic() - t0
+        build_mbp = (m_r * len_r + m_r) / 1e6 / build_s
+        del runs_built, flat
+    except Exception as e:  # pragma: no cover - never fail the bench
+        print(f"# build-rate extra skipped: {e}", file=sys.stderr)
+
     from bwtmerge_tpu.utils.metrics import memory_usage
 
     inserted_mbases = b.size() / 1e6
@@ -389,6 +409,8 @@ def main() -> None:
             "merged_runs": merged_runs,
             "output_MB": round(out_mb, 1),
             "peak_rss_GB": round(memory_usage() / 1e9, 2),
+            "build_rlo_s": round(build_s, 2) if build_s else None,
+            "build_rlo_Mbases_s": round(build_mbp, 2) if build_mbp else None,
             "warmup_compile_s": round(warmup_s, 1),
             "setup_s": round(setup_s, 1),
         },
