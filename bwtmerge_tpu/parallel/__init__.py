@@ -3,6 +3,11 @@ sharding, sharded search and verification, jax.distributed bring-up
 (TPU analog of the reference's thread layer; SURVEY.md §5)."""
 
 from .distributed import initialize_multihost, multihost_rank_array, process_info
+from .sort_distributed import (
+    build_bwt_sharded,
+    sharded_sort,
+    suffix_array_sharded,
+)
 from .mesh import (
     SEQ_AXIS,
     make_mesh,
@@ -17,6 +22,9 @@ __all__ = [
     "multihost_rank_array",
     "process_info",
     "make_mesh",
+    "sharded_sort",
+    "suffix_array_sharded",
+    "build_bwt_sharded",
     "sequence_shards",
     "sharded_backward_search",
     "sharded_rank_array",

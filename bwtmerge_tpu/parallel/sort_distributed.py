@@ -1,0 +1,272 @@
+"""Mesh-distributed sort + sharded suffix-array construction.
+
+The scaling primitive SURVEY.md §5 maps the reference's buffer ladder to:
+"segmented prefix-sums + distributed sort-by-rank".  `sharded_sort` globally
+sorts equal-sharded arrays over a 1-D device mesh using **Batcher's odd-even
+merge network over sorted blocks**: every comparator becomes a merge-split of
+two device-resident shards (one `ppermute` shard exchange + one local 2S-lane
+`lax.sort`, keep the low/high half).  By the 0-1 principle a sorting network
+with blockwise merge-split sorts the block sequence exactly, and every
+exchange is a fixed-partner permutation riding ICI — no host round trips, no
+ragged all-to-all capacities to overflow.  O(log^2 P) exchange rounds of one
+shard each; for pod-scale P a splitter-based sample sort would cut traffic to
+O(1) exchanges at the cost of imbalance handling (ROADMAP).
+
+On top of it, `suffix_array_sharded` / `build_bwt_sharded` run the same
+prefix-doubling rounds as ops/sa_jax.py with every step sharded: the doubling
+sort, the cross-shard segment-rank scan (local cumsum + all_gather'd shard
+totals), the permutation inversion (a sort by the unique position key), and
+the static-k neighbor shift (two ppermutes).  A collection whose suffix
+array exceeds one chip's HBM builds across the mesh; per-device memory is
+O(n / P).  Tested against the host oracle on the 8-virtual-device CPU mesh
+(tests/test_sort_distributed.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import SEQ_AXIS, make_mesh
+
+
+def _oddeven_rounds(p: int):
+    """Batcher odd-even mergesort comparator rounds for p blocks.
+
+    Returns a list of rounds; each round is a list of disjoint (low, high)
+    comparator pairs that can exchange in parallel.  All comparators are
+    ascending (min to the lower index), so blocks stay ascending-sorted
+    throughout — no descending phases to track (unlike plain bitonic).
+    """
+    rounds = []
+    length = 1
+    while length < p:
+        k = length
+        while k >= 1:
+            pairs = []
+            for j in range(k % length, p - k, 2 * k):
+                for i in range(min(k, p - j - k)):
+                    if (i + j) // (2 * length) == (i + j + k) // (2 * length):
+                        pairs.append((i + j, i + j + k))
+            if pairs:
+                rounds.append(pairs)
+            k //= 2
+        length *= 2
+    return rounds
+
+
+def _merge_split_round(ops, num_keys, pairs, p, axis):
+    """One comparator round: exchange shards with the partner, merge-split."""
+    partner = np.arange(p, dtype=np.int32)
+    is_low = np.ones(p, dtype=bool)
+    paired = np.zeros(p, dtype=bool)
+    perm = []
+    for lo, hi in pairs:
+        partner[lo], partner[hi] = hi, lo
+        is_low[hi] = False
+        paired[lo] = paired[hi] = True
+        perm += [(lo, hi), (hi, lo)]
+    for d in range(p):
+        if partner[d] == d:
+            perm.append((d, d))
+
+    me = jax.lax.axis_index(axis)
+    low = jnp.asarray(is_low)[me]
+    keep = jnp.asarray(paired)[me]
+    theirs = [jax.lax.ppermute(x, axis, perm) for x in ops]
+    s = ops[0].shape[0]
+    merged = jax.lax.sort(
+        tuple(jnp.concatenate([mine, other])
+              for mine, other in zip(ops, theirs)),
+        num_keys=num_keys, is_stable=False)
+    # unpaired devices pass through untouched (a self-merge would keep a
+    # DUPLICATED lower half, not a no-op)
+    return tuple(jnp.where(keep, jnp.where(low, m[:s], m[s:]), mine)
+                 for m, mine in zip(merged, ops))
+
+
+def _sharded_sort_body(ops, num_keys, p, axis):
+    """shard_map body: local sort + odd-even merge network over blocks."""
+    ops = jax.lax.sort(ops, num_keys=num_keys, is_stable=False)
+    for pairs in _oddeven_rounds(p):
+        ops = _merge_split_round(ops, num_keys, pairs, p, axis)
+    return ops
+
+
+def sharded_sort(operands: Sequence[jax.Array], num_keys: int,
+                 mesh: Optional[Mesh] = None, axis: str = SEQ_AXIS):
+    """Globally sort equal-sharded [n] arrays lexicographically by the first
+    `num_keys` operands.  n must be divisible by the mesh size.  Returns the
+    sorted operands, sharded the same way.  Ties are broken arbitrarily —
+    include a unique key (e.g. the position) for a deterministic total order.
+    """
+    mesh = mesh or make_mesh()
+    p = int(mesh.devices.size)
+    n = operands[0].shape[0]
+    if n % p:
+        raise ValueError(f"size {n} not divisible by mesh size {p}")
+    sharded = NamedSharding(mesh, P(axis))
+    ops = tuple(jax.device_put(jnp.asarray(x), sharded) for x in operands)
+    fn = jax.jit(jax.shard_map(
+        functools.partial(_sharded_sort_body, num_keys=num_keys, p=p,
+                          axis=axis),
+        mesh=mesh, in_specs=P(axis), out_specs=P(axis)))
+    return fn(ops)
+
+
+# -- sharded prefix doubling ---------------------------------------------------
+
+
+def _left_edge(x, p, axis):
+    """Last element of the LEFT neighbor shard (first shard gets -1)."""
+    me = jax.lax.axis_index(axis)
+    perm = [(d, d + 1) for d in range(p - 1)]
+    prev_last = (jax.lax.ppermute(x[-1:], axis, perm) if perm
+                 else x[-1:] * 0 - 1)
+    return jnp.where(me == 0, jnp.int32(-1), prev_last[0])
+
+
+def _global_seg_ranks(k1, k2, p, axis):
+    """Global 0-based segment ranks of a SORTED sharded (k1, k2) pair:
+    rank of an element = number of distinct (k1, k2) values strictly before
+    it.  Local cumsum of change flags + exclusive prefix of all_gather'd
+    per-shard totals — the sharded analog of the rank scan in
+    ops/sa_jax._sa_ranks."""
+    prev1 = _left_edge(k1, p, axis)
+    prev2 = _left_edge(k2, p, axis)
+    me = jax.lax.axis_index(axis)
+    first = jnp.where(me == 0, jnp.int32(0),
+                      ((k1[0] != prev1) | (k2[0] != prev2)).astype(jnp.int32))
+    changed = jnp.concatenate(
+        [first[None],
+         ((k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])).astype(jnp.int32)])
+    local = jnp.cumsum(changed)
+    totals = jax.lax.all_gather(local[-1], axis)            # [P]
+    before = jnp.sum(jnp.where(jnp.arange(p) < me, totals, 0))
+    return (before + local).astype(jnp.int32)
+
+
+def _shift_left_body(rank, k, s, p, axis):
+    """rank[i + k] per global position i (-1 past the end), k static."""
+    hop, off = divmod(k, s)
+    # element i of my shard needs global position (me*s + i + k) =
+    # shard (me + hop [+1]) at offset (i + off [- s])
+    def from_hop(h):
+        if h == 0:
+            return rank
+        perm = [(d, d - h) for d in range(h, p)]
+        return jax.lax.ppermute(rank, axis, perm)
+
+    a = from_hop(hop) if hop < p else rank * 0 - 1           # shard me+hop
+    b = from_hop(hop + 1) if hop + 1 < p else rank * 0 - 1
+    me = jax.lax.axis_index(axis)
+    idx = jnp.arange(s, dtype=jnp.int32)
+    take_a = idx + off < s
+    av = jnp.where(take_a, a[jnp.minimum(idx + off, s - 1)],
+                   b[jnp.maximum(idx + off - s, 0)])
+    # lanes whose source shard does not exist read past the end
+    src_shard = me + hop + (~take_a).astype(jnp.int32)
+    return jnp.where(src_shard < p, av, jnp.int32(-1))
+
+
+def _pad_to(arr: np.ndarray, n_pad: int, descending_below: int) -> np.ndarray:
+    pad = np.arange(descending_below - 1,
+                    descending_below - 1 - (n_pad - arr.size), -1,
+                    dtype=np.int32)
+    return np.concatenate([arr.astype(np.int32), pad])
+
+
+def suffix_array_sharded(text: np.ndarray, mesh: Optional[Mesh] = None,
+                         axis: str = SEQ_AXIS) -> np.ndarray:
+    """Suffix array by prefix doubling with every step sharded over the mesh.
+
+    Matches models/oracle.suffix_array (pinned by tests).  Padding uses
+    distinct descending values below min(text) (end-of-string convention,
+    ops/sa_jax._end_padding), so pad suffixes occupy the first rows and the
+    real suffix array is the tail.
+    """
+    mesh = mesh or make_mesh()
+    p = int(mesh.devices.size)
+    text = np.asarray(text)
+    n = text.size
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    n_pad = 1 << max(6, (n - 1).bit_length())
+    if n_pad // 4 * 3 >= n and (n_pad // 4 * 3) % p == 0:
+        n_pad = n_pad // 4 * 3
+    text_pad = _pad_to(text, n_pad, int(text.min()))
+    s = n_pad // p
+    sharded = NamedSharding(mesh, P(axis))
+
+    idx = np.arange(n_pad, dtype=np.int32)
+
+    @jax.jit
+    def round0(t, i):
+        def body(t, i):
+            t_s, i_s = _sharded_sort_body((t, i), 2, p, axis)
+            rank_sorted = _global_seg_ranks(t_s, t_s, p, axis)
+            # invert: route rank to position order (i_s is unique)
+            _, rank_by_pos = _sharded_sort_body((i_s, rank_sorted), 1, p, axis)
+            return rank_by_pos, i_s
+        return jax.shard_map(body, mesh=mesh, in_specs=P(axis),
+                             out_specs=P(axis))(t, i)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def round_k(rank, i, k):
+        def body(rank, i):
+            second = _shift_left_body(rank, k, s, p, axis)
+            r_s, s_s, i_s = _sharded_sort_body((rank, second, i), 3, p, axis)
+            rank_sorted = _global_seg_ranks(r_s, s_s, p, axis)
+            _, rank_by_pos = _sharded_sort_body((i_s, rank_sorted), 1, p, axis)
+            return rank_by_pos, i_s, rank_sorted[-1:]
+        return jax.shard_map(body, mesh=mesh, in_specs=P(axis),
+                             out_specs=P(axis))(rank, i)
+
+    t_dev = jax.device_put(jnp.asarray(text_pad), sharded)
+    i_dev = jax.device_put(jnp.asarray(idx), sharded)
+    rank, order = round0(t_dev, i_dev)
+    k = 1
+    while True:
+        rank, order, last = round_k(rank, i_dev, k)
+        # the last shard's final sorted rank is the global max rank
+        if int(np.asarray(last)[-1]) == n_pad - 1:
+            break
+        k *= 2
+        if k > 2 * n_pad:  # safety: must have converged by then
+            raise RuntimeError("sharded prefix doubling failed to converge")
+    sa = np.asarray(order)
+    return sa[n_pad - n:].astype(np.int64)
+
+
+def build_bwt_sharded(sequences, mesh: Optional[Mesh] = None,
+                      axis: str = SEQ_AXIS):
+    """Mesh-sharded analog of ops/sa_jax.build_bwt_device: BWT of a
+    collection whose suffix sort exceeds one chip's memory.  Output is
+    identical to oracle.build_bwt (pinned by tests)."""
+    from ..models.runs import RunArrays
+    from ..ops.sa_jax import pack_collection
+
+    flat, lengths = pack_collection(sequences)
+    m = lengths.size
+    if flat.size and flat.min() <= 0:
+        raise ValueError(
+            "sequences must contain comp values >= 1 (no endmarkers)")
+    n = int(lengths.sum()) + m
+    if n == 0:
+        return RunArrays.empty()
+    text = np.empty(n, dtype=np.int32)
+    ends = np.cumsum(lengths + 1) - 1
+    mask = np.ones(n, dtype=bool)
+    mask[ends] = False
+    text[ends] = np.arange(m, dtype=np.int32)
+    text[mask] = flat + np.int32(m)
+
+    sa = suffix_array_sharded(text, mesh=mesh, axis=axis)
+    prev = np.concatenate([[0], text[:-1]])[sa]
+    bwt = np.where(prev < m, 0, prev - m).astype(np.uint8)
+    return RunArrays.from_values(bwt)

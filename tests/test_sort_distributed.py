@@ -1,0 +1,89 @@
+"""Mesh-distributed sort + sharded suffix array vs host oracles
+(8-virtual-device CPU mesh; conftest forces the platform)."""
+
+import numpy as np
+import pytest
+
+from bwtmerge_tpu.models import oracle
+from bwtmerge_tpu.parallel.mesh import make_mesh
+from bwtmerge_tpu.parallel.sort_distributed import (
+    _oddeven_rounds, build_bwt_sharded, sharded_sort, suffix_array_sharded)
+
+
+class TestOddEvenNetwork:
+    @pytest.mark.parametrize("p", [1, 2, 4, 8, 16])
+    def test_network_sorts_blocks(self, p, rng):
+        # simulate the blockwise merge-split on the host over random blocks
+        s = 8
+        blocks = [np.sort(rng.integers(0, 100, s)) for _ in range(p)]
+        for pairs in _oddeven_rounds(p):
+            for lo, hi in pairs:
+                merged = np.sort(np.concatenate([blocks[lo], blocks[hi]]))
+                blocks[lo], blocks[hi] = merged[:s], merged[s:]
+        got = np.concatenate(blocks)
+        assert np.array_equal(got, np.sort(got))
+
+
+class TestShardedSort:
+    def test_matches_lexsort(self, rng):
+        mesh = make_mesh(8)
+        n = 8 * 64
+        k1 = rng.integers(0, 7, n).astype(np.int32)     # heavy duplicates
+        k2 = rng.integers(0, 5, n).astype(np.int32)
+        uid = np.arange(n, dtype=np.int32)
+        payload = rng.integers(0, 1000, n).astype(np.int32)
+        out = sharded_sort((k1, k2, uid, payload), num_keys=3, mesh=mesh)
+        got = [np.asarray(o) for o in out]
+        order = np.lexsort((uid, k2, k1))
+        assert np.array_equal(got[0], k1[order])
+        assert np.array_equal(got[1], k2[order])
+        assert np.array_equal(got[2], uid[order])
+        assert np.array_equal(got[3], payload[order])
+
+    def test_single_device_mesh(self, rng):
+        mesh = make_mesh(1)
+        n = 64
+        k = rng.integers(0, 100, n).astype(np.int32)
+        (out,) = sharded_sort((k,), num_keys=1, mesh=mesh)
+        assert np.array_equal(np.asarray(out), np.sort(k))
+
+    def test_rejects_indivisible(self, rng):
+        mesh = make_mesh(8)
+        with pytest.raises(ValueError, match="not divisible"):
+            sharded_sort((np.zeros(10, np.int32),), num_keys=1, mesh=mesh)
+
+
+class TestShardedSuffixArray:
+    @pytest.mark.parametrize("n", [5, 63, 64, 200, 1000])
+    def test_matches_oracle(self, rng, n):
+        mesh = make_mesh(8)
+        text = rng.integers(0, 6, n).astype(np.int64)
+        got = suffix_array_sharded(text, mesh=mesh)
+        want = oracle.suffix_array(text)
+        assert np.array_equal(got, want), n
+
+    def test_repetitive_text(self, rng):
+        mesh = make_mesh(8)
+        text = np.repeat(rng.integers(0, 2, 20), 30).astype(np.int64)
+        assert np.array_equal(suffix_array_sharded(text, mesh=mesh),
+                              oracle.suffix_array(text))
+
+
+class TestShardedBWTBuild:
+    def test_matches_oracle(self, rng):
+        mesh = make_mesh(8)
+        col = oracle.random_collection(rng, 40, 10, 60)
+        got = build_bwt_sharded(col, mesh=mesh)
+        want = oracle.build_bwt(col)
+        assert np.array_equal(got.syms, want.syms)
+        assert np.array_equal(got.lens, want.lens)
+
+    def test_matches_single_device_build(self, rng):
+        from bwtmerge_tpu.ops.sa_jax import build_bwt_device
+
+        mesh = make_mesh(8)
+        col = oracle.random_collection(rng, 25, 5, 40)
+        got = build_bwt_sharded(col, mesh=mesh)
+        want = build_bwt_device(col)
+        assert np.array_equal(got.syms, want.syms)
+        assert np.array_equal(got.lens, want.lens)
