@@ -34,11 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rlo", action="store_true",
                    help="sort reads in reverse-lexicographic order first "
                         "(shrinks the run count; see paper.tex:278)")
-    p.add_argument("--backend", choices=("auto", "jax", "numpy"),
+    p.add_argument("--backend", choices=("auto", "jax", "sharded", "numpy"),
                    default="auto",
                    help="suffix sort backend: device lax.sort prefix "
-                        "doubling (jax, ~100x at 100 Mbp), host numpy, or "
-                        "auto by collection size (default)")
+                        "doubling (jax, ~100x at 100 Mbp), mesh-distributed "
+                        "sort (sharded, for > one chip's memory), host "
+                        "numpy, or auto by collection size (default)")
     p.add_argument("--list-formats", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--quiet", action="store_true")
     return p

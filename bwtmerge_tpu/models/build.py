@@ -81,13 +81,25 @@ def build_from_reads(sequences: Sequence[np.ndarray], rlo: bool = False,
     and the read order actually used (identity when rlo=False).
 
     backend: 'numpy' (host prefix doubling, models/oracle.py), 'jax' (device
-    lax.sort prefix doubling, ops/sa_jax.py — ~100x at 100 Mbp), or 'auto'
+    lax.sort prefix doubling, ops/sa_jax.py — ~100x at 100 Mbp), 'sharded'
+    (mesh-distributed suffix sort, parallel/sort_distributed.py — for
+    collections whose suffix array exceeds one chip's memory), or 'auto'
     (device when present and the collection exceeds ~1M positions).
     """
     from ..ops.sa_jax import pack_collection
 
     flat, lengths = pack_collection(sequences)
     n_positions = int(lengths.sum()) + lengths.size
+    if backend == "sharded":
+        from ..ops.sa_jax import _reorder_packed, rlo_order_device
+        from ..parallel.sort_distributed import build_bwt_sharded
+
+        if rlo:
+            order = rlo_order_device((flat, lengths))
+            flat, lengths = _reorder_packed(flat, lengths, order)
+        else:
+            order = np.arange(lengths.size, dtype=np.int64)
+        return build_bwt_sharded((flat, lengths)), order
     device = _use_device_build(backend, n_positions)
     if device:
         from ..ops.sa_jax import (_reorder_packed, build_bwt_device,

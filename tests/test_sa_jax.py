@@ -64,6 +64,17 @@ class TestBuildFromReadsBackends:
             assert np.array_equal(r_np.syms, r_dev.syms), rlo
             assert np.array_equal(r_np.lens, r_dev.lens), rlo
 
+    def test_sharded_backend_matches_numpy(self, rng):
+        from bwtmerge_tpu.models.build import build_from_reads
+
+        col = oracle.random_collection(rng, 30, 5, 50)
+        for rlo in (False, True):
+            r_np, o_np = build_from_reads(col, rlo=rlo, backend="numpy")
+            r_sh, o_sh = build_from_reads(col, rlo=rlo, backend="sharded")
+            assert np.array_equal(o_np, o_sh), rlo
+            assert np.array_equal(r_np.syms, r_sh.syms), rlo
+            assert np.array_equal(r_np.lens, r_sh.lens), rlo
+
     def test_packed_tuple_input(self, rng):
         from bwtmerge_tpu.ops.sa_jax import build_bwt_device
 
