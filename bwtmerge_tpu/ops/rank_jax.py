@@ -331,6 +331,21 @@ def batch_count(index: DeviceFMIndex, patterns_np, char2comp: np.ndarray,
     q = len(comps)
     out = np.empty(q, dtype=np.int64)
     q_pad = min(chunk, 1 << max(6, (q - 1).bit_length()))  # one program shape
+    search = backward_search
+    if q_pad >= 1 << 14:
+        # large batches: the streamed sort/probe/realign search (~4x fewer
+        # ns per rank row); small ones keep the gather path (a probe streams
+        # the whole record table per step)
+        try:
+            from .search_jax import default_streamed
+
+            if default_streamed():
+                from .rank_pallas import backward_search_streamed
+
+                def search(idx, pat, lens, ml):
+                    return backward_search_streamed(idx, pat, lens, ml)
+        except Exception:  # pragma: no cover - pallas unavailable
+            pass
     for start in range(0, q, q_pad):
         batch = comps[start:start + q_pad]
         pat = np.zeros((q_pad, max_len), dtype=np.int32)
@@ -338,8 +353,8 @@ def batch_count(index: DeviceFMIndex, patterns_np, char2comp: np.ndarray,
         for j, c in enumerate(batch):
             pat[j, : c.size] = c
             lens[j] = max(c.size, 1)
-        sp, ep = backward_search(index, jnp.asarray(pat), jnp.asarray(lens),
-                                 max_len)
+        sp, ep = search(index, jnp.asarray(pat), jnp.asarray(lens),
+                        max_len)
         n = len(batch)
         out[start:start + n] = np.maximum(
             0, np.asarray(ep[:n], dtype=np.int64)

@@ -93,3 +93,21 @@ class TestStreamedSearchDriver:
                                  np.asarray(c[:n], np.int64))
         assert np.array_equal(got[0], want[0])
         assert np.array_equal(got[1], want[1])
+
+
+class TestBackwardSearchStreamed:
+    def test_matches_gather_search(self, index, rng):
+        from bwtmerge_tpu.ops.rank_jax import backward_search
+        from bwtmerge_tpu.ops.rank_pallas import backward_search_streamed
+
+        idx, runs = index
+        q, max_len = 128, 12
+        pats = rng.integers(1, 6, size=(q, max_len)).astype(np.int32)
+        lens = rng.integers(1, max_len + 1, q).astype(np.int32)
+        sp_w, ep_w = backward_search(idx, jnp.asarray(pats),
+                                     jnp.asarray(lens), max_len)
+        sp_g, ep_g = backward_search_streamed(idx, jnp.asarray(pats),
+                                              jnp.asarray(lens), max_len,
+                                              interpret=True)
+        assert np.array_equal(np.asarray(sp_g), np.asarray(sp_w))
+        assert np.array_equal(np.asarray(ep_g), np.asarray(ep_w))
