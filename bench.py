@@ -373,6 +373,38 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - never fail the bench
         print(f"# build-rate extra skipped: {e}", file=sys.stderr)
 
+    # -- pattern-verification rate: the paper's standard acceptance workload
+    # (2M 32-mers, paper.tex:211) against the base index.  Guarded.
+    verify_s = verify_mp = None
+    try:
+        from bwtmerge_tpu.ops.rank_jax import backward_search
+        from bwtmerge_tpu.ops.search_jax import default_streamed as _ds
+
+        if _ds():
+            from bwtmerge_tpu.ops.rank_pallas import (
+                backward_search_streamed as _bs)
+            def _search(idx, p_, l_, ml):
+                return _bs(idx, p_, l_, ml)
+        else:
+            def _search(idx, p_, l_, ml):
+                return backward_search(idx, p_, l_, ml)
+        rng = np.random.default_rng(11)
+        qn, ql, ch = 2_000_000, 32, 1 << 19
+        pats = rng.integers(1, 5, size=(qn, ql)).astype(np.int32)
+        lens = np.full(ch, ql, np.int32)
+        for timed_pass in (False, True):
+            t0 = time.monotonic()
+            for s in range(0, qn, ch):
+                sp, ep = _search(a_idx, jnp.asarray(pats[s:s + ch]),
+                                 jnp.asarray(lens), ql)
+            np.asarray(ep[0])
+            if timed_pass:
+                verify_s = time.monotonic() - t0
+                verify_mp = qn / 1e6 / verify_s
+        del pats
+    except Exception as e:  # pragma: no cover - never fail the bench
+        print(f"# verify-rate extra skipped: {e}", file=sys.stderr)
+
     from bwtmerge_tpu.utils.metrics import memory_usage
 
     inserted_mbases = b.size() / 1e6
@@ -411,6 +443,8 @@ def main() -> None:
             "peak_rss_GB": round(memory_usage() / 1e9, 2),
             "build_rlo_s": round(build_s, 2) if build_s else None,
             "build_rlo_Mbases_s": round(build_mbp, 2) if build_mbp else None,
+            "verify_2M_32mers_s": round(verify_s, 2) if verify_s else None,
+            "verify_Mpatterns_s": round(verify_mp, 2) if verify_mp else None,
             "warmup_compile_s": round(warmup_s, 1),
             "setup_s": round(setup_s, 1),
         },
