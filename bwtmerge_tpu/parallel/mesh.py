@@ -143,9 +143,11 @@ class ShardedPackedRA:
     def stream(self, chunk_runs: int = 4 * 1024 * 1024):
         from ..models.spill import merge_ra_chunk_streams
         from ..ops.search_jax import stream_packed_ra
+        from ..utils.pipeline import prefetch_chunks
 
+        # one decode thread per device stream (see BlockedPackedRA.stream)
         return merge_ra_chunk_streams(
-            [stream_packed_ra(d, m, e4, esc=es)
+            [prefetch_chunks(stream_packed_ra(d, m, e4, esc=es), depth=2)
              for d, m, e4, es in self.shards],
             chunk_runs=chunk_runs)
 
