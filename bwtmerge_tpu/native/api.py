@@ -320,8 +320,10 @@ def interleave_stream_chunks(a_runs, b_runs, ra_chunks, n_buffers: int = 3,
     # offset starts are chunk-LOCAL prefix-sum arithmetic held inside the
     # C++ context — full-length prefix sums over A/B would cost more in
     # first-touch page faults than the interleave itself).  One core stays
-    # free for the producer thread feeding this generator.
-    n_threads = max(1, (os.cpu_count() or 2) - 1)
+    # free for the producer thread feeding this generator
+    # (BWTMERGE_IL_THREADS overrides).
+    n_threads = int(os.environ.get("BWTMERGE_IL_THREADS", 0)) or \
+        max(1, (os.cpu_count() or 2) - 1)
     ctx = lib.interleave_ctx_new(a_syms, a_lens, a_syms.size,
                                  b_syms, b_lens, b_syms.size, n_threads)
 
