@@ -91,11 +91,12 @@ def build_from_reads(sequences: Sequence[np.ndarray], rlo: bool = False,
     flat, lengths = pack_collection(sequences)
     n_positions = int(lengths.sum()) + lengths.size
     if backend == "sharded":
-        from ..ops.sa_jax import _reorder_packed, rlo_order_device
-        from ..parallel.sort_distributed import build_bwt_sharded
+        from ..ops.sa_jax import _reorder_packed
+        from ..parallel.sort_distributed import (build_bwt_sharded,
+                                                 rlo_order_sharded)
 
         if rlo:
-            order = rlo_order_device((flat, lengths))
+            order = rlo_order_sharded((flat, lengths))
             flat, lengths = _reorder_packed(flat, lengths, order)
         else:
             order = np.arange(lengths.size, dtype=np.int64)

@@ -262,23 +262,14 @@ def _rlo_sort(keys: jax.Array, n_keys: int):
     return out[-1]
 
 
-def rlo_order_device(sequences) -> np.ndarray:
-    """Device analog of models/build.rlo_order: permutation sorting reads
-    into reverse-lexicographic order.
-
-    Each reversed read is packed 10 chars per int32 key (3 bits/char,
-    zero-padded past the end — pad sorts below every character, so a read
-    that is a suffix of a longer read sorts first), then ONE stable
-    multi-key device sort orders the collection.  Identical to the numpy
-    lexsort path (pinned by tests).  `sequences` may be a list of arrays or
-    a packed (flat, lengths) tuple."""
-    flat, lengths = pack_collection(sequences)
+def rlo_pack_keys(flat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Fixed-width reverse-lexicographic sort keys for a packed read
+    collection: int32[n_keys, m], 10 chars per key (3 bits/char), reversed
+    reads zero-padded past the end — pad sorts below every character, so a
+    read that is a suffix of a longer read sorts first.  Lexicographic order
+    of the key columns == RLO order of the reads (models/build.rlo_order)."""
     m = lengths.size
-    if m == 0:
-        return np.zeros(0, dtype=np.int64)
     max_len = int(lengths.max()) if m else 0
-    if max_len == 0:
-        return np.arange(m, dtype=np.int64)
     # vectorized reversed-read matrix: rev[i, j] = read i's char at
     # position len_i - 1 - j (0 past the end)
     if (lengths == max_len).all():
@@ -302,4 +293,23 @@ def rlo_order_device(sequences) -> np.ndarray:
         # compare below longer content, matching per-column lexsort
         acc <<= _RLO_BITS * (_RLO_PER_KEY - block.shape[1])
         keys[j] = acc
-    return np.asarray(_rlo_sort(jnp.asarray(keys), n_keys)).astype(np.int64)
+    return keys
+
+
+def rlo_order_device(sequences) -> np.ndarray:
+    """Device analog of models/build.rlo_order: permutation sorting reads
+    into reverse-lexicographic order.
+
+    Packs the reversed reads into fixed-width keys (rlo_pack_keys), then ONE
+    stable multi-key device sort orders the collection.  Identical to the
+    numpy lexsort path (pinned by tests).  `sequences` may be a list of
+    arrays or a packed (flat, lengths) tuple."""
+    flat, lengths = pack_collection(sequences)
+    m = lengths.size
+    if m == 0:
+        return np.zeros(0, dtype=np.int64)
+    if int(lengths.max()) == 0:
+        return np.arange(m, dtype=np.int64)
+    keys = rlo_pack_keys(flat, lengths)
+    return np.asarray(_rlo_sort(jnp.asarray(keys), keys.shape[0])
+                      ).astype(np.int64)

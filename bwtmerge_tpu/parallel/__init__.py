@@ -5,6 +5,7 @@ sharding, sharded search and verification, jax.distributed bring-up
 from .distributed import initialize_multihost, multihost_rank_array, process_info
 from .sort_distributed import (
     build_bwt_sharded,
+    rlo_order_sharded,
     sharded_sort,
     suffix_array_sharded,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "multihost_rank_array",
     "process_info",
     "make_mesh",
+    "rlo_order_sharded",
     "sharded_sort",
     "suffix_array_sharded",
     "build_bwt_sharded",

@@ -243,6 +243,41 @@ def suffix_array_sharded(text: np.ndarray, mesh: Optional[Mesh] = None,
     return sa[n_pad - n:].astype(np.int64)
 
 
+def rlo_order_sharded(sequences, mesh: Optional[Mesh] = None,
+                      axis: str = SEQ_AXIS) -> np.ndarray:
+    """Mesh-sharded analog of ops/sa_jax.rlo_order_device: RLO read ordering
+    for collections whose key matrix exceeds one chip's sort memory.
+
+    The reversed reads pack into fixed-width int32 keys (rlo_pack_keys, 3
+    bits/char — sign bit spare, so INT32_MAX is a safe above-everything
+    sentinel); the key columns then globally sort over the mesh with the
+    odd-even merge network (`sharded_sort`), each device holding m/P reads.
+    Reads pad to a mesh multiple with sentinel keys that sort last and are
+    sliced off.  Identical to rlo_order_device / models/build.rlo_order
+    (pinned by tests/test_sort_distributed.py)."""
+    from ..ops.sa_jax import pack_collection, rlo_pack_keys
+
+    mesh = mesh or make_mesh()
+    p = int(mesh.devices.size)
+    flat, lengths = pack_collection(sequences)
+    m = lengths.size
+    if m == 0:
+        return np.zeros(0, dtype=np.int64)
+    if int(lengths.max()) == 0:
+        return np.arange(m, dtype=np.int64)
+    keys = rlo_pack_keys(flat, lengths)
+    m_pad = -(-m // p) * p
+    if m_pad > m:
+        keys = np.pad(keys, ((0, 0), (0, m_pad - m)),
+                      constant_values=np.int32(2**31 - 1))
+    idx = np.arange(m_pad, dtype=np.int32)
+    # idx participates as the FINAL key: sharded_sort is unstable, and RLO
+    # parity needs equal reads kept in original order (np.lexsort is stable)
+    out = sharded_sort(tuple(keys) + (idx,), num_keys=keys.shape[0] + 1,
+                       mesh=mesh, axis=axis)
+    return np.asarray(out[-1])[:m].astype(np.int64)
+
+
 def build_bwt_sharded(sequences, mesh: Optional[Mesh] = None,
                       axis: str = SEQ_AXIS):
     """Mesh-sharded analog of ops/sa_jax.build_bwt_device: BWT of a

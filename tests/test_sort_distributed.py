@@ -7,7 +7,8 @@ import pytest
 from bwtmerge_tpu.models import oracle
 from bwtmerge_tpu.parallel.mesh import make_mesh
 from bwtmerge_tpu.parallel.sort_distributed import (
-    _oddeven_rounds, build_bwt_sharded, sharded_sort, suffix_array_sharded)
+    _oddeven_rounds, build_bwt_sharded, rlo_order_sharded, sharded_sort,
+    suffix_array_sharded)
 
 
 class TestOddEvenNetwork:
@@ -85,5 +86,39 @@ class TestShardedBWTBuild:
         col = oracle.random_collection(rng, 25, 5, 40)
         got = build_bwt_sharded(col, mesh=mesh)
         want = build_bwt_device(col)
+        assert np.array_equal(got.syms, want.syms)
+        assert np.array_equal(got.lens, want.lens)
+
+
+class TestShardedRLO:
+    @pytest.mark.parametrize("m", [1, 7, 8, 40, 100])
+    def test_matches_host_order(self, rng, m):
+        from bwtmerge_tpu.models.build import rlo_order
+
+        mesh = make_mesh(8)
+        seqs = [rng.integers(1, 6, rng.integers(1, 35))
+                for _ in range(m)]
+        got = rlo_order_sharded(seqs, mesh=mesh)
+        want = rlo_order(seqs)
+        assert np.array_equal(got, want)
+
+    def test_duplicate_reads_stay_stable(self, rng):
+        # equal reads must keep original order (np.lexsort is stable);
+        # the sharded sort adds the index as a tie-breaking key
+        from bwtmerge_tpu.models.build import rlo_order
+
+        mesh = make_mesh(8)
+        base = [rng.integers(1, 6, 12) for _ in range(5)]
+        seqs = [base[i % 5] for i in range(50)]
+        got = rlo_order_sharded(seqs, mesh=mesh)
+        assert np.array_equal(got, rlo_order(seqs))
+
+    def test_sharded_rlo_build_matches_host(self, rng):
+        from bwtmerge_tpu.models.build import build_from_reads
+
+        col = oracle.random_collection(rng, 30, 8, 50)
+        got, got_order = build_from_reads(col, rlo=True, backend="sharded")
+        want, want_order = build_from_reads(col, rlo=True, backend="numpy")
+        assert np.array_equal(got_order, want_order)
         assert np.array_equal(got.syms, want.syms)
         assert np.array_equal(got.lens, want.lens)
