@@ -6,6 +6,7 @@ from .distributed import initialize_multihost, multihost_rank_array, process_inf
 from .sort_distributed import (
     build_bwt_sharded,
     rlo_order_sharded,
+    sharded_sample_sort,
     sharded_sort,
     suffix_array_sharded,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "process_info",
     "make_mesh",
     "rlo_order_sharded",
+    "sharded_sample_sort",
     "sharded_sort",
     "suffix_array_sharded",
     "build_bwt_sharded",

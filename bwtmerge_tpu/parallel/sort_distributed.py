@@ -80,8 +80,13 @@ def _merge_split_round(ops, num_keys, pairs, p, axis):
     keep = jnp.asarray(paired)[me]
     theirs = [jax.lax.ppermute(x, axis, perm) for x in ops]
     s = ops[0].shape[0]
+    # CANONICAL concat order (low block first on BOTH partners): the two
+    # devices must sort the identical sequence, or tied keys straddling the
+    # keep boundary land payloads in different halves and the kept halves
+    # no longer partition the union (elements lost/duplicated)
     merged = jax.lax.sort(
-        tuple(jnp.concatenate([mine, other])
+        tuple(jnp.concatenate([jnp.where(low, mine, other),
+                               jnp.where(low, other, mine)])
               for mine, other in zip(ops, theirs)),
         num_keys=num_keys, is_stable=False)
     # unpaired devices pass through untouched (a self-merge would keep a
@@ -117,6 +122,137 @@ def sharded_sort(operands: Sequence[jax.Array], num_keys: int,
                           axis=axis),
         mesh=mesh, in_specs=P(axis), out_specs=P(axis)))
     return fn(ops)
+
+
+# -- splitter-based sample sort ------------------------------------------------
+#
+# The pod-scale alternative to the odd-even network: O(1) bulk exchanges
+# (one all_to_all + a constant-window rebalance) instead of O(log^2 P)
+# merge-split rounds.  Regular oversampling bounds bucket skew w.h.p.; all
+# capacity assumptions are CHECKED on device and surfaced as one overflow
+# flag, and the public wrapper falls back to the always-correct odd-even
+# path when the flag trips — adversarial key distributions cost one retry,
+# never a wrong answer.
+
+
+def _lex_le(splitter_keys, elem_keys):
+    """splitter <= elem, lexicographic over key tuples (broadcasted)."""
+    res = None
+    for sk, ek in zip(reversed(splitter_keys), reversed(elem_keys)):
+        lt = sk < ek
+        eq = sk == ek
+        res = lt if res is None else lt | (eq & res)
+    return res
+
+
+def _sample_sort_body(ops, num_keys, p, axis, oversample, pair_cap, window):
+    """shard_map body: local sort -> splitter buckets -> one all_to_all ->
+    local sort -> constant-window rebalance.  Returns (ops, overflowed)."""
+    s = ops[0].shape[0]
+    me = jax.lax.axis_index(axis)
+    ops = jax.lax.sort(ops, num_keys=num_keys, is_stable=False)
+    keys = ops[:num_keys]
+
+    # regular samples -> replicated splitters at sample quantiles
+    r = min(oversample, s)
+    samp_idx = (jnp.arange(r, dtype=jnp.int32) * s) // r
+    gathered = [jax.lax.all_gather(k[samp_idx], axis).reshape(-1)
+                for k in keys]
+    samples = jax.lax.sort(tuple(gathered), num_keys=num_keys,
+                           is_stable=False)
+    spl_idx = (jnp.arange(p - 1, dtype=jnp.int32) + 1) * r
+    splitters = [sk[spl_idx] for sk in samples]
+
+    # bucket id = number of splitters <= element (nondecreasing over the
+    # locally sorted data, so each bucket is one contiguous slice)
+    le = _lex_le(tuple(sk[:, None] for sk in splitters),
+                 tuple(k[None, :] for k in keys))          # [P-1, s]
+    bucket = jnp.sum(le.astype(jnp.int32), axis=0)         # [s]
+    starts = jnp.searchsorted(bucket, jnp.arange(p, dtype=jnp.int32))
+    slot = jnp.arange(s, dtype=jnp.int32) - starts[bucket]
+    over_pair = jnp.any(slot >= pair_cap)
+
+    # scatter into per-destination send planes; all_to_all swaps rows
+    def to_planes(x):
+        plane = jnp.zeros((p, pair_cap), x.dtype)
+        plane = plane.at[bucket, slot].set(x, mode="drop")
+        return jax.lax.all_to_all(plane, axis, split_axis=0, concat_axis=0)
+
+    valid = to_planes(jnp.ones((s,), jnp.int32)).reshape(-1)
+    recv = [to_planes(x).reshape(-1) for x in ops]
+
+    # valid entries first, then key order (invalid flag is the primary key)
+    sorted_recv = jax.lax.sort((1 - valid,) + tuple(recv),
+                               num_keys=1 + num_keys, is_stable=False)
+    c_local = jnp.sum(valid)
+    recv = sorted_recv[1:]
+
+    # global offset of my bucket's first element
+    totals = jax.lax.all_gather(c_local, axis)             # [P]
+    off = jnp.sum(jnp.where(jnp.arange(p) < me, totals, 0))
+
+    # rebalance: my elements occupy global [off, off + c_local); ship each
+    # contiguous piece to its output shard via one ppermute per window step
+    out = tuple(jnp.zeros((s,), x.dtype) for x in ops)
+    covered = jnp.int32(0)
+    m = recv[0].shape[0]
+    j = jnp.arange(s, dtype=jnp.int32)
+    for d in range(-window, window + 1):
+        dest_start = (me + d) * s
+        lo = jnp.clip(dest_start - off, 0, c_local)
+        hi = jnp.clip(dest_start + s - off, 0, c_local)
+        in_dest = (me + d >= 0) & (me + d < p)
+        cnt = jnp.where(in_dest, hi - lo, 0)
+        covered += cnt
+        slot0 = off + lo - dest_start                      # first slot used
+        take = (j >= slot0) & (j < slot0 + cnt)
+        src = jnp.clip(j - slot0 + lo, 0, m - 1)
+        perm = [(q, q + d) for q in range(p) if 0 <= q + d < p]
+        mask = jax.lax.ppermute(take.astype(jnp.int32), axis, perm)
+        out = tuple(
+            jnp.where(mask > 0,
+                      jax.lax.ppermute(jnp.where(take, x[src], 0), axis,
+                                       perm),
+                      o)
+            for x, o in zip(recv, out))
+    overflow = jax.lax.pmax(
+        (over_pair | (covered < c_local)).astype(jnp.int32), axis)
+    return out + (overflow,)
+
+
+def sharded_sample_sort(operands: Sequence[jax.Array], num_keys: int,
+                        mesh: Optional[Mesh] = None, axis: str = SEQ_AXIS,
+                        oversample: int = 64, slack: float = 2.0,
+                        window: int = 4):
+    """sharded_sort via splitter-based sample sort: one bulk all_to_all plus
+    a constant-window rebalance — O(1) exchange rounds vs the odd-even
+    network's O(log^2 P), the right trade at pod scale where each round's
+    latency dominates.  Identical contract to `sharded_sort` (equal-sharded
+    in/out, ties arbitrary).  Capacity assumptions (per-pair bucket size
+    `slack`*s/P, rebalance drift `window` shards) are checked on device;
+    on overflow the call transparently falls back to `sharded_sort`.
+    """
+    mesh = mesh or make_mesh()
+    p = int(mesh.devices.size)
+    n = operands[0].shape[0]
+    if n % p:
+        raise ValueError(f"size {n} not divisible by mesh size {p}")
+    s = n // p
+    if p == 1 or s < 2 * p:
+        return sharded_sort(operands, num_keys, mesh=mesh, axis=axis)
+    pair_cap = max(1, int(-(-slack * s // p)))
+    sharded = NamedSharding(mesh, P(axis))
+    ops = tuple(jax.device_put(jnp.asarray(x), sharded) for x in operands)
+    fn = jax.jit(jax.shard_map(
+        functools.partial(_sample_sort_body, num_keys=num_keys, p=p,
+                          axis=axis, oversample=oversample,
+                          pair_cap=pair_cap, window=min(window, p - 1)),
+        mesh=mesh, in_specs=P(axis),
+        out_specs=tuple(P(axis) for _ in ops) + (P(),)))
+    *out, overflow = fn(ops)
+    if int(np.asarray(overflow)):
+        return sharded_sort(operands, num_keys, mesh=mesh, axis=axis)
+    return tuple(out)
 
 
 # -- sharded prefix doubling ---------------------------------------------------

@@ -7,8 +7,8 @@ import pytest
 from bwtmerge_tpu.models import oracle
 from bwtmerge_tpu.parallel.mesh import make_mesh
 from bwtmerge_tpu.parallel.sort_distributed import (
-    _oddeven_rounds, build_bwt_sharded, rlo_order_sharded, sharded_sort,
-    suffix_array_sharded)
+    _oddeven_rounds, build_bwt_sharded, rlo_order_sharded,
+    sharded_sample_sort, sharded_sort, suffix_array_sharded)
 
 
 class TestOddEvenNetwork:
@@ -52,6 +52,66 @@ class TestShardedSort:
         mesh = make_mesh(8)
         with pytest.raises(ValueError, match="not divisible"):
             sharded_sort((np.zeros(10, np.int32),), num_keys=1, mesh=mesh)
+
+    @pytest.mark.parametrize("tie_maker", [
+        lambda rng, n: np.zeros(n, np.int32),                  # all equal
+        lambda rng, n: (np.arange(n) % 2).astype(np.int32),    # two values
+        lambda rng, n: rng.integers(0, 5, n).astype(np.int32),  # few values
+    ])
+    def test_tied_keys_preserve_payloads(self, rng, tie_maker):
+        # tied keys straddling a merge-split keep boundary must not lose or
+        # duplicate payloads (canonical concat order in the comparator)
+        mesh = make_mesh(8)
+        n = 8 * 64
+        k = tie_maker(rng, n)
+        pay = np.arange(n, dtype=np.int32)
+        ks, ps = map(np.asarray,
+                     sharded_sort((k, pay), num_keys=1, mesh=mesh))
+        assert np.array_equal(ks, np.sort(k))
+        assert np.array_equal(np.sort(ps), pay)      # a permutation
+        assert np.array_equal(k[ps], ks)             # pairing intact
+
+
+class TestSampleSort:
+    def test_matches_lexsort(self, rng):
+        mesh = make_mesh(8)
+        n = 8 * 256
+        k1 = rng.integers(0, 4, n).astype(np.int32)
+        k2 = rng.integers(0, 10**6, n).astype(np.int32)
+        uid = np.arange(n, dtype=np.int32)
+        o1, o2, ou = map(np.asarray, sharded_sample_sort(
+            (k1, k2, uid), num_keys=3, mesh=mesh))
+        want = np.lexsort((uid, k2, k1))
+        assert np.array_equal(o1, k1[want])
+        assert np.array_equal(o2, k2[want])
+        assert np.array_equal(ou, uid[want])
+
+    @pytest.mark.parametrize("tie_maker", [
+        lambda rng, n: np.zeros(n, np.int32),                  # overflow
+        lambda rng, n: (np.arange(n) % 2).astype(np.int32),
+        lambda rng, n: (rng.integers(0, 2, n)
+                        * rng.integers(0, 100, n)).astype(np.int32),
+    ])
+    def test_skew_and_overflow_fallback(self, rng, tie_maker):
+        # degenerate distributions overflow the bucket capacities; the
+        # wrapper must fall back to the odd-even path, never drop data
+        mesh = make_mesh(8)
+        n = 8 * 128
+        k = tie_maker(rng, n)
+        pay = np.arange(n, dtype=np.int32)
+        ks, ps = map(np.asarray,
+                     sharded_sample_sort((k, pay), num_keys=1, mesh=mesh))
+        assert np.array_equal(ks, np.sort(k))
+        assert np.array_equal(np.sort(ps), pay)
+        assert np.array_equal(k[ps], ks)
+
+    def test_small_shards_delegate(self, rng):
+        # shards below the sampling regime route straight to sharded_sort
+        mesh = make_mesh(8)
+        n = 8 * 4
+        k = rng.integers(0, 100, n).astype(np.int32)
+        (ks,) = sharded_sample_sort((k,), num_keys=1, mesh=mesh)
+        assert np.array_equal(np.asarray(ks), np.sort(k))
 
 
 class TestShardedSuffixArray:
