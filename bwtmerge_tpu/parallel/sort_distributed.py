@@ -135,8 +135,8 @@ def sharded_sort(operands: Sequence[jax.Array], num_keys: int,
 # never a wrong answer.
 
 
-def _lex_le(splitter_keys, elem_keys):
-    """splitter <= elem, lexicographic over key tuples (broadcasted)."""
+def _lex_lt(splitter_keys, elem_keys):
+    """splitter < elem, lexicographic over key tuples (broadcasted)."""
     res = None
     for sk, ek in zip(reversed(splitter_keys), reversed(elem_keys)):
         lt = sk < ek
@@ -163,11 +163,12 @@ def _sample_sort_body(ops, num_keys, p, axis, oversample, pair_cap, window):
     spl_idx = (jnp.arange(p - 1, dtype=jnp.int32) + 1) * r
     splitters = [sk[spl_idx] for sk in samples]
 
-    # bucket id = number of splitters <= element (nondecreasing over the
-    # locally sorted data, so each bucket is one contiguous slice)
-    le = _lex_le(tuple(sk[:, None] for sk in splitters),
+    # bucket id = number of splitters strictly below the element (monotone
+    # nondecreasing over the locally sorted data, so each bucket is one
+    # contiguous slice; ties with a splitter fall to the lower bucket)
+    lt = _lex_lt(tuple(sk[:, None] for sk in splitters),
                  tuple(k[None, :] for k in keys))          # [P-1, s]
-    bucket = jnp.sum(le.astype(jnp.int32), axis=0)         # [s]
+    bucket = jnp.sum(lt.astype(jnp.int32), axis=0)         # [s]
     starts = jnp.searchsorted(bucket, jnp.arange(p, dtype=jnp.int32))
     slot = jnp.arange(s, dtype=jnp.int32) - starts[bucket]
     over_pair = jnp.any(slot >= pair_cap)
