@@ -73,9 +73,10 @@ class TestShardedSort:
 
 
 class TestSampleSort:
-    def test_matches_lexsort(self, rng):
-        mesh = make_mesh(8)
-        n = 8 * 256
+    @pytest.mark.parametrize("p", [2, 4, 8])
+    def test_matches_lexsort(self, rng, p):
+        mesh = make_mesh(p)
+        n = p * 256
         k1 = rng.integers(0, 4, n).astype(np.int32)
         k2 = rng.integers(0, 10**6, n).astype(np.int32)
         uid = np.arange(n, dtype=np.int32)
