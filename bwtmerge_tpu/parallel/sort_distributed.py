@@ -319,14 +319,23 @@ def _pad_to(arr: np.ndarray, n_pad: int, descending_below: int) -> np.ndarray:
 
 
 def suffix_array_sharded(text: np.ndarray, mesh: Optional[Mesh] = None,
-                         axis: str = SEQ_AXIS) -> np.ndarray:
+                         axis: str = SEQ_AXIS,
+                         sort_method: str = "oddeven") -> np.ndarray:
     """Suffix array by prefix doubling with every step sharded over the mesh.
 
     Matches models/oracle.suffix_array (pinned by tests).  Padding uses
     distinct descending values below min(text) (end-of-string convention,
     ops/sa_jax._end_padding), so pad suffixes occupy the first rows and the
     real suffix array is the tail.
+
+    sort_method: "oddeven" (default — O(log^2 P) merge-split rounds, always
+    correct) or "sample" (splitter-based sample sort per doubling round —
+    O(1) bulk exchanges, the pod-scale trade; every round's capacity flag
+    is checked on the host and an overflowed round re-runs via the odd-even
+    path, so the result is identical either way).
     """
+    if sort_method not in ("oddeven", "sample"):
+        raise ValueError(f"unknown sort_method {sort_method!r}")
     mesh = mesh or make_mesh()
     p = int(mesh.devices.size)
     text = np.asarray(text)
@@ -341,35 +350,52 @@ def suffix_array_sharded(text: np.ndarray, mesh: Optional[Mesh] = None,
     sharded = NamedSharding(mesh, P(axis))
 
     idx = np.arange(n_pad, dtype=np.int32)
+    pair_cap = max(1, -(-2 * s // p))
 
-    @jax.jit
-    def round0(t, i):
+    def sort_in_body(ops, nk, sample):
+        """One global sort inside a shard_map body -> (ops, overflow)."""
+        if not sample:
+            return _sharded_sort_body(ops, nk, p, axis), jnp.int32(0)
+        *out, flag = _sample_sort_body(ops, nk, p, axis, oversample=64,
+                                       pair_cap=pair_cap,
+                                       window=min(4, p - 1))
+        return tuple(out), flag
+
+    @functools.partial(jax.jit, static_argnames=("sample",))
+    def round0(t, i, sample):
         def body(t, i):
-            t_s, i_s = _sharded_sort_body((t, i), 2, p, axis)
+            (t_s, i_s), f1 = sort_in_body((t, i), 2, sample)
             rank_sorted = _global_seg_ranks(t_s, t_s, p, axis)
             # invert: route rank to position order (i_s is unique)
-            _, rank_by_pos = _sharded_sort_body((i_s, rank_sorted), 1, p, axis)
-            return rank_by_pos, i_s
+            (_, rank_by_pos), f2 = sort_in_body((i_s, rank_sorted), 1, sample)
+            return rank_by_pos, i_s, jnp.maximum(f1, f2)
         return jax.shard_map(body, mesh=mesh, in_specs=P(axis),
-                             out_specs=P(axis))(t, i)
+                             out_specs=(P(axis), P(axis), P()))(t, i)
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def round_k(rank, i, k):
+    @functools.partial(jax.jit, static_argnames=("k", "sample"))
+    def round_k(rank, i, k, sample):
         def body(rank, i):
             second = _shift_left_body(rank, k, s, p, axis)
-            r_s, s_s, i_s = _sharded_sort_body((rank, second, i), 3, p, axis)
+            (r_s, s_s, i_s), f1 = sort_in_body((rank, second, i), 3, sample)
             rank_sorted = _global_seg_ranks(r_s, s_s, p, axis)
-            _, rank_by_pos = _sharded_sort_body((i_s, rank_sorted), 1, p, axis)
-            return rank_by_pos, i_s, rank_sorted[-1:]
-        return jax.shard_map(body, mesh=mesh, in_specs=P(axis),
-                             out_specs=P(axis))(rank, i)
+            (_, rank_by_pos), f2 = sort_in_body((i_s, rank_sorted), 1, sample)
+            return rank_by_pos, i_s, rank_sorted[-1:], jnp.maximum(f1, f2)
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=P(axis),
+            out_specs=(P(axis), P(axis), P(axis), P()))(rank, i)
 
+    use_sample = sort_method == "sample" and p > 1 and s >= 2 * p
     t_dev = jax.device_put(jnp.asarray(text_pad), sharded)
     i_dev = jax.device_put(jnp.asarray(idx), sharded)
-    rank, order = round0(t_dev, i_dev)
+    rank, order, flag = round0(t_dev, i_dev, use_sample)
+    if use_sample and int(np.asarray(flag)):
+        rank, order, _ = round0(t_dev, i_dev, False)
     k = 1
     while True:
-        rank, order, last = round_k(rank, i_dev, k)
+        rank2, order2, last, flag = round_k(rank, i_dev, k, use_sample)
+        if use_sample and int(np.asarray(flag)):
+            rank2, order2, last, _ = round_k(rank, i_dev, k, False)
+        rank, order = rank2, order2
         # the last shard's final sorted rank is the global max rank
         if int(np.asarray(last)[-1]) == n_pad - 1:
             break
@@ -416,10 +442,11 @@ def rlo_order_sharded(sequences, mesh: Optional[Mesh] = None,
 
 
 def build_bwt_sharded(sequences, mesh: Optional[Mesh] = None,
-                      axis: str = SEQ_AXIS):
+                      axis: str = SEQ_AXIS, sort_method: str = "oddeven"):
     """Mesh-sharded analog of ops/sa_jax.build_bwt_device: BWT of a
     collection whose suffix sort exceeds one chip's memory.  Output is
-    identical to oracle.build_bwt (pinned by tests)."""
+    identical to oracle.build_bwt (pinned by tests).  sort_method as in
+    suffix_array_sharded."""
     from ..models.runs import RunArrays
     from ..ops.sa_jax import pack_collection
 
@@ -438,7 +465,8 @@ def build_bwt_sharded(sequences, mesh: Optional[Mesh] = None,
     text[ends] = np.arange(m, dtype=np.int32)
     text[mask] = flat + np.int32(m)
 
-    sa = suffix_array_sharded(text, mesh=mesh, axis=axis)
+    sa = suffix_array_sharded(text, mesh=mesh, axis=axis,
+                              sort_method=sort_method)
     prev = np.concatenate([[0], text[:-1]])[sa]
     bwt = np.where(prev < m, 0, prev - m).astype(np.uint8)
     return RunArrays.from_values(bwt)

@@ -130,6 +130,27 @@ class TestShardedSuffixArray:
         assert np.array_equal(suffix_array_sharded(text, mesh=mesh),
                               oracle.suffix_array(text))
 
+    @pytest.mark.parametrize("n", [200, 1000])
+    def test_sample_sort_rounds_match_oracle(self, rng, n):
+        # sample-sort doubling rounds (with per-round odd-even fallback on
+        # capacity overflow) must produce the identical suffix array
+        mesh = make_mesh(8)
+        text = rng.integers(0, 6, n).astype(np.int64)
+        got = suffix_array_sharded(text, mesh=mesh, sort_method="sample")
+        assert np.array_equal(got, oracle.suffix_array(text))
+
+    def test_sample_sort_repetitive(self, rng):
+        # heavy rank ties force fallback rounds; output must be unchanged
+        mesh = make_mesh(8)
+        text = np.repeat(rng.integers(0, 2, 20), 30).astype(np.int64)
+        got = suffix_array_sharded(text, mesh=mesh, sort_method="sample")
+        assert np.array_equal(got, oracle.suffix_array(text))
+
+    def test_rejects_unknown_method(self, rng):
+        with pytest.raises(ValueError, match="sort_method"):
+            suffix_array_sharded(np.zeros(64, np.int64),
+                                 mesh=make_mesh(8), sort_method="quantum")
+
 
 class TestShardedBWTBuild:
     def test_matches_oracle(self, rng):
