@@ -407,17 +407,20 @@ def suffix_array_sharded(text: np.ndarray, mesh: Optional[Mesh] = None,
 
 
 def rlo_order_sharded(sequences, mesh: Optional[Mesh] = None,
-                      axis: str = SEQ_AXIS) -> np.ndarray:
+                      axis: str = SEQ_AXIS,
+                      sort_method: str = "oddeven") -> np.ndarray:
     """Mesh-sharded analog of ops/sa_jax.rlo_order_device: RLO read ordering
     for collections whose key matrix exceeds one chip's sort memory.
 
     The reversed reads pack into fixed-width int32 keys (rlo_pack_keys, 3
     bits/char — sign bit spare, so INT32_MAX is a safe above-everything
     sentinel); the key columns then globally sort over the mesh with the
-    odd-even merge network (`sharded_sort`), each device holding m/P reads.
-    Reads pad to a mesh multiple with sentinel keys that sort last and are
-    sliced off.  Identical to rlo_order_device / models/build.rlo_order
-    (pinned by tests/test_sort_distributed.py)."""
+    odd-even merge network (`sharded_sort`), each device holding m/P reads
+    — or, with sort_method="sample", through `sharded_sample_sort` (one
+    bulk exchange; the pod-scale trade).  Reads pad to a mesh multiple with
+    sentinel keys that sort last and are sliced off.  Identical to
+    rlo_order_device / models/build.rlo_order (pinned by
+    tests/test_sort_distributed.py)."""
     from ..ops.sa_jax import pack_collection, rlo_pack_keys
 
     mesh = mesh or make_mesh()
@@ -434,10 +437,11 @@ def rlo_order_sharded(sequences, mesh: Optional[Mesh] = None,
         keys = np.pad(keys, ((0, 0), (0, m_pad - m)),
                       constant_values=np.int32(2**31 - 1))
     idx = np.arange(m_pad, dtype=np.int32)
-    # idx participates as the FINAL key: sharded_sort is unstable, and RLO
-    # parity needs equal reads kept in original order (np.lexsort is stable)
-    out = sharded_sort(tuple(keys) + (idx,), num_keys=keys.shape[0] + 1,
-                       mesh=mesh, axis=axis)
+    # idx participates as the FINAL key: the sharded sorts are unstable, and
+    # RLO parity needs equal reads kept in original order (lexsort is stable)
+    sort = (sharded_sample_sort if sort_method == "sample" else sharded_sort)
+    out = sort(tuple(keys) + (idx,), num_keys=keys.shape[0] + 1,
+               mesh=mesh, axis=axis)
     return np.asarray(out[-1])[:m].astype(np.int64)
 
 

@@ -184,6 +184,14 @@ class TestShardedRLO:
         want = rlo_order(seqs)
         assert np.array_equal(got, want)
 
+    def test_sample_method_matches(self, rng):
+        from bwtmerge_tpu.models.build import rlo_order
+
+        mesh = make_mesh(8)
+        seqs = [rng.integers(1, 6, rng.integers(1, 35)) for _ in range(64)]
+        got = rlo_order_sharded(seqs, mesh=mesh, sort_method="sample")
+        assert np.array_equal(got, rlo_order(seqs))
+
     def test_duplicate_reads_stay_stable(self, rng):
         # equal reads must keep original order (np.lexsort is stable);
         # the sharded sort adds the index as a tie-breaking key
