@@ -307,7 +307,9 @@ def main() -> None:
             t0 = time.monotonic()
             bp = blocked_search_and_pack(
                 a_idx, b_idx, a.sequences(), b.sequences(), n_blk,
-                frontier_cap=fcap2, emit_cap=ecap2, streamed=streamed)
+                frontier_cap=fcap2, emit_cap=ecap2, streamed=streamed,
+                block_emit_bound=(b.size() // b.sequences() + 1) * blk2
+                + blk2 + 16)
             m2, r2, bb2 = run_merge(bp.stream())
             dt = time.monotonic() - t0
             print(f"# blocked e2e pass {attempt + 1}: {dt:.2f}s "

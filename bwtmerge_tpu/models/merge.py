@@ -323,7 +323,8 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
                     packed = blocked_search_and_pack(
                         a_idx, b_idx, a.sequences(), b.sequences(), n_blk,
                         frontier_cap=fcap_b, emit_cap=ecap_b,
-                        streamed=default_streamed())
+                        streamed=default_streamed(),
+                        block_emit_bound=blk_bases + blk_seqs + 16)
                     primed = _prime_stream(packed)
                     if primed is not None:
                         return primed

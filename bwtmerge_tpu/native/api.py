@@ -181,39 +181,57 @@ def _configure_ra_decode(lib) -> None:
     lib.ra_decode_nib_chunk.restype = ctypes.c_int64
     lib.ra_decode_nib_chunk.argtypes = [
         _u8p, ctypes.c_int64,
+        _u8p, _u8p, ctypes.c_int64,
         _i64p, _i64p, _i64p, ctypes.c_int64,
         _i64p, ctypes.c_int32, _i64p, _i64p,
     ]
     lib.ra_decode_q4_chunk.restype = ctypes.c_int64
     lib.ra_decode_q4_chunk.argtypes = [
         _u8p, ctypes.c_int64, _i64p, _i64p,
-        _u8p, ctypes.c_int64,
+        _u8p, _u8p, ctypes.c_int64,
         _i64p, _i64p, _i64p, ctypes.c_int64,
         _i64p, ctypes.c_int32, _i64p, _i64p,
     ]
     lib._bwtmerge_radecode_configured = True
 
 
-def ra_decode_nib_chunk(nib: np.ndarray, exc_idx, exc_delta, exc_count,
+def _esc_rows(esc) -> Tuple[np.ndarray, np.ndarray, int]:
+    """(delta row, count row, n) views of a [2, k] uint8 escape stream."""
+    esc = _as_u8(esc)
+    if esc.ndim != 2 or esc.shape[0] != 2:
+        raise ValueError("escape stream must be uint8[2, k]")
+    return np.ascontiguousarray(esc[0]), np.ascontiguousarray(esc[1]), esc.shape[1]
+
+
+def ra_decode_nib_chunk(nib: np.ndarray, esc: np.ndarray,
+                        exc_idx, exc_delta, exc_count,
                         state: np.ndarray, finish: bool):
     """One fused pass from a window of the device's packed nibble plane to
     dedup-summed sorted (values, counts) runs.
 
-    nib: uint8[m] plane bytes; exc_*: window-relative ascending exception
-    rows; state: int64[4] = {carry, pend_v, pend_c, have_pend}, updated in
-    place (the trailing run is withheld until `finish` so cross-chunk
-    duplicates merge).  Replaces the numpy nibble-split/cumsum/reduceat
-    chain in stream_packed_ra — one GIL-released sweep instead of five
-    materialized intermediates.
+    nib: uint8[m] plane bytes (marker byte 15 = escape lane); esc: the
+    block's FULL uint8[2, k] escape stream of (delta, count) byte pairs
+    (the running cursor lives in state[4]); exc_*: window-relative
+    ascending >254-outlier rows; state: int64[5] = {carry, pend_v, pend_c,
+    have_pend, esc_off}, updated in place (the trailing run is withheld
+    until `finish` so cross-chunk duplicates merge).  Replaces the numpy
+    nibble-split/cumsum/reduceat chain in stream_packed_ra — one
+    GIL-released sweep instead of five materialized intermediates.  Raises
+    ValueError when the escape stream would overrun (corrupt packed RA).
     """
     lib = _lib()
     _configure_ra_decode(lib)
     nib = _as_u8(nib)
+    ed8, ec8, n_esc = _esc_rows(esc)
     ei, ed, ec = _as_i64(exc_idx), _as_i64(exc_delta), _as_i64(exc_count)
     out_v = np.empty(nib.size + 1, dtype=np.int64)
     out_c = np.empty(nib.size + 1, dtype=np.int64)
-    n = lib.ra_decode_nib_chunk(nib, nib.size, ei, ed, ec, ei.size,
+    n = lib.ra_decode_nib_chunk(nib, nib.size, ed8, ec8, n_esc,
+                                ei, ed, ec, ei.size,
                                 state, 1 if finish else 0, out_v, out_c)
+    if n < 0:
+        raise ValueError("nibble escape stream exhausted (corrupt "
+                         "packed RA)")
     return out_v[:n], out_c[:n]
 
 
@@ -222,27 +240,27 @@ def ra_decode_q4_chunk(q4: np.ndarray, m: int, esc: np.ndarray,
                        state: np.ndarray, finish: bool,
                        tab_d: np.ndarray, tab_c: np.ndarray):
     """One fused pass from a window of the device's pair-code plane (two
-    4-bit codes per byte, Q4_PAIRS tables, code 15 -> one escape byte from
-    the lane-ordered side stream `esc`) to dedup-summed sorted (values,
-    counts) runs.
+    4-bit codes per byte, Q4_PAIRS tables, code 15 -> one (delta, count)
+    byte pair from the lane-ordered side stream `esc`) to dedup-summed
+    sorted (values, counts) runs.
 
     q4: uint8[>= ceil(m/2)] window bytes (window starts are even); m: lanes
-    in the window; esc: the block's FULL escape stream (the running cursor
-    lives in state[4]); exc_*: window-relative ascending exception rows;
-    state: int64[5] = {carry, pend_v, pend_c, have_pend, esc_off}, updated
-    in place.  tab_d/tab_c: the 16-entry (delta, count) code tables
-    (search_jax.Q4_TABLE_D/C).  Raises ValueError when the escape stream
-    would overrun (corrupt packed RA).
+    in the window; esc: the block's FULL uint8[2, k] escape stream (the
+    running cursor lives in state[4]); exc_*: window-relative ascending
+    >254-outlier rows; state: int64[5] = {carry, pend_v, pend_c,
+    have_pend, esc_off}, updated in place.  tab_d/tab_c: the 16-entry
+    (delta, count) code tables (search_jax.Q4_TABLE_D/C).  Raises
+    ValueError when the escape stream would overrun (corrupt packed RA).
     """
     lib = _lib()
     _configure_ra_decode(lib)
     q4 = _as_u8(q4)
-    esc = _as_u8(esc)
+    ed8, ec8, n_esc = _esc_rows(esc)
     ei, ed, ec = _as_i64(exc_idx), _as_i64(exc_delta), _as_i64(exc_count)
     td, tc = _as_i64(tab_d), _as_i64(tab_c)
     out_v = np.empty(m + 1, dtype=np.int64)
     out_c = np.empty(m + 1, dtype=np.int64)
-    n = lib.ra_decode_q4_chunk(q4, m, td, tc, esc, esc.size,
+    n = lib.ra_decode_q4_chunk(q4, m, td, tc, ed8, ec8, n_esc,
                                ei, ed, ec, ei.size,
                                state, 1 if finish else 0, out_v, out_c)
     if n < 0:

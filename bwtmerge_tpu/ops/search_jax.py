@@ -563,13 +563,14 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array,
       (delta/count > 254) in the `exc` table — 2 B/run, low exception rate
       on any workload;
     * nibble plane (row 2 of dc): delta (<= 14) in the low nibble, count
-      (<= 15) in the high nibble — 1 B/run; lanes that do not fit carry the
-      marker low-nibble 15 and spill their true (delta, count) to the
-      larger `exc4` table (compacted via cumsum + searchsorted — sorted by
-      lane, no host argsort needed).
+      (<= 15) in the high nibble — 1 B/run; escape lanes (any lane missing
+      the Q4_PAIRS table, which includes every lane that does not fit a
+      nibble) carry the marker byte 15 and spill their true (delta, count)
+      to the 2-byte `esc` side stream shared with the pair-code plane.
 
-    The consumer picks at runtime: the nibble plane when its exception
-    count fits EXC4_CAP (halves the transfer), the byte planes otherwise.
+    The consumer picks at runtime: pair-code plane when the halved plane
+    pays for the extra reads, nibble plane otherwise, byte planes as the
+    fallback.
 
     compact=True additionally sums duplicate a-positions on device
     (compact_ra_device) — two extra full-width sorts.  compact=False ships
@@ -579,12 +580,20 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array,
     pipelined merge, so the streaming path wants compact=False.
 
     * pair-code plane (row 3 of dc, first E/2 bytes): 4-bit codes over the
-      static Q4_PAIRS table — 0.5 B/run; misses (code 15) append their
-      nibble byte to the lane-ordered `esc` side stream.
+      static Q4_PAIRS table — 0.5 B/run; misses (code 15) read their
+      (delta u8, count u8) pair from the lane-ordered `esc` side stream.
+
+    * esc side stream (u8[2, E]): one saturating (delta, count) byte pair
+      per escape lane, lane-ordered; the pair (255, 255) marks a run that
+      fits neither byte (delta or count > 254) and is overridden by its
+      `exc4` row.  Replaced the old 1-byte nibble escape + full-width exc4
+      table: the i32 exception table cost 12 B per merely-nibble-wide run
+      (measured 12 MB/sequence-block of D2H on 50 bp read merges); now a
+      wide run costs 2 B and exc4 holds only >254 outliers (typically 0).
 
     Returns (dc u8[4, E], exc i32[3, EXC_CAP], exc4 i32[3, EXC4_CAP],
-    esc u8[E], n_packed, n_exc, n_exc4, n_esc2) — unpack with unpack_ra /
-    unpack_ra4 / the native q4 decode on the host; n_exc > EXC_CAP means
+    esc u8[2, E], n_packed, n_exc, n_exc4, n_esc2) — unpack with unpack_ra
+    / unpack_ra4 / the native decoders on the host; n_exc > EXC_CAP means
     even the byte planes overflowed and the caller must fall back to the
     unpacked transfer.
     """
@@ -619,40 +628,50 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array,
     exc_delta = jnp.where(valid, delta[safe], 0)
     exc_count = jnp.where(valid, cnt[safe], 0)
 
-    # nibble plane: delta | count << 4 when both fit; marker low-nibble 15
-    # otherwise (a fitting delta is <= 14, so 15 is unambiguous)
-    fits4 = live & (delta <= 14) & (cnt <= 15)
-    nib = jnp.where(live,
-                    jnp.where(fits4, delta | (cnt << 4), 15),
-                    0).astype(jnp.uint8)
-
-    # 4-bit pair-code plane (row 3 of dc, two codes per byte): table hits
-    # cost half a byte; misses escape (code 15) to their nibble entry in a
-    # lane-ordered side stream (esc) — which may itself be the marker 15,
-    # resolved by the shared exc4 table.  Dead lanes encode as code 0 so
-    # they never consume an escape slot.
+    # escape set: every live lane missing the 4-bit pair-code table.  The
+    # same set (and the same 2-byte side stream) serves both the pair-code
+    # plane (code 15) and the nibble plane (marker byte 15) — table misses
+    # that would still fit a nibble pay 2 stream bytes instead of 1 inline
+    # byte (~2% of runs on measured read merges), and in exchange the i32
+    # exception table shrinks to >254 outliers only.
     code = jnp.full_like(delta, Q4_ESCAPE)
     for kq, (dd, cc) in enumerate(Q4_PAIRS):
         code = jnp.where((delta == dd) & (cnt == cc), kq, code)
     code = jnp.where(live, code, 0).astype(jnp.uint8)
     esc_lane = live & (code == Q4_ESCAPE)
     n_esc2 = jnp.sum(esc_lane.astype(jnp.int32))
+
+    # nibble plane: delta | count << 4 for table hits (hits have delta <= 13
+    # and count <= 2, so they always fit and the low nibble is never 15);
+    # the unambiguous marker byte 15 for escape lanes
+    nib = jnp.where(live,
+                    jnp.where(esc_lane, 15, delta | (cnt << 4)),
+                    0).astype(jnp.uint8)
+
+    # 2-byte escape stream: saturating (delta, count) byte pairs for the
+    # escape lanes in lane order; (255, 255) marks a >254 outlier resolved
+    # by its exc4 row.  One non-stable 3-operand sort compacts the lanes.
+    fits8 = (delta <= 254) & (cnt <= 254)
+    d8e = jnp.where(fits8, delta, 255).astype(jnp.uint8)
+    c8e = jnp.where(fits8, cnt, 255).astype(jnp.uint8)
     ekey = jnp.where(esc_lane, lane, jnp.int32(2**31 - 1))
-    _, esc_nib = jax.lax.sort((ekey, nib), num_keys=1, is_stable=False)
+    _, esc_d, esc_c = jax.lax.sort((ekey, d8e, c8e), num_keys=1,
+                                   is_stable=False)
+    esc2 = jnp.stack([esc_d, esc_c])  # [2, E]
+
     e2 = e + (e & 1)  # pair the codes; odd emit caps pad one dead lane
     cpair = jnp.pad(code, (0, e2 - e)).reshape(e2 // 2, 2)
     q4 = (cpair[:, 0] | (cpair[:, 1] << 4)).astype(jnp.uint8)
     q4row = jnp.pad(q4, (0, e - q4.shape[0]))  # dc rows are E wide
-    wide4 = live & ~fits4
-    n_exc4 = jnp.sum(wide4.astype(jnp.int32))
+    # exc4 now holds ONLY the >254 outliers (statistically ~0 on genomic
+    # rank arrays; structural outliers like giant endmarker gaps are few)
+    wide8 = live & ~fits8
+    n_exc4 = jnp.sum(wide8.astype(jnp.int32))
     k4 = min(EXC4_CAP, max(e, 1))
-    # exception lanes by one non-stable 3-operand sort (wide4 lanes carry
-    # their lane index, the rest a sentinel): O(E) flat cost — measured
-    # 0.27 s at 67M lanes vs 0.70 s for EXC4_CAP searchsorted queries,
-    # and still SORTED by lane (the host skips its argsort).  The nibble
-    # exception count is ~1% of runs and scales with the data, so the
-    # per-query cost mattered.
-    key4 = jnp.where(wide4, lane, jnp.int32(2**31 - 1))
+    # exception lanes by one non-stable 3-operand sort (wide lanes carry
+    # their lane index, the rest a sentinel): O(E) flat cost, and still
+    # SORTED by lane (the host skips its argsort)
+    key4 = jnp.where(wide8, lane, jnp.int32(2**31 - 1))
     ki, kd, kc = jax.lax.sort((key4, delta, cnt), num_keys=1,
                               is_stable=False)
     valid4 = jnp.arange(k4, dtype=jnp.int32) < n_exc4
@@ -672,7 +691,7 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array,
                      fit(exc_count, EXC_CAP)])
     exc4 = jnp.stack([fit(exc4_idx, EXC4_CAP), fit(exc4_delta, EXC4_CAP),
                       fit(exc4_count, EXC4_CAP)])
-    return dc, exc, exc4, esc_nib, n_u, n_exc, n_exc4, n_esc2
+    return dc, exc, exc4, esc2, n_u, n_exc, n_exc4, n_esc2
 
 
 @functools.partial(jax.jit,
@@ -685,18 +704,16 @@ def search_and_pack(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     (meta+exc, then the chosen plane sliced to n) instead of five round trips.
 
     Returns (dc uint8[4, emit_cap], meta_exc int32[4, EXC_CAP],
-    exc4 int32[3, EXC4_CAP], esc uint8[emit_cap]): rows 0-2 of meta_exc are
-    the byte-plane exception table, row 3 is (n_packed, n_exceptions,
-    overflowed, n_exc4, n_esc2).  exc4 (the nibble/pair-code planes'
-    exception table) and esc (the pair-code escape stream) STAY ON DEVICE
-    and are fetched lazily, sliced to bucketed lengths (at the 1M default
-    cap exc4 would otherwise add 12 MB to every meta transfer).  The host
-    picks the cheapest valid plane per block: pair-code (dc row 3,
-    0.5 B/run + 1 B/escape), nibble (dc row 2, 1 B/run), byte planes
-    (dc rows 0-1, 2 B/run).  The packed runs are SORTED by a-position but
-    may repeat values (compact=False — duplicate summing costs two extra
-    full-width device sorts and is done by the host chunk consumers
-    instead).
+    exc4 int32[3, EXC4_CAP], esc uint8[2, emit_cap]): rows 0-2 of meta_exc
+    are the byte-plane exception table, row 3 is (n_packed, n_exceptions,
+    overflowed, n_exc4, n_esc2).  exc4 (the >254-outlier table) and esc
+    (the planes' shared 2-byte escape stream) STAY ON DEVICE and are
+    fetched sliced to bucketed lengths.  The host picks the cheapest valid
+    plane per block: pair-code (dc row 3, 0.5 B/run + 2 B/escape), nibble
+    (dc row 2, 1 B/run + 2 B/escape), byte planes (dc rows 0-1, 2 B/run).
+    The packed runs are SORTED by a-position but may repeat values
+    (compact=False — duplicate summing costs two extra full-width device
+    sorts and is done by the host chunk consumers instead).
     """
     v, c, n, ovf = wavefront_search_device2(
         a_idx, b_idx, b_sp0, b_ep0, a_sequences,
@@ -726,29 +743,49 @@ def _cut_exc4(x, length):
     return jax.lax.slice(x, (0, 0), (3, length))
 
 
-def fetch_exc4(exc4_dev, n_exc4: int) -> np.ndarray:
+def _exc4_bucket(n_exc4: int, cap: int) -> int:
+    """Power-of-two prefix length covering the first n_exc4 exception rows
+    (bounded by the table width) — shared by fetch/dispatch/prefetch so a
+    pre-dispatched prefix is found by exact length."""
+    k = 1 << 10
+    while k < n_exc4 and k < cap:
+        k *= 2
+    return min(k, cap)
+
+
+def dispatch_exc4(exc4_dev, n_exc4: int, presliced=None):
+    """Dispatch (or find pre-dispatched) the bucketed exc4 prefix and START
+    its D2H copy; returns the device array to np.asarray later.  Splitting
+    dispatch from wait lets callers overlap this transfer with the plane
+    windows' (each synchronous fetch otherwise pays a full link RTT)."""
+    if n_exc4 == 0:
+        return None
+    cap = exc4_dev.shape[1]
+    s = _pick_presliced(presliced, n_exc4, cap)
+    if s is None:
+        k = _exc4_bucket(n_exc4, cap)
+        s = exc4_dev if k >= cap else _cut_exc4(exc4_dev, k)
+    s.copy_to_host_async()
+    return s
+
+
+def fetch_exc4(exc4_dev, n_exc4: int, presliced=None) -> np.ndarray:
     """Bucketed device fetch of the first n_exc4 nibble exceptions.
 
     Power-of-two slice lengths keep the remote-compile program cache small;
     the waste is bounded at 2x of a table that is ~1% the plane size."""
     if n_exc4 == 0:
         return np.zeros((3, 0), np.int32)
-    cap = exc4_dev.shape[1]
-    k = 1 << 10
-    while k < n_exc4:
-        k *= 2
-    if k >= cap:
-        return np.asarray(exc4_dev)
-    return np.asarray(_cut_exc4(exc4_dev, k))
+    return np.asarray(dispatch_exc4(exc4_dev, n_exc4, presliced))
 
 
 @functools.partial(jax.jit, static_argnames=("length",))
 def _cut_esc(x, length):
-    return jax.lax.slice(x, (0,), (length,))
+    return jax.lax.slice(x, (0, 0), (2, length))
 
 
 def _esc_bucket(n_esc2: int, cap: int) -> int:
-    """Power-of-two prefix length covering the first n_esc2 escape bytes
+    """Power-of-two prefix length covering the first n_esc2 escape pairs
     (bounded by the buffer) — shared by fetch_esc and the blocked
     prefetcher so a pre-dispatched prefix is found by exact length."""
     k = 1 << 10
@@ -757,39 +794,59 @@ def _esc_bucket(n_esc2: int, cap: int) -> int:
     return min(k, cap)
 
 
-def fetch_esc(esc_dev, n_esc2: int, presliced=None) -> np.ndarray:
-    """Bucketed device fetch of the first n_esc2 escape bytes (the pair-code
-    plane's side stream).  `presliced` maps bucket length -> pre-dispatched
-    device prefix (BlockedPackedRA's prefetch thread)."""
+def _pick_presliced(presliced, need: int, cap: int):
+    """Smallest pre-dispatched prefix covering `need` entries, if any —
+    lets a sparse bucket ladder (or a single eagerly-copied prefix) serve
+    every smaller request without dispatching a new device program (which
+    would queue behind whatever search is currently running)."""
+    if not presliced:
+        return None
+    ks = sorted(k for k in presliced if k >= need or k >= cap)
+    return presliced[ks[0]] if ks else None
+
+
+def dispatch_esc(esc_dev, n_esc2: int, presliced=None):
+    """Dispatch (or find pre-dispatched) the bucketed escape-stream prefix
+    and START its D2H copy; returns the device array to np.asarray later."""
     if n_esc2 == 0:
-        return np.zeros(0, np.uint8)
-    cap = esc_dev.shape[0]
-    k = _esc_bucket(n_esc2, cap)
-    if presliced is not None and k in presliced:
-        return np.asarray(presliced[k])
-    if k >= cap:
-        return np.asarray(esc_dev)
-    return np.asarray(_cut_esc(esc_dev, k))
+        return None
+    cap = esc_dev.shape[1]
+    s = _pick_presliced(presliced, n_esc2, cap)
+    if s is None:
+        k = _esc_bucket(n_esc2, cap)
+        s = esc_dev if k >= cap else _cut_esc(esc_dev, k)
+    s.copy_to_host_async()
+    return s
+
+
+def fetch_esc(esc_dev, n_esc2: int, presliced=None) -> np.ndarray:
+    """Bucketed device fetch of the first n_esc2 escape byte pairs (the
+    planes' shared 2-row side stream).  `presliced` maps prefix length ->
+    pre-dispatched device prefix (BlockedPackedRA's prefetch thread)."""
+    if n_esc2 == 0:
+        return np.zeros((2, 0), np.uint8)
+    return np.asarray(dispatch_esc(esc_dev, n_esc2, presliced))
 
 
 # Minimum transfer-byte saving before the pair-code plane is preferred over
-# the nibble plane: q4 reads the escape stream as one EXTRA bucketed device
-# read, which costs ~a link round trip — only worth paying once the halved
-# plane clears it.  (Plane choice is per block at runtime; tests force a
-# plane explicitly.)
+# the nibble plane: both planes read the same 2-byte escape stream, so q4's
+# saving is exactly n/2 plane bytes — only worth the extra link round trips
+# on the half-width windows once it clears this.  (Plane choice is per block
+# at runtime; tests force a plane explicitly.)
 Q4_MIN_SAVE = 4 << 20
 
 
 def _choose_plane(dc8, n: int, n_exc4: int, n_esc2: int,
                   exc4, esc, plane: str | None = None) -> str:
     """Pick the cheapest valid transfer plane for a packed RA block:
-    'q4' (0.5 B/run + 1 B/escape), 'nib' (1 B/run), 'byte' (2 B/run)."""
+    'q4' (0.5 B/run + 2 B/escape), 'nib' (1 B/run + 2 B/escape),
+    'byte' (2 B/run)."""
     if plane is not None:
         return plane
-    nib_ok = exc4 is not None and n_exc4 <= EXC4_CAP and dc8.shape[0] > 2
-    q4_ok = (nib_ok and esc is not None and dc8.shape[0] > 3
-             and dc8.shape[1] % 2 == 0)
-    if q4_ok and n // 2 - n_esc2 > Q4_MIN_SAVE:
+    nib_ok = (exc4 is not None and esc is not None and n_exc4 <= EXC4_CAP
+              and dc8.shape[0] > 2)
+    q4_ok = nib_ok and dc8.shape[0] > 3 and dc8.shape[1] % 2 == 0
+    if q4_ok and n // 2 > Q4_MIN_SAVE:
         return "q4"
     return "nib" if nib_ok else "byte"
 
@@ -817,13 +874,24 @@ def unpack_search(dc8, meta_exc, exc4=None, esc=None, plane=None) -> tuple:
         k = k // 4 * 3
     k = min(k, cap)
     if plane == "q4":
+        exc4_dev = dispatch_exc4(exc4, n_exc4)  # async: overlaps plane fetch
+        esc_dev = dispatch_esc(esc, n_esc2)
         kb = min(max(1, (k + 1) // 2), cap)
         q4b = jax.device_get(dc8[3, :kb] if kb < cap else dc8[3])
-        v, c = unpack_ra_q4(q4b, fetch_esc(esc, n_esc2),
-                            fetch_exc4(exc4, n_exc4), n, n_exc4)
+        v, c = unpack_ra_q4(
+            q4b,
+            np.asarray(esc_dev) if esc_dev is not None else np.zeros((2, 0), np.uint8),
+            np.asarray(exc4_dev) if exc4_dev is not None else np.zeros((3, 0), np.int32),
+            n, n_exc4)
     elif plane == "nib":
+        exc4_dev = dispatch_exc4(exc4, n_exc4)
+        esc_dev = dispatch_esc(esc, n_esc2)
         nib = jax.device_get(dc8[2, :k] if k < cap else dc8[2])
-        v, c = unpack_ra4(nib, fetch_exc4(exc4, n_exc4), n, n_exc4)
+        v, c = unpack_ra4(
+            nib,
+            np.asarray(esc_dev) if esc_dev is not None else np.zeros((2, 0), np.uint8),
+            np.asarray(exc4_dev) if exc4_dev is not None else np.zeros((3, 0), np.int32),
+            n, n_exc4)
     else:
         dc8 = jax.device_get(dc8[:2, :k] if k < cap else dc8[:2])
         v, c = unpack_ra(dc8[:, :n], meta_exc, n, n_exc)
@@ -911,9 +979,15 @@ def stream_packed_ra(dc8, meta_exc, exc4=None,
         else:
             slices = [_cut_chunk(dc8, jnp.int32(s), chunk)
                       for s in dev_starts]
-    # issue EVERY chunk's D2H copy up front: the link then streams them
-    # back-to-back (one in-flight copy leaves each chunk's ~RTT exposed);
-    # host-side peak is the same 0.5-2 B/run the consumer retires in order
+    # dispatch the side-stream prefixes FIRST (async copies), then every
+    # chunk's D2H copy: the link streams them back-to-back (a synchronous
+    # side fetch before the windows would serialize a full link RTT ahead
+    # of the first chunk); host-side peak is the same 0.5-2 B/run the
+    # consumer retires in order
+    exc4_dev = (dispatch_exc4(exc4, n_exc4, (presliced or {}).get("exc4"))
+                if plane != "byte" else None)
+    esc_dev = (dispatch_esc(esc, n_esc2, (presliced or {}).get("esc"))
+               if plane != "byte" else None)
     for s in slices:
         s.copy_to_host_async()
 
@@ -926,11 +1000,14 @@ def stream_packed_ra(dc8, meta_exc, exc4=None,
                                          exc_count[order])
     else:
         # exc4 indices come out of the device pack already sorted by lane
-        exc4_h = fetch_exc4(exc4, n_exc4)
+        exc4_h = (np.asarray(exc4_dev) if exc4_dev is not None
+                  else np.zeros((3, 0), np.int32))
         exc_idx = exc4_h[0, :n_exc4].astype(np.int64)
         exc_delta, exc_count = exc4_h[1, :n_exc4], exc4_h[2, :n_exc4]
-    esc_h = (fetch_esc(esc, n_esc2, presliced=(presliced or {}).get("esc"))
-             if plane == "q4" else None)
+    esc_h = None
+    if plane != "byte":
+        esc_h = (np.asarray(esc_dev) if esc_dev is not None
+                 else np.zeros((2, 0), np.uint8))
 
     native_decode = None
     if plane != "byte":
@@ -965,7 +1042,8 @@ def stream_packed_ra(dc8, meta_exc, exc4=None,
                     exc_idx[lo:hi] - s, exc_delta[lo:hi], exc_count[lo:hi],
                     dec_state, finish, Q4_TABLE_D, Q4_TABLE_C)
             else:
-                uv, uc = native_decode(h[0, off:off + m], exc_idx[lo:hi] - s,
+                uv, uc = native_decode(h[0, off:off + m], esc_h,
+                                       exc_idx[lo:hi] - s,
                                        exc_delta[lo:hi], exc_count[lo:hi],
                                        dec_state, finish=finish)
             if uv.size:
@@ -981,17 +1059,26 @@ def stream_packed_ra(dc8, meta_exc, exc4=None,
             counts = Q4_TABLE_C[codes]
             em = codes == Q4_ESCAPE
             ke = int(em.sum())
-            eb = esc_h[esc_off:esc_off + ke]
-            if eb.size != ke:
+            eb = esc_h[:, esc_off:esc_off + ke]
+            if eb.shape[1] != ke:
                 raise ValueError("pair-code escape stream exhausted "
                                  "(corrupt packed RA)")
             esc_off += ke
-            delta[em] = (eb & np.uint8(15)).astype(np.int64)
-            counts[em] = (eb >> 4).astype(np.int64)
+            delta[em] = eb[0].astype(np.int64)
+            counts[em] = eb[1].astype(np.int64)
         elif plane == "nib":
             nib = h[0, off:off + m]
             delta = (nib & np.uint8(15)).astype(np.int64)
             counts = (nib >> 4).astype(np.int64)
+            em = (nib & np.uint8(15)) == 15
+            ke = int(em.sum())
+            eb = esc_h[:, esc_off:esc_off + ke]
+            if eb.shape[1] != ke:
+                raise ValueError("nibble escape stream exhausted "
+                                 "(corrupt packed RA)")
+            esc_off += ke
+            delta[em] = eb[0].astype(np.int64)
+            counts[em] = eb[1].astype(np.int64)
         else:
             delta = h[0, off:off + m].astype(np.int64)
             counts = h[1, off:off + m].astype(np.int64)
@@ -1145,20 +1232,22 @@ class BlockedPackedRA:
             if ovf or sliced is None:
                 continue
             plane = _choose_plane(dc8, n, n_exc4, n_esc2, exc4, esc)
+            # side streams first: the consumer needs them before it can
+            # decode ANY window, and the ladders were dispatched right
+            # after this block's search (blocked_search_and_pack), so these
+            # copies are pure DMA — a lazily dispatched slice program here
+            # would queue BEHIND the next block's search and gate the whole
+            # merge on it
+            if plane != "byte" and n_exc4:
+                dispatch_exc4(exc4, n_exc4, sliced.get("exc4"))
+            if plane != "byte" and n_esc2:
+                dispatch_esc(esc, n_esc2, sliced.get("esc"))
             grid = sliced.get(plane)
             if grid is None:
                 continue
             slices, chunk = grid
             for s in slices[:(n + chunk - 1) // chunk]:
                 s.copy_to_host_async()
-            if plane == "q4" and n_esc2:
-                # dispatch + start the escape-stream prefix copy; the
-                # consumer's fetch_esc finds it under the same bucket key
-                eb = sliced.setdefault("esc", {})
-                k = _esc_bucket(n_esc2, esc.shape[0])
-                if k not in eb:
-                    eb[k] = esc if k >= esc.shape[0] else _cut_esc(esc, k)
-                eb[k].copy_to_host_async()
 
     def start_prefetch(self):
         if self._prefetcher is None:
@@ -1199,15 +1288,28 @@ def blocked_search_and_pack(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
                             a_sequences: int, b_sequences: int,
                             n_blocks: int, frontier_cap: int, emit_cap: int,
                             streamed: bool = False,
-                            chunk_runs: int = BlockedPackedRA.CHUNK
+                            chunk_runs: int = BlockedPackedRA.CHUNK,
+                            block_emit_bound: int | None = None
                             ) -> BlockedPackedRA:
     """Dispatch one search_and_pack program per sequence block plus its
-    static plane slice grids (all async, one program shape) and return the
-    BlockedPackedRA over the results.  Both the nibble and pair-code grids
-    are dispatched (the on-device copies cost ~1.5 B/run of HBM bandwidth,
-    noise next to the search); only the chosen plane's windows ever cross
-    the D2H link.  Callers size frontier_cap/emit_cap for the LARGEST
-    block."""
+    pair-code slice grid and side-stream ladders, and EAGERLY request every
+    D2H copy the consumer will need — all before the NEXT block's search is
+    dispatched.
+
+    This platform (remote-attached chips) executes a D2H copy requested on
+    a still-PENDING buffer only after the whole dispatch queue drains, so a
+    copy requested after block k+1's search is dispatched waits for that
+    search.  Requesting the copies here puts them in stream order right
+    behind block k's own programs: the DMA then overlaps block k+1's search
+    compute (measured: a 25 MB copy alongside an unrelated program adds no
+    compute time).
+
+    block_emit_bound (e.g. block bases + block sequences, an upper bound on
+    a block's emission count) trims the eagerly-copied plane windows; the
+    escape-stream eager prefix assumes <= ~12.5% escape rate.  Both are
+    heuristics: if the real n/n_esc2 lands beyond them, the prefetch thread
+    tops up from the pre-dispatched ladders (pure DMA of retired buffers).
+    Callers size frontier_cap/emit_cap for the LARGEST block."""
     from ..utils.ranges import get_bounds
 
     parts = []
@@ -1218,13 +1320,35 @@ def blocked_search_and_pack(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
         cap = dc8.shape[1]
         chunk = min(chunk_runs, cap)
         chunk = max(2, chunk - (chunk & 1))  # q4 nibble alignment
+        bound = min(cap, block_emit_bound) if block_emit_bound else cap
+        q4_slices = [_cut_chunk_q4(dc8, jnp.int32(s // 2), chunk // 2)
+                     for s in range(0, cap, chunk)]
+        # sparse side-stream ladders: every rung is dispatched NOW so no
+        # consumer-side fetch ever creates a program that would queue
+        # behind a later search; the full-width rung is the buffer itself
+        # (copying it needs no program at all)
+        esc_cap = esc.shape[1]
+        esc_eager = _esc_bucket(max(bound // 8, 1 << 14), esc_cap)
+        esc_ladder, k = {esc_cap: esc}, esc_eager
+        while k < esc_cap:
+            esc_ladder[k] = _cut_esc(esc, k)
+            k *= 4
+        exc4_ladder, k = {exc4.shape[1]: exc4}, 1 << 10
+        while k < exc4.shape[1]:
+            exc4_ladder[k] = _cut_exc4(exc4, k)
+            k *= 8
         grid = {
-            "nib": ([_cut_chunk_nib(dc8, jnp.int32(s), chunk)
-                     for s in range(0, cap, chunk)], chunk),
-            "q4": ([_cut_chunk_q4(dc8, jnp.int32(s // 2), chunk // 2)
-                    for s in range(0, cap, chunk)], chunk),
-            "esc": {},
+            "q4": (q4_slices, chunk),
+            "esc": esc_ladder,
+            "exc4": exc4_ladder,
         }
+        # eager copy requests, in stream order behind this block's programs
+        meta.copy_to_host_async()
+        live_w = (min(bound + 2, cap) + chunk - 1) // chunk
+        for s in q4_slices[:live_w]:
+            s.copy_to_host_async()
+        esc_ladder[min(esc_ladder)].copy_to_host_async()
+        exc4_ladder[min(exc4_ladder)].copy_to_host_async()
         parts.append((dc8, meta, exc4, esc, grid))
     return BlockedPackedRA(parts)
 
@@ -1245,17 +1369,27 @@ def unpack_ra(dc8: np.ndarray, exc: np.ndarray, n: int, n_exc: int):
     return np.cumsum(delta), counts
 
 
-def unpack_ra4(nib: np.ndarray, exc4: np.ndarray, n: int, n_exc4: int):
+def unpack_ra4(nib: np.ndarray, esc: np.ndarray, exc4: np.ndarray,
+               n: int, n_exc4: int):
     """Host-side inverse of pack_ra_device's nibble plane -> sorted
     (values, counts).
 
-    nib: uint8[>=n] (delta in the low nibble, count in the high); exc4:
-    int32[3, >=n_exc4] (index, delta, count) for lanes that did not fit —
-    those lanes carry the marker low-nibble 15 and are fully overwritten.
+    nib: uint8[>=n] (delta in the low nibble, count in the high; escape
+    lanes carry the marker byte 15); esc: uint8[2, >= #escapes] lane-ordered
+    (delta, count) byte pairs; exc4: int32[3, >= n_exc4] lane-indexed
+    overrides for >254 outliers (their escape pair is (255, 255)).
     """
     nib = nib[:n]
     delta = (nib & np.uint8(15)).astype(np.int64)
     counts = (nib >> 4).astype(np.int64)
+    em = (nib & np.uint8(15)) == 15
+    ke = int(em.sum())
+    eb = esc[:, :ke]
+    if eb.shape[1] != ke:
+        raise ValueError("nibble escape stream exhausted (corrupt "
+                         "packed RA)")
+    delta[em] = eb[0].astype(np.int64)
+    counts[em] = eb[1].astype(np.int64)
     if n_exc4:
         idx = exc4[0, :n_exc4]
         delta[idx] = exc4[1, :n_exc4]
@@ -1269,9 +1403,10 @@ def unpack_ra_q4(q4b: np.ndarray, esc: np.ndarray, exc4: np.ndarray,
     (values, counts).
 
     q4b: uint8[>= ceil(n/2)] plane bytes (two 4-bit codes per byte, low
-    nibble first); esc: lane-ordered escape bytes, one nibble-coded byte
-    per code-15 lane; exc4: int32[3, >= n_exc4] lane-indexed overrides for
-    runs that fit neither plane (their escape byte is the marker 15).
+    nibble first); esc: uint8[2, >= #escapes] lane-ordered (delta, count)
+    byte pairs, one per code-15 lane; exc4: int32[3, >= n_exc4]
+    lane-indexed overrides for >254 outliers (their escape pair is
+    (255, 255)).
     """
     nb = (n + 1) // 2
     b = q4b[:nb]
@@ -1283,12 +1418,12 @@ def unpack_ra_q4(q4b: np.ndarray, esc: np.ndarray, exc4: np.ndarray,
     counts = Q4_TABLE_C[codes]
     em = codes == Q4_ESCAPE
     ke = int(em.sum())
-    eb = esc[:ke]
-    if eb.size != ke:
+    eb = esc[:, :ke]
+    if eb.shape[1] != ke:
         raise ValueError("pair-code escape stream exhausted (corrupt "
                          "packed RA)")
-    delta[em] = (eb & np.uint8(15)).astype(np.int64)
-    counts[em] = (eb >> 4).astype(np.int64)
+    delta[em] = eb[0].astype(np.int64)
+    counts[em] = eb[1].astype(np.int64)
     if n_exc4:
         idx = exc4[0, :n_exc4]
         delta[idx] = exc4[1, :n_exc4]

@@ -165,9 +165,12 @@ class TestNativeRaDecode:
     """native/src/radecode.cpp vs a straight numpy re-derivation."""
 
     @staticmethod
-    def _numpy_ref(nib, exc_idx, exc_d, exc_c, carry):
+    def _numpy_ref(nib, esc, exc_idx, exc_d, exc_c, carry):
         delta = (nib & np.uint8(15)).astype(np.int64)
         counts = (nib >> 4).astype(np.int64)
+        em = (nib & np.uint8(15)) == 15  # marker byte: escape lane
+        delta[em] = esc[0].astype(np.int64)
+        counts[em] = esc[1].astype(np.int64)
         if exc_idx.size:
             delta[exc_idx] = exc_d
             counts[exc_idx] = exc_c
@@ -178,25 +181,34 @@ class TestNativeRaDecode:
         return values[su], np.add.reduceat(counts, su)
 
     @staticmethod
-    def _make_plane(rng, m, dup_rate=0.2, exc_rate=0.1):
+    def _make_plane(rng, m, dup_rate=0.2, exc_rate=0.1, huge_rate=0.0):
         delta = rng.geometric(0.4, size=m).astype(np.int64)
         delta[rng.random(m) < dup_rate] = 0          # duplicate a-positions
         wide = rng.random(m) < exc_rate
-        delta[wide] += 20                             # > 14: exception lane
+        delta[wide] += 20                             # > 14: escape lane
         counts = rng.integers(1, 5, size=m).astype(np.int64)
-        counts[rng.random(m) < 0.03] += 100           # > 15: exception lane
+        counts[rng.random(m) < 0.03] += 100           # > 15: escape lane
+        if huge_rate:
+            delta[rng.random(m) < huge_rate] += 1000  # > 254: exc4 row
         fits = (delta <= 14) & (counts <= 15)
         nib = np.where(fits, delta | (counts << 4), 15).astype(np.uint8)
-        exc_idx = np.flatnonzero(~fits).astype(np.int64)
-        return (nib, exc_idx, delta[exc_idx].copy(), counts[exc_idx].copy(),
-                delta, counts)
+        lanes = np.flatnonzero(~fits)
+        fits8 = (delta <= 254) & (counts <= 254)
+        esc = np.stack([np.where(fits8, delta, 255)[lanes],
+                        np.where(fits8, counts, 255)[lanes]]).astype(np.uint8)
+        exc_idx = np.flatnonzero(~fits8).astype(np.int64)
+        return (nib, esc, exc_idx, delta[exc_idx].copy(),
+                counts[exc_idx].copy(), delta, counts)
 
     def test_single_window_matches_numpy(self, rng):
         rng = np.random.default_rng(7)
-        nib, ei, ed, ec, delta, counts = self._make_plane(rng, 4096)
-        state = np.zeros(4, np.int64)
-        v, c = native.ra_decode_nib_chunk(nib, ei, ed, ec, state, finish=True)
-        wv, wc = self._numpy_ref(nib, ei, ed, ec, 0)
+        nib, esc, ei, ed, ec, delta, counts = self._make_plane(
+            rng, 4096, huge_rate=0.02)
+        assert ei.size > 0  # the >254 outlier path is exercised
+        state = np.zeros(5, np.int64)
+        v, c = native.ra_decode_nib_chunk(nib, esc, ei, ed, ec, state,
+                                          finish=True)
+        wv, wc = self._numpy_ref(nib, esc, ei, ed, ec, 0)
         assert np.array_equal(v, wv)
         assert np.array_equal(c, wc)
         assert np.all(np.diff(v) > 0)
@@ -204,17 +216,18 @@ class TestNativeRaDecode:
 
     def test_windowed_stream_matches_one_shot(self, rng):
         rng = np.random.default_rng(8)
-        nib, ei, ed, ec, _, _ = self._make_plane(rng, 10_000, dup_rate=0.5)
-        want_v, want_c = self._numpy_ref(nib, ei, ed, ec, 0)
+        nib, esc, ei, ed, ec, _, _ = self._make_plane(
+            rng, 10_000, dup_rate=0.5, huge_rate=0.01)
+        want_v, want_c = self._numpy_ref(nib, esc, ei, ed, ec, 0)
         for chunk in (37, 256, 9_999):
-            state = np.zeros(4, np.int64)
+            state = np.zeros(5, np.int64)  # [4] = running escape cursor
             parts = []
             for s in range(0, nib.size, chunk):
                 m = min(chunk, nib.size - s)
                 lo = np.searchsorted(ei, s)
                 hi = np.searchsorted(ei, s + m)
                 parts.append(native.ra_decode_nib_chunk(
-                    nib[s:s + m], ei[lo:hi] - s, ed[lo:hi], ec[lo:hi],
+                    nib[s:s + m], esc, ei[lo:hi] - s, ed[lo:hi], ec[lo:hi],
                     state, finish=(s + m == nib.size)))
             v = np.concatenate([p[0] for p in parts])
             c = np.concatenate([p[1] for p in parts])
@@ -224,20 +237,32 @@ class TestNativeRaDecode:
             for pv, _ in parts:
                 assert np.all(np.diff(pv) > 0)
 
+    def test_escape_stream_overrun_raises(self, rng):
+        rng = np.random.default_rng(9)
+        nib, esc, ei, ed, ec, _, _ = self._make_plane(rng, 1000)
+        state = np.zeros(5, np.int64)
+        short = esc[:, :-1]  # one pair short
+        with pytest.raises(ValueError):
+            native.ra_decode_nib_chunk(nib, short, ei, ed, ec, state,
+                                       finish=True)
+
     def test_all_duplicates_collapse_to_one_run(self):
         nib = np.full(64, 1 << 4, np.uint8)  # delta 0, count 1 everywhere
         none = np.zeros(0, np.int64)
-        state = np.zeros(4, np.int64)
-        v, c = native.ra_decode_nib_chunk(nib[:32], none, none, none,
+        esc0 = np.zeros((2, 0), np.uint8)
+        state = np.zeros(5, np.int64)
+        v, c = native.ra_decode_nib_chunk(nib[:32], esc0, none, none, none,
                                           state, finish=False)
         assert v.size == 0  # whole window held as the pending run
-        v, c = native.ra_decode_nib_chunk(nib[32:], none, none, none,
+        v, c = native.ra_decode_nib_chunk(nib[32:], esc0, none, none, none,
                                           state, finish=True)
         assert np.array_equal(v, [0]) and np.array_equal(c, [64])
 
     def test_empty_plane(self):
         none = np.zeros(0, np.int64)
-        state = np.zeros(4, np.int64)
-        v, c = native.ra_decode_nib_chunk(np.zeros(0, np.uint8), none, none,
-                                          none, state, finish=True)
+        state = np.zeros(5, np.int64)
+        v, c = native.ra_decode_nib_chunk(np.zeros(0, np.uint8),
+                                          np.zeros((2, 0), np.uint8),
+                                          none, none, none, state,
+                                          finish=True)
         assert v.size == 0 and c.size == 0

@@ -181,8 +181,8 @@ class TestPackedTransfer:
         got_v, got_c = unpack_ra(np.asarray(dc8[:2, :n_u]), np.asarray(exc),
                                  n_u, n_exc)
         # the nibble plane must decode to the same runs
-        nib_v, nib_c = unpack_ra4(np.asarray(dc8[2, :n_u]), np.asarray(exc4),
-                                  n_u, n_exc4)
+        nib_v, nib_c = unpack_ra4(np.asarray(dc8[2, :n_u]), np.asarray(esc),
+                                  np.asarray(exc4), n_u, n_exc4)
         assert np.array_equal(nib_v, got_v)
         assert np.array_equal(nib_c, got_c)
         # ... and so must the pair-code plane + its escape stream
@@ -221,15 +221,18 @@ class TestPackedTransfer:
                                  300, int(n_exc))
         assert np.array_equal(got_v, values)
         assert np.array_equal(got_c, counts)
-        assert int(n_exc4) == 300  # every lane spilled to the nibble table
-        nib_v, nib_c = unpack_ra4(np.asarray(dc8[2, :300]), np.asarray(exc4),
-                                  300, int(n_exc4))
+        # wide deltas: most escape pairs carry the value; only >254
+        # outliers land in the exc4 table (values up to 10M, 300 lanes ->
+        # most deltas exceed 254)
+        assert int(n_exc4) > 0
+        assert int(n_esc2) == 300  # every lane escapes (misses the table)
+        nib_v, nib_c = unpack_ra4(np.asarray(dc8[2, :300]), np.asarray(esc),
+                                  np.asarray(exc4), 300, int(n_exc4))
         assert np.array_equal(nib_v, values)
         assert np.array_equal(nib_c, counts)
         # pair-code plane: every lane escapes (wide pairs never hit the
-        # table) and every escape byte is the marker 15 -> exc4 overrides
+        # table); (255, 255) pairs are overridden by exc4 rows
         from bwtmerge_tpu.ops.search_jax import unpack_ra_q4
-        assert int(n_esc2) == 300
         q4_v, q4_c = unpack_ra_q4(np.asarray(dc8[3]), np.asarray(esc),
                                   np.asarray(exc4), 300, int(n_exc4))
         assert np.array_equal(q4_v, values)
@@ -444,21 +447,24 @@ class TestSearchAndPack:
         from bwtmerge_tpu.ops.search_jax import (EXC_CAP, pack_ra_device,
                                                  stream_packed_ra)
 
-        # mixed widths: ~half the runs fit the nibble, half spill to exc4
-        deltas = rng.integers(1, 30, size=300)  # > 14 -> nibble exception
+        # mixed widths: ~half the runs fit the nibble inline, half escape
+        # to the 2-byte side stream (none reach the >254 exc4 table)
+        deltas = rng.integers(1, 30, size=300)  # > 14 -> escape
         values = np.cumsum(deltas)
-        counts = rng.integers(1, 40, size=300)  # > 15 -> nibble exception
+        counts = rng.integers(1, 40, size=300)  # > 15 -> escape
         E = 512
         v = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(values, jnp.int32))
         c = jnp.zeros(E, jnp.int32).at[:300].set(jnp.asarray(counts, jnp.int32))
         dc8, exc, exc4, esc, n_u, n_exc, n_exc4, n_esc2 = pack_ra_device(
             v, c, jnp.int32(300))
-        assert 0 < int(n_exc4) < 300
+        assert 0 < int(n_esc2) <= 300
+        assert int(n_exc4) == 0  # nothing exceeds 254
         meta = jnp.zeros((1, EXC_CAP), jnp.int32)
         meta = meta.at[0, 0].set(n_u).at[0, 1].set(n_exc)
         meta = meta.at[0, 3].set(n_exc4).at[0, 4].set(n_esc2)
         meta_exc = jnp.concatenate([exc, meta], axis=0)
-        chunks = list(stream_packed_ra(dc8, meta_exc, exc4, chunk_runs=7))
+        chunks = list(stream_packed_ra(dc8, meta_exc, exc4, chunk_runs=7,
+                                       esc=esc, plane="nib"))
         got_v = np.concatenate([x[0] for x in chunks])
         got_c = np.concatenate([x[1] for x in chunks])
         assert np.array_equal(got_v, values)
