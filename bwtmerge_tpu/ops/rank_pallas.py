@@ -49,12 +49,13 @@ try:  # Pallas imports fail cleanly on backends without Mosaic
 except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
-TILE = 1024       # record-table rows (blocks) per grid step
+TILE = 2048       # record-table blocks per grid step (rel <= TILE*BLK = 2^16,
+                  # so the hi byte plane stays <= 256 — still bf16-exact)
 QT = 256          # queries per DMA chunk
 OUT_W = 16        # output row: LANES ranks, the symbol at q, zero padding
 
 
-def _kernel(qs_ref, rec_ref, q_hbm, out_hbm, qbuf, obuf, prev_buf,
+def _kernel(qs_ref, occ_ref, words_ref, q_hbm, out_hbm, qbuf, obuf, prev_buf,
             sem_in, sem_out, sem_prev):
     t = pl.program_id(0)
     q0 = qs_ref[t]
@@ -62,22 +63,21 @@ def _kernel(qs_ref, rec_ref, q_hbm, out_hbm, qbuf, obuf, prev_buf,
 
     @pl.when(q1 > q0)   # empty tiles cost only the pipelined table DMA
     def _process():
-        # TRANSPOSED formulation throughout: queries live on the 128-lane
-        # axis so every DMA window is lane-aligned, and the one-hot matmuls
-        # are [k, TILE] @ [TILE, QT].
-        rec = rec_ref[:]                           # [TILE, REC] (pipelined)
-        occ = rec[:, :LANES]
-        base = occ[0:1, :]                         # occ at tile start [1, 8]
-        rel = occ - base                           # <= TILE*BLK = 2^15
-        lo = (rel & 0xFF).astype(jnp.float32)      # byte planes: bf16-exact
-        hi = (rel >> 8).astype(jnp.float32)
-        words = rec[:, LANES:].astype(jnp.uint32)
+        # PRE-TRANSPOSED planes (build_probe_planes): queries live on the
+        # 128-lane axis so every DMA window is lane-aligned, the one-hot
+        # matmuls are [k, TILE] @ [TILE, QT], and — unlike the row-major
+        # record table — NO in-kernel transpose/relayout of O(TILE) data is
+        # needed (the per-tile relayouts were 3-4x the matmul time).
+        occ = occ_ref[:]                           # [LANES, TILE] (pipelined)
+        base_col = occ[:, 0:1]                     # occ at tile start [8, 1]
+        rel = occ - base_col                       # <= TILE*BLK = 2^16
+        lo_t = (rel & 0xFF).astype(jnp.float32)    # byte planes: bf16-exact
+        hi_t = (rel >> 8).astype(jnp.float32)
+        words = words_ref[:].astype(jnp.uint32)    # [LANES, TILE] packed syms
         # values <= 255; Mosaic lacks uint32->f32, so bounce through int32
-        syms = jnp.concatenate(
+        syms_t = jnp.concatenate(
             [((words >> s) & 0xFF).astype(jnp.int32).astype(jnp.float32)
-             for s in (0, 8, 16, 24)], axis=1)     # [TILE, BLK] permuted
-        lo_t, hi_t, syms_t = lo.T, hi.T, syms.T
-        base_col = base.T                          # [LANES, 1]
+             for s in (0, 8, 16, 24)], axis=0)     # [BLK, TILE] permuted
 
         tile_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
         # permuted lane -> in-block position map (rank_jax._POS_OF_LANE),
@@ -191,10 +191,29 @@ def _kernel(qs_ref, rec_ref, q_hbm, out_hbm, qbuf, obuf, prev_buf,
         jax.lax.fori_loop(jnp.maximum(0, n_w - 2), n_w, drain, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("nblk", "interpret"))
-def _streamed_ranks_padded(rec: jax.Array, q_sorted: jax.Array, nblk: int,
+@jax.jit
+def build_probe_planes(rec: jax.Array):
+    """Pre-transposed probe planes from a row-major record table.
+
+    Returns (occ_t int32[LANES, P], words_t int32[LANES, P]) with P padded
+    to a TILE multiple (pad columns are zeros; live queries never select
+    them).  Same bytes per block as the record table — the transpose just
+    moves the relayout from every kernel tile to one table-build pass.
+    Callers that probe repeatedly (the search loops) build the planes ONCE
+    per program and amortize the transpose over every depth step.
+    """
+    nblk = rec.shape[0]
+    pad = (-nblk) % TILE
+    occ_t = jnp.pad(rec[:, :LANES].T, ((0, 0), (0, pad)))
+    words_t = jnp.pad(rec[:, LANES:].T, ((0, 0), (0, pad)))
+    return occ_t, words_t
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _streamed_ranks_padded(planes, q_sorted: jax.Array,
                            interpret: bool = False) -> jax.Array:
-    ntiles = pl.cdiv(nblk, TILE)
+    occ_t, words_t = planes
+    ntiles = occ_t.shape[1] // TILE
     q = q_sorted.astype(jnp.int32)
     bounds = jnp.arange(ntiles + 1, dtype=jnp.int32) * (TILE * BLK)
     qs = jnp.searchsorted(q, bounds, side="left").astype(jnp.int32)
@@ -204,7 +223,9 @@ def _streamed_ranks_padded(rec: jax.Array, q_sorted: jax.Array, nblk: int,
         num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((TILE, REC), lambda t, qs: (t, 0),
+            pl.BlockSpec((LANES, TILE), lambda t, qs: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, TILE), lambda t, qs: (0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),          # queries stay in HBM
         ],
@@ -225,18 +246,25 @@ def _streamed_ranks_padded(rec: jax.Array, q_sorted: jax.Array, nblk: int,
                                        jnp.int32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(qs, rec, q_pad.reshape(1, -1))
+    )(qs, occ_t, words_t, q_pad.reshape(1, -1))
+
+
+def streamed_probe_planes(planes, q_sorted: jax.Array,
+                          interpret: bool = False) -> jax.Array:
+    """Raw streamed probe over pre-built planes: int32[OUT_W, Q] — ranks in
+    [:LANES], the symbol at q in row LANES.  q_sorted must be
+    non-decreasing int32 positions in [0, size] (trailing int32-max
+    sentinels allowed; their columns are untouched scratch)."""
+    out = _streamed_ranks_padded(planes, q_sorted, interpret=interpret)
+    return out[:, : q_sorted.shape[0]]
 
 
 def streamed_probe(rec: jax.Array, q_sorted: jax.Array,
                    interpret: bool = False) -> jax.Array:
-    """Raw streamed probe: int32[OUT_W, Q] — ranks in [:LANES], the symbol
-    at q in row LANES.  q_sorted must be non-decreasing int32 positions in
-    [0, size] (trailing int32-max sentinels allowed; their columns are
-    untouched scratch)."""
-    out = _streamed_ranks_padded(rec, q_sorted, nblk=rec.shape[0],
+    """streamed_probe_planes over a row-major record table (builds the
+    planes on the fly — one-shot callers only; loops should build once)."""
+    return streamed_probe_planes(build_probe_planes(rec), q_sorted,
                                  interpret=interpret)
-    return out[:, : q_sorted.shape[0]]
 
 
 def streamed_ranks_all(index, q_sorted: jax.Array,
@@ -281,6 +309,7 @@ def backward_search_streamed(index, patterns: jax.Array, lengths: jax.Array,
     last = patterns[jnp.arange(q), lengths - 1]
     sp = index.C[last]
     ep = index.C[last + 1] - 1
+    planes = build_probe_planes(index.rec)  # once, amortized over all steps
 
     def body(t, carry):
         sp, ep = carry
@@ -293,7 +322,7 @@ def backward_search_streamed(index, patterns: jax.Array, lengths: jax.Array,
         key = jnp.where(act2, qq, jnp.int32(_SENT))
         ks, ls, cs = jax.lax.sort((key, lane2, c2), num_keys=1,
                                   is_stable=False)
-        pr = streamed_probe(index.rec, ks, interpret=interpret)[:LANES]
+        pr = streamed_probe_planes(planes, ks, interpret=interpret)[:LANES]
         rk = _row_select(pr, jnp.clip(cs, 0, LANES - 1))
         _, rk = jax.lax.sort((ls, rk), num_keys=1, is_stable=False)
         new_sp = index.C[c] + rk[:q]

@@ -91,11 +91,21 @@ def _expand_step(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
 _SENT = 2**31 - 1
 
 
-def _probe_sorted(rec: jax.Array, q: jax.Array) -> jax.Array:
-    """streamed_probe with interpret mode on non-Mosaic backends (tests)."""
-    from .rank_pallas import streamed_probe
+def _probe_sorted(planes, q: jax.Array) -> jax.Array:
+    """streamed_probe over pre-built planes, with interpret mode on
+    non-Mosaic backends (tests)."""
+    from .rank_pallas import streamed_probe_planes
 
-    return streamed_probe(rec, q, interpret=jax.default_backend() == "cpu")
+    return streamed_probe_planes(planes, q,
+                                 interpret=jax.default_backend() == "cpu")
+
+
+def _probe_planes(idx: DeviceFMIndex):
+    """Pre-transposed probe planes for an index (build once per program;
+    the transpose amortizes over every depth step's probes)."""
+    from .rank_pallas import build_probe_planes
+
+    return build_probe_planes(idx.rec)
 
 
 def default_streamed() -> bool:
@@ -116,10 +126,12 @@ def default_streamed() -> bool:
 
 
 def _expand_step_streamed(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
+                          a_pl, b_pl,
                           a_pos: jax.Array, b_sp: jax.Array, b_ep: jax.Array,
                           valid: jax.Array):
     """_expand_step computed with streamed probes; same contract.
 
+    a_pl/b_pl: pre-built probe planes of the two indexes (_probe_planes).
     Node order through the step follows the b_sp sort — irrelevant to the
     caller, which only sees the dead/alive-compacted children, and to the
     emissions, which the callers write before expanding."""
@@ -129,12 +141,12 @@ def _expand_step_streamed(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     apk = jnp.where(valid, a_pos, jnp.int32(_SENT))
     kb, eb, ab = jax.lax.sort((key, epk, apk), num_keys=1, is_stable=False)
 
-    pb_sp = _probe_sorted(b_idx.rec, kb)[1:SIGMA]       # [SIGMA-1, F]
-    pb_ep = _probe_sorted(b_idx.rec, eb + 1)[1:SIGMA]
+    pb_sp = _probe_sorted(b_pl, kb)[1:SIGMA]            # [SIGMA-1, F]
+    pb_ep = _probe_sorted(b_pl, eb + 1)[1:SIGMA]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (f, 1), 0)[:, 0]
     ka, ia = jax.lax.sort((ab, lane), num_keys=1, is_stable=False)
-    pa = _probe_sorted(a_idx.rec, ka)[1:SIGMA]
+    pa = _probe_sorted(a_pl, ka)[1:SIGMA]
     back = jax.lax.sort((ia,) + tuple(pa[c] for c in range(SIGMA - 1)),
                         num_keys=1, is_stable=False)
     ra = jnp.stack(back[1:])                            # [SIGMA-1, F] b-order
@@ -252,6 +264,15 @@ def wavefront_search_device2(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     cap = frontier_cap
     zero = (b_sp0 * 0).astype(jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+    if streamed:
+        # one table transpose each, amortized over every depth's probes
+        a_pl = _probe_planes(a_idx)
+        b_pl = _probe_planes(b_idx)
+
+        def expand_streamed(ai, bi, *rest):
+            return _expand_step_streamed(ai, bi, a_pl, b_pl, *rest)
+    else:
+        a_pl = b_pl = expand_streamed = None
 
     count0 = jnp.where(b_ep0 >= b_sp0, jnp.int32(1), jnp.int32(0))
     values0 = jnp.zeros(emit_cap, jnp.int32) + zero
@@ -270,7 +291,7 @@ def wavefront_search_device2(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
         overflow — or (staged mode) when the next expansion might not fit,
         so a wider-capacity loop can take over without losing work."""
         lane_c = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)[:, 0]
-        expand = _expand_step_streamed if use_streamed else _expand_step
+        expand = expand_streamed if use_streamed else _expand_step
 
         def cond(st):
             a_pos, b_sp, b_ep, count, values, counts, n_emit, ovf = st
@@ -374,7 +395,7 @@ def wavefront_search_device2(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
                                        jnp.where(live, 1, 0), cap_s)
             n_emit = n_emit + count
 
-            pb = _probe_sorted(b_idx.rec, spos)              # [OUT_W, F]
+            pb = _probe_sorted(b_pl, spos)                   # [OUT_W, F]
             c_b = pb[LANES]
             lf_b = b_idx.C[jnp.clip(c_b, 0, LANES)] + _row_select(pb, c_b)
 
@@ -383,7 +404,7 @@ def wavefront_search_device2(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
                 (jnp.where(alive, sa, jnp.int32(_SENT)),
                  jnp.where(alive, lf_b, jnp.int32(_SENT)),
                  c_b), num_keys=1, is_stable=False)
-            pa = _probe_sorted(a_idx.rec, ka)
+            pa = _probe_sorted(a_pl, ka)
             child_a = (a_idx.C[jnp.clip(cb_s, 0, LANES)]
                        + _row_select(pa, cb_s))
             count2 = jnp.sum(alive.astype(jnp.int32))
