@@ -35,7 +35,9 @@ BASELINE_MBP_S = 9.40  # reference best sweep config (paper.tex:266)
 
 SCALES = {
     # name: (a_reads, b_reads, read_len, search_blocks, spill_threshold_runs)
-    "large": (2_000_000, 1_000_000, 50, 8, 16 * 1024 * 1024),
+    # large's threshold forces a MULTI-file spill ladder (>= 5 files) so the
+    # spill-path merge measures the k-way disk re-merge, not a 1-file decode
+    "large": (2_000_000, 1_000_000, 50, 8, 6 * 1024 * 1024),
     "medium": (524_000, 262_000, 50, 4, 4 * 1024 * 1024),
     "small": (131_000, 65_500, 50, 1, 1 << 62),
 }
@@ -244,7 +246,8 @@ def main() -> None:
     # single-digit MB/s; every avoidable transfer is variance).
     pipelined = len(blocks) == 1
     t0 = time.monotonic()
-    sink = RankArraySpill(temp_dir="/tmp", spill_threshold_runs=spill_threshold)
+    sink = RankArraySpill(temp_dir="/tmp", spill_threshold_runs=spill_threshold,
+                          compact_every=4 * 1024 * 1024)
     if pipelined:
         warm = PackedDeviceRA(*search_and_pack(
             a_idx, b_idx, jnp.int32(blocks[0][0]), jnp.int32(blocks[0][1]),
