@@ -153,9 +153,14 @@ def _sample_sort_body(ops, num_keys, p, axis, oversample, pair_cap, window):
     ops = jax.lax.sort(ops, num_keys=num_keys, is_stable=False)
     keys = ops[:num_keys]
 
-    # regular samples -> replicated splitters at sample quantiles
+    # regular samples -> replicated splitters at sample quantiles.  r and s
+    # are static Python ints, so the indices are computed host-side in
+    # int64: the traced int32 expression (arange(r) * s) // r overflows at
+    # s > ~2^31/r (~33.5M elements at r=64), silently skewing the splitters
+    # at exactly the pod scale this path targets.
     r = min(oversample, s)
-    samp_idx = (jnp.arange(r, dtype=jnp.int32) * s) // r
+    samp_idx = jnp.asarray((np.arange(r, dtype=np.int64) * s) // r,
+                           dtype=jnp.int32)
     gathered = [jax.lax.all_gather(k[samp_idx], axis).reshape(-1)
                 for k in keys]
     samples = jax.lax.sort(tuple(gathered), num_keys=num_keys,
@@ -385,16 +390,30 @@ def suffix_array_sharded(text: np.ndarray, mesh: Optional[Mesh] = None,
             out_specs=(P(axis), P(axis), P(axis), P()))(rank, i)
 
     use_sample = sort_method == "sample" and p > 1 and s >= 2 * p
+    # Tie-heavy rounds (repetitive inputs) blow the sample sort's constant
+    # per-pair capacity and force the odd-even re-run — and early tie-heavy
+    # rounds predict late ones, so after MAX_SAMPLE_FALLBACKS consecutive
+    # overflows the sample attempt is dropped for the rest of the
+    # construction instead of paying attempt + re-run every round.
+    MAX_SAMPLE_FALLBACKS = 2
+    fallbacks = 0
     t_dev = jax.device_put(jnp.asarray(text_pad), sharded)
     i_dev = jax.device_put(jnp.asarray(idx), sharded)
     rank, order, flag = round0(t_dev, i_dev, use_sample)
     if use_sample and int(np.asarray(flag)):
         rank, order, _ = round0(t_dev, i_dev, False)
+        fallbacks += 1
     k = 1
     while True:
+        if fallbacks >= MAX_SAMPLE_FALLBACKS:
+            use_sample = False
         rank2, order2, last, flag = round_k(rank, i_dev, k, use_sample)
-        if use_sample and int(np.asarray(flag)):
-            rank2, order2, last, _ = round_k(rank, i_dev, k, False)
+        if use_sample:
+            if int(np.asarray(flag)):
+                rank2, order2, last, _ = round_k(rank, i_dev, k, False)
+                fallbacks += 1
+            else:
+                fallbacks = 0
         rank, order = rank2, order2
         # the last shard's final sorted rank is the global max rank
         if int(np.asarray(last)[-1]) == n_pad - 1:
