@@ -2,7 +2,14 @@
 sharding, sharded search and verification, jax.distributed bring-up
 (TPU analog of the reference's thread layer; SURVEY.md §5)."""
 
-from .distributed import initialize_multihost, multihost_rank_array, process_info
+from .distributed import (
+    exchange_by_rank_range,
+    initialize_multihost,
+    multihost_merge_to_file,
+    multihost_rank_array,
+    multihost_rank_array_ranged,
+    process_info,
+)
 from .sort_distributed import (
     build_bwt_sharded,
     rlo_order_sharded,
@@ -20,8 +27,11 @@ from .mesh import (
 
 __all__ = [
     "SEQ_AXIS",
+    "exchange_by_rank_range",
     "initialize_multihost",
+    "multihost_merge_to_file",
     "multihost_rank_array",
+    "multihost_rank_array_ranged",
     "process_info",
     "make_mesh",
     "rlo_order_sharded",

@@ -1,12 +1,15 @@
-"""True multi-process test of the cross-host rank-array combine.
+"""True multi-process test of the cross-host rank-range exchange + merge.
 
 Spawns TWO jax processes (CPU backend, gloo collectives, localhost
-coordinator, 2 virtual devices each -> 4 global devices); each runs
-multihost_rank_array over its own block of B's sequences on its local mesh,
-then the per-process results are all-gathered and merged.  The combined
-rank array must equal the single-process result — the evidence path for the
->= 80% multi-host scaling target (BASELINE.md), previously untested beyond
-single-process degradation (VERDICT round 1, missing #5).
+coordinator, 2 virtual devices each -> 4 global devices); each searches its
+own block of B's sequences on its local mesh, then the rank array is
+EXCHANGED BY A-POSITION RANGE (one all_to_all; each process k-way merges
+only its own range — O(|RA|/P) per-process peak, asserted in the worker),
+each process interleaves its range into an output shard, and the shards
+concatenate in rank order into the merged file.  Both the combined rank
+array and the merged SGA file must be bit-equal to the single-process
+result — the evidence path for the >= 80% multi-host scaling target
+(BASELINE.md) and VERDICT r2 item #3.
 """
 
 import os
@@ -74,3 +77,16 @@ def test_two_process_rank_array(tmp_path):
 
     assert np.array_equal(got["values"], want_v)
     assert np.array_equal(got["counts"], want_c)
+    # the exchange stayed range-bounded: process 0 held a strict subset
+    assert int(got["range_runs"]) < want_v.size
+
+    # the sharded merged output is byte-identical to the single-process
+    # streaming merge of the same inputs
+    from bwtmerge_tpu.models.merge import MergeConfig, merge_fmi_to_file
+
+    merged = str(tmp_path / "merged_multihost.sga")
+    want_file = str(tmp_path / "merged_single.sga")
+    merge_fmi_to_file(fa, fb, want_file, "sga",
+                      MergeConfig(backend="numpy"))
+    with open(merged, "rb") as f1, open(want_file, "rb") as f2:
+        assert f1.read() == f2.read()
