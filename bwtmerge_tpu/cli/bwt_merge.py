@@ -43,6 +43,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="single-device search programs per merge: block k+1's"
                         " search overlaps block k's rank-array transfer"
                         " (default: auto)")
+    p.add_argument("--index-placement", dest="index_placement",
+                   default="auto", choices=("auto", "replicated", "sharded"),
+                   help="device index placement: replicate the record table"
+                        " per chip, block-shard it over the mesh (indexes"
+                        " beyond one chip's HBM), or choose by size (auto)")
+    p.add_argument("--hbm-budget-mb", dest="hbm_budget_mb", type=int,
+                   default=None, metavar="MB",
+                   help="per-device HBM budget driving --index-placement"
+                        " auto (default 12288)")
     p.add_argument("-d", dest="temp_dir", default=".", metavar="DIR",
                    help="temp directory for rank-array spills (default .)")
     p.add_argument("-v", dest="patterns", default=None, metavar="FILE",
@@ -239,6 +248,9 @@ def main(argv=None) -> int:
         config.devices = args.devices
     if args.device_blocks is not None:
         config.device_blocks = args.device_blocks
+    config.index_placement = args.index_placement
+    if args.hbm_budget_mb is not None:
+        config.hbm_budget_bytes = args.hbm_budget_mb << 20
     config.sanitize()
 
     if not args.quiet:

@@ -41,6 +41,12 @@ class MergeConfig:
     temp_dir: str = "."
     backend: str = "numpy"
     interleave: str = "native"  # 'native' (host C++) | 'device'
+    # device index placement: 'replicated' (one full record table per chip),
+    # 'sharded' (block rows sharded over the mesh — indexes beyond one
+    # chip's HBM, ops/rank_sharded.py), or 'auto' (sharded when the two
+    # record tables exceed hbm_budget_bytes and the mesh has > 1 device)
+    index_placement: str = "auto"
+    hbm_budget_bytes: int = 0  # 0 = per-device default (12 GiB)
     # single-device jax path: number of sequence blocks dispatched as
     # SEPARATE device programs so block k+1's search compute overlaps block
     # k's rank-array D2H transfer (0 = auto: 2 blocks once B is big enough
@@ -54,6 +60,10 @@ class MergeConfig:
         self.devices = max(1, self.devices)
         self.merge_buffers = max(1, self.merge_buffers)
         self.device_blocks = max(0, self.device_blocks)
+        if self.index_placement not in ("auto", "replicated", "sharded"):
+            raise ValueError(
+                f"index_placement must be auto/replicated/sharded, "
+                f"got {self.index_placement!r}")
         return self
 
     def temp_prefix(self) -> str:
@@ -284,6 +294,12 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
 
         mesh = make_mesh(config.devices)
         n_dev = mesh.devices.size
+        if _resolve_placement(config, a, b, n_dev) == "sharded":
+            # indexes beyond one chip's HBM: block-sharded record tables
+            # (BASELINE configs[4]'s shape — the reference has no analog,
+            # paper.tex:197); the rank array flows through the same spill
+            # ladder / interleave / writer as every other path
+            return _sharded_index_search(a, b, config, mesh, spill)
         fcap = 1 << max(12, (b.sequences() - 1).bit_length())
         # power-of-two emission cap: distinct (fcap, ecap) pairs each compile
         # a search program, so k-way merges must reuse shapes across folds
@@ -366,6 +382,55 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
             a.sequences(), b.sequences(),
             sigma=a.alpha.sigma, b_seq_range=blk,
         )
+        spill.emit(values, counts)
+    return spill
+
+
+DEFAULT_HBM_BUDGET = 12 << 30  # usable HBM per chip (v5e: 16 GiB raw)
+
+
+def _resolve_placement(config: MergeConfig, a: FMI, b: FMI,
+                       n_dev: int) -> str:
+    """'replicated' or 'sharded' from the config + the record-table-bytes
+    vs per-device-HBM heuristic (both tables live on every chip under
+    replication, so the budget compares their SUM)."""
+    placement = getattr(config, "index_placement", "auto")
+    if placement != "auto":
+        return placement if n_dev > 1 or placement == "replicated" \
+            else "replicated"
+    if n_dev <= 1:
+        return "replicated"
+    from ..ops.rank_jax import BLK, REC
+
+    budget = getattr(config, "hbm_budget_bytes", 0) or DEFAULT_HBM_BUDGET
+    rec_bytes = ((a.size() + b.size()) // BLK + 2) * REC * 4
+    return "sharded" if rec_bytes > budget else "replicated"
+
+
+def _sharded_index_search(a: FMI, b: FMI, config: MergeConfig, mesh, spill):
+    """Search with BOTH record tables block-sharded over the mesh
+    (ops/rank_sharded.py): per-device HBM holds only its slab.  Emissions
+    stream into the spill ladder per sequence block."""
+    from ..ops.rank_sharded import (ShardedFMIndex, wavefront_search_sharded)
+    from ..utils.ranges import get_bounds
+
+    a_idx = ShardedFMIndex.build(a.runs, a.alpha.counts(), mesh=mesh)
+    b_idx = ShardedFMIndex.build(b.runs, b.alpha.counts(), mesh=mesh)
+
+    blocks = get_bounds((0, b.sequences() - 1),
+                        max(1, config.sequence_blocks))
+    blk_seqs = max(e - s + 1 for s, e in blocks)
+    blk_bases = (b.size() // max(1, b.sequences()) + 1) * blk_seqs
+    fcap = 1 << max(12, (blk_seqs - 1).bit_length() + 1)
+    ecap = 1 << (blk_bases + blk_seqs + fcap + 16).bit_length()
+    for sp, ep in blocks:
+        values, counts, ovf = wavefront_search_sharded(
+            a_idx, b_idx, mesh, sp, ep, a.sequences(),
+            frontier_cap=fcap, emit_cap=ecap)
+        if ovf:
+            raise RuntimeError(
+                "sharded-index search overflowed its static device buffers; "
+                "raise sequence_blocks (smaller blocks) and retry")
         spill.emit(values, counts)
     return spill
 

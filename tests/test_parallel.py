@@ -296,3 +296,50 @@ class TestBlockShardedIndex:
         got = search_np.compact_rank_array(v, c)
         assert np.array_equal(got[0], want[0])
         assert np.array_equal(got[1], want[1])
+
+    def test_merge_to_file_sharded_placement(self, rng, tmp_path):
+        """End-to-end product path on the 8-device mesh with block-sharded
+        indexes (VERDICT r2 #4): merge_fmi_to_file with
+        index_placement='sharded' routes the search through
+        ShardedFMIndex + wavefront_search_sharded, streams the rank array
+        through the spill ladder into the native interleave and a format
+        writer, and every device holds only its slab of each record table
+        (per-device budget asserted)."""
+        from bwtmerge_tpu.formats import read_bwt
+        from bwtmerge_tpu.models.merge import (MergeConfig, merge_fmi,
+                                               merge_fmi_to_file)
+        from bwtmerge_tpu.ops.rank_jax import REC
+        from bwtmerge_tpu.ops.rank_sharded import ShardedFMIndex
+
+        a_seqs = oracle.random_collection(rng, 30, 12, 90)
+        b_seqs = oracle.random_collection(rng, 26, 14, 90)
+        a, b = _fmi(a_seqs), _fmi(b_seqs)
+        want = oracle.merge_collections([a_seqs, b_seqs])
+
+        # per-device record-table budget: slab rows only, never the table
+        mesh = make_mesh(8)
+        for fmi in (a, b):
+            idx = ShardedFMIndex.build(fmi.runs, fmi.alpha.counts(),
+                                       mesh=mesh)
+            total = idx.rec.shape[0] * REC * 4
+            for s in idx.rec.addressable_shards:
+                assert s.data.nbytes <= total // 8 + REC * 4
+
+        out = str(tmp_path / "sharded.sga")
+        cfg = MergeConfig(backend="jax", devices=8,
+                          index_placement="sharded", sequence_blocks=2)
+        merge_fmi_to_file(a, b, out, "sga", cfg)
+        got, _, _ = read_bwt(out, "sga")
+        assert got == want
+
+        # merge_fmi takes the same path (full in-memory result)
+        cfg2 = MergeConfig(backend="jax", devices=8,
+                           index_placement="sharded", sequence_blocks=3)
+        merged = merge_fmi(a, b, cfg2)
+        assert merged.runs == want
+
+        # the auto heuristic with a tiny budget also picks the sharded path
+        cfg3 = MergeConfig(backend="jax", devices=8, index_placement="auto",
+                           hbm_budget_bytes=64)
+        merged = merge_fmi(a, b, cfg3)
+        assert merged.runs == want
