@@ -261,3 +261,202 @@ class TestNativeFormatGolden:
         first_diff = next((i for i in range(len(want))
                            if data[i] != want[i]), None)
         assert data == want, f"first differing byte at offset {first_diff}"
+
+
+def pack_bits(values, width) -> bytes:
+    """LSB-first int_vector<0> data words for `values` at `width` bits each
+    (independent re-derivation of sdsl's packing, for expected bytes)."""
+    n_bits = len(values) * width
+    words = [0] * ((n_bits + 63) // 64)
+    for j, v in enumerate(values):
+        bit = j * width
+        w, off = bit // 64, bit % 64
+        words[w] |= (int(v) << off) & 0xFFFFFFFFFFFFFFFF
+        if off + width > 64:
+            words[w + 1] |= int(v) >> (64 - off)
+    return b"".join(u64(w) for w in words)
+
+
+class TestNativeMultiBlockGolden:
+    """Native file whose RLE payload spans THREE 64-byte blocks, with every
+    rank/select structure hand-derived (VERDICT r2 #5): a misreading of the
+    multi-block sd_vector / CumulativeArray / select layout cannot hide
+    behind the single-block golden.
+
+    Run stream: 128 alternating single-position runs (1,1),(2,1) fill RLE
+    blocks 0 and 1 exactly (64 one-byte runs each); block 2 holds (0,8)
+    (one byte 0 + 6*7 = 42) and (3,100) (head 3 + 6*41, varint 58).
+    Text blocks end at positions 63, 127, 235; per-block char counts:
+      c0 (0,0,8)  c1 (32,32,0)  c2 (32,32,0)  c3 (0,0,100)  c4/c5 zero.
+    """
+
+    def test_three_block_native_bytes(self, tmp_path):
+        syms = [1, 2] * 64 + [0, 3]
+        lens = [1] * 128 + [8, 100]
+        runs = RunArrays(np.array(syms, np.uint8), np.array(lens, np.int64))
+        alpha = Alphabet.from_counts(runs.counts(6))
+        data = written_bytes("native", runs, alpha, tmp_path)
+
+        out = io.BytesIO()
+        # header: 8 sequences (count of comp 0), 236 bases
+        out.write(b"!BWT" + u32(0) + u64(8) + u64(236))
+        rle = bytes([1, 2] * 64) + bytes([0 + 6 * 7, 3 + 6 * 41, 58])
+        assert len(rle) == 131  # 3 x 64-byte blocks
+        out.write(u64(131) + rle + b"\x00" * (8 * 1024 * 1024 - 131))
+
+        # CumulativeArray per char c: sd_vector ones at prefix-sum-through-
+        # block-k + k, universe total_c + 3 blocks (support.h:295-380), then
+        # u64 m_size = 3.  Derivations follow sdsl sd_vector.hpp:
+        # wl = (hi(n)+1) - (hi(m)+1) [logm-- when equal]; low = ones & mask;
+        # high = m + (n>>wl) + 1 bits with ones at (one>>wl)+i.
+        def mcl3(arg_cnt, sb_pos, span, mini=None):
+            width = max(span.bit_length(), 1)
+            return (u64(arg_cnt)
+                    + iv0(u64(sb_pos), 7, 7)
+                    + bv(0, b"")
+                    + iv0(pack_bits(mini or [0] * 64, width), 64 * width,
+                          width))
+
+        # c0: ones {0,1,10} in 11 -> wl=2, low {0,1,2}w2, high 6 bits {0,1,4}
+        c0 = (sd_vector_bytes(11, 2, 6, 2, u64(0b100100), 6, u64(0b10011),
+                              mcl3(3, 0, 4),       # sel1 args {0,1,4}
+                              mcl3(3, 2, 3))       # sel0 args {2,3,5}
+              + u64(3))
+        # c1/c2: ones {32,65,66} in 67 -> wl=5, low {0,1,2}w5,
+        # high 6 bits {1,3,4}
+        c12 = (sd_vector_bytes(67, 5, 15, 5, u64(0 | 1 << 5 | 2 << 10),
+                               6, u64(0b11010),
+                               mcl3(3, 1, 3),      # sel1 {1,3,4}
+                               mcl3(3, 0, 5))      # sel0 {0,2,5}
+               + u64(3))
+        # c3: ones {0,1,102} in 103 -> wl=5, low {0,1,6}w5,
+        # high 7 bits {0,1,5}
+        c3 = (sd_vector_bytes(103, 5, 15, 5, u64(0 | 1 << 5 | 6 << 10),
+                              7, u64(0b100011),
+                              mcl3(3, 0, 5),       # sel1 {0,1,5}
+                              mcl3(4, 2, 4))       # sel0 {2,3,4,6}
+              + u64(3))
+        # c4/c5: ones {0,1,2} in 3 -> logm==logn -> wl=1, low {0,1,0}w1,
+        # high 5 bits {0,1,3}
+        c45 = (sd_vector_bytes(3, 1, 3, 1, u64(0b010), 5, u64(0b1011),
+                               mcl3(3, 0, 3),      # sel1 {0,1,3}
+                               mcl3(2, 2, 2))      # sel0 {2,4}
+               + u64(3))
+        out.write(c0 + c12 + c12 + c3 + c45 + c45)
+
+        # block_boundaries: ones {63,127,235} in 236 -> wl=6,
+        # low {63,63,43}w6, high 7 bits {0,2,5}
+        out.write(sd_vector_bytes(
+            236, 6, 18, 6, u64(63 | 63 << 6 | 43 << 12), 7, u64(0b100101),
+            mcl3(3, 0, 5),                         # sel1 {0,2,5}
+            mcl3(4, 1, 5)))                        # sel0 {1,3,4,6}
+
+        # Alphabet: default $ACGTN maps; C = cumsum(8,64,64,100,0,0)
+        char2comp = bytearray([5] * 256)
+        char2comp[0] = char2comp[ord("$")] = 0
+        for i, ch in enumerate("ACGT"):
+            char2comp[ord(ch)] = char2comp[ord(ch.lower())] = i + 1
+        out.write(u64(256 * 8) + bytes(char2comp))
+        out.write(u64(6 * 8) + b"$ACGTN" + b"\x00" * 2)
+        C = [0, 8, 72, 136, 236, 236, 236]
+        out.write(u64(7 * 64) + b"".join(u64(x) for x in C))
+        out.write(u64(6))
+
+        want = out.getvalue()
+        first_diff = next((i for i in range(min(len(want), len(data)))
+                           if data[i] != want[i]), None)
+        assert len(data) == len(want), (len(data), len(want), first_diff)
+        assert data == want, f"first differing byte at offset {first_diff}"
+
+
+class TestSdVectorSecondSuperblockGolden:
+    def test_4097_ones_two_select_superblocks(self):
+        """sd_vector with 4097 ones: its select_support_mcl structures carry
+        a SECOND superblock (one per 4096 args) — pinning the superblock
+        table, the empty mini-or-long indicator, and BOTH miniblocks
+        (select_support_mcl.hpp; VERDICT r2 #5).
+
+        ones = {0..4096} in universe 8192: logm 13, logn 14 -> wl 1;
+        low bit i = i & 1; high = 4097 + 4096 + 1 = 8194 bits with ones at
+        floor(3i/2).
+        """
+        from bwtmerge_tpu.formats.sdsl_compat import write_sd_vector
+
+        m, n = 4097, 8192
+        ones = np.arange(m, dtype=np.uint64)
+        out = io.BytesIO()
+        write_sd_vector(out, ones, n)
+        data = out.getvalue()
+
+        # low: 4097 1-bit entries, bit i = i & 1
+        low = pack_bits([i & 1 for i in range(m)], 1)
+        # high: ones at floor(3i/2)
+        hi_pos = [(3 * i) // 2 for i in range(m)]
+        hi_words = [0] * ((8194 + 63) // 64)
+        for p in hi_pos:
+            hi_words[p // 64] |= 1 << (p % 64)
+        high = b"".join(u64(w) for w in hi_words)
+
+        # select1 over the 4097 high ones (positions floor(3i/2)):
+        #   2 superblocks; table entries {pos(arg0)=0, pos(arg4096)=6144} at
+        #   width hi(word-padded 8256)+1 = 14; no long superblocks (spans
+        #   6142 and 0 < logn^4 = 14^4) -> EMPTY indicator; miniblocks:
+        #   sb0 entries 96j (span 6142 -> width 13), sb1 zeros (width 1).
+        sel1 = (u64(m)
+                + iv0(pack_bits([0, 6144], 14), 28, 14)
+                + bv(0, b"")
+                + iv0(pack_bits([96 * j for j in range(64)], 13), 64 * 13, 13)
+                + iv0(pack_bits([0] * 64, 1), 64, 1))
+        # select0 over the 4097 high zeros: zero arg j at 3j+2 (j < 2048)
+        # then 4097+j; superblock entries {2, 8193}; spans 8190 and 0.
+        def zpos(j):
+            return 3 * j + 2 if j < 2048 else 4097 + j
+        sel0 = (u64(m)
+                + iv0(pack_bits([2, 8193], 14), 28, 14)
+                + bv(0, b"")
+                + iv0(pack_bits([zpos(64 * j) - 2 for j in range(64)], 13),
+                      64 * 13, 13)
+                + iv0(pack_bits([0] * 64, 1), 64, 1))
+
+        want = (u64(n) + bytes([1])
+                + iv0(low, m, 1)
+                + bv(8194, high)
+                + sel1 + sel0)
+        first_diff = next((i for i in range(min(len(want), len(data)))
+                           if data[i] != want[i]), None)
+        assert len(data) == len(want), (len(data), len(want), first_diff)
+        assert data == want, f"first differing byte at offset {first_diff}"
+
+
+class TestBlockArrayMultiBlockGolden:
+    def test_payload_spanning_two_8mb_blocks(self, tmp_path):
+        """Native BlockArray section with > 8 MB of RLE bytes: the payload
+        must zero-pad to TWO 8 MB blocks (support.cpp:229-350; the 8 MB
+        mmap granularity is part of the on-disk framing).  The samples are
+        structural (147k blocks), so only the header + BlockArray section
+        is pinned; the reader round-trip guards the rest.
+        """
+        n_runs = 9 * (1 << 20)  # 9 MB of one-byte runs
+        syms = np.tile(np.array([1, 2], np.uint8), n_runs // 2)
+        runs = RunArrays(syms, np.ones(n_runs, np.int64))
+        alpha = Alphabet.from_counts(runs.counts(6))
+        p = str(tmp_path / "big.native")
+        write_bwt(p, "native", runs, alpha)
+        data = open(p, "rb").read()
+
+        assert data[:4] == b"!BWT"
+        assert data[8:16] == u64(0)          # sequences
+        assert data[16:24] == u64(n_runs)    # bases
+        assert data[24:32] == u64(n_runs)    # BlockArray byte count
+        pattern = bytes([1, 2] * 4096)
+        assert data[32:32 + 8192] == pattern
+        end = 32 + n_runs
+        assert data[end - 8192:end] == pattern
+        # zero padding to exactly two 8 MB blocks
+        pad_end = 32 + 2 * 8 * 1024 * 1024
+        assert data[end:pad_end] == b"\x00" * (pad_end - end)
+        assert data[pad_end:pad_end + 1] != b""  # samples follow
+
+        from bwtmerge_tpu.formats import read_bwt
+        got, _, _ = read_bwt(p, "native")
+        assert got == runs
