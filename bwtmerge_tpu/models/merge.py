@@ -353,6 +353,19 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
                 packed = PackedDeviceRA(dc8, meta_exc, exc4, esc)
                 if not packed.overflowed:
                     return packed
+            elif config.sequence_blocks > n_dev:
+                # over-decomposed multi-device request: host-side dynamic
+                # block queue (the reference's atomic scheduler with devices
+                # as threads, utils.cpp:204-209) — devices that drew cheap
+                # blocks pull more work, so skewed read-length distributions
+                # cannot idle a chip for longer than one block
+                from ..parallel.mesh import dynamic_block_search
+
+                dynamic_block_search(
+                    a_idx, b_idx, a.sequences(), b.sequences(), spill.emit,
+                    n_blocks=config.sequence_blocks, mesh=mesh,
+                    b_size=b.size())
+                return spill
             else:
                 # multi-device: per-device packed RAs stream through a k-way
                 # chunk merge on the host, again no full materialization

@@ -19,8 +19,10 @@ from .sort_distributed import (
 )
 from .mesh import (
     SEQ_AXIS,
+    dynamic_block_search,
     make_mesh,
     sequence_shards,
+    sequence_shards_weighted,
     sharded_backward_search,
     sharded_rank_array,
 )
@@ -40,6 +42,8 @@ __all__ = [
     "suffix_array_sharded",
     "build_bwt_sharded",
     "sequence_shards",
+    "sequence_shards_weighted",
+    "dynamic_block_search",
     "sharded_backward_search",
     "sharded_rank_array",
 ]

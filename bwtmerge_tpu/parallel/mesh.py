@@ -63,6 +63,148 @@ def sequence_shards(n_sequences: int, n_shards: int) -> np.ndarray:
     return bounds
 
 
+def sequence_shards_weighted(weights, n_shards: int) -> np.ndarray:
+    """Closed [sp, ep] sequence-rank ranges balanced by WEIGHT (e.g. read
+    lengths / bases): shard boundaries at equal quantiles of the cumulative
+    weight, so a skewed length distribution no longer idles the shards that
+    drew the short reads.  The reference gets the same effect dynamically
+    (atomic block counter, utils.cpp:204-209); a static mesh needs the
+    balance baked into the partition.  Empty shards get ep < sp.
+    """
+    w = np.asarray(weights, dtype=np.float64)
+    n = w.size
+    bounds = np.zeros((n_shards, 2), dtype=np.int32)
+    if n == 0:
+        bounds[:, 1] = -1
+        return bounds
+    cum = np.cumsum(w)
+    total = cum[-1]
+    # boundary i = first sequence whose cumulative weight exceeds the i-th
+    # quantile; searchsorted keeps the ranges contiguous and monotone
+    qs = total * (np.arange(1, n_shards, dtype=np.float64) / n_shards)
+    cuts = np.concatenate(([0], np.searchsorted(cum, qs, side="left") + 1,
+                           [n]))
+    cuts = np.minimum(cuts, n)
+    for i in range(n_shards):
+        bounds[i] = (cuts[i], cuts[i + 1] - 1)
+    return bounds
+
+
+def dynamic_block_search(a_idx, b_idx, a_sequences: int, b_sequences: int,
+                         emit, n_blocks: Optional[int] = None,
+                         mesh: Optional[Mesh] = None,
+                         frontier_cap: Optional[int] = None,
+                         emit_cap: Optional[int] = None,
+                         b_size: Optional[int] = None,
+                         weights=None,
+                         streamed: Optional[bool] = None,
+                         stats: Optional[dict] = None) -> None:
+    """Host-side dynamic block queue over the mesh's devices — the TPU
+    analog of the reference's atomic-counter scheduler (ParallelLoop,
+    utils.cpp:204-209), with devices in place of threads.
+
+    B's sequences split into `n_blocks` (default 4 per device, the
+    reference's default) equal-count blocks; one worker thread per device
+    pulls blocks from a shared queue and runs the fully-jitted search for
+    its block on ITS device, so devices that drew cheap blocks immediately
+    pull more work — skewed read-length or repetitiveness distributions
+    cannot idle a device for longer than one block.  `emit(values, counts)`
+    is called under a lock with each block's runs.
+
+    `stats`, when given, receives {"per_device_runs": [..]} for balance
+    assertions.
+    """
+    import queue as queue_mod
+    import threading
+
+    import jax
+
+    from ..ops.search_jax import (default_streamed, search_and_pack,
+                                  unpack_search)
+    from ..utils.ranges import get_bounds
+
+    mesh = mesh or make_mesh()
+    devices = list(mesh.devices.reshape(-1))
+    n_dev = len(devices)
+    if streamed is None:
+        streamed = default_streamed()
+    if n_blocks is None:
+        n_blocks = 4 * n_dev
+    n_blocks = max(1, min(n_blocks, max(1, b_sequences)))
+    if weights is not None:
+        # base-weighted blocks (per-sequence costs known, e.g. the build
+        # pipeline's read lengths): equal-weight instead of equal-count
+        blocks = [tuple(b) for b in
+                  sequence_shards_weighted(weights, n_blocks)
+                  if b[1] >= b[0]]
+    else:
+        blocks = [b for b in get_bounds((0, b_sequences - 1), n_blocks)
+                  if b[1] >= b[0]]
+
+    # one program shape for every block (distinct caps would recompile)
+    blk_seqs = int(max(e - s + 1 for s, e in blocks))
+    if frontier_cap is None:
+        frontier_cap = 1 << max(12, (blk_seqs - 1).bit_length() + 1)
+    if emit_cap is None:
+        # emissions per block <= block bases + block sequences; without the
+        # collection size, assume <= 64 bases/sequence (callers with longer
+        # reads pass b_size or emit_cap explicitly)
+        per_seq = (b_size // max(1, b_sequences) + 1) if b_size else 64
+        emit_cap = 1 << (per_seq * blk_seqs + blk_seqs + frontier_cap + 16
+                         ).bit_length()
+
+    q: "queue_mod.Queue" = queue_mod.Queue()
+    for k, blk in enumerate(blocks):
+        q.put((k, blk))
+    lock = threading.Lock()
+    per_device = [0] * n_dev
+    per_block = [0] * len(blocks)
+    errors = []
+
+    def worker(d: int) -> None:
+        import jax.numpy as jnp
+
+        dev = devices[d]
+        a_local = jax.device_put(a_idx, dev)
+        b_local = jax.device_put(b_idx, dev)
+        while True:
+            try:
+                k, (sp, ep) = q.get_nowait()
+            except queue_mod.Empty:
+                return
+            try:
+                with jax.default_device(dev):
+                    packed = search_and_pack(
+                        a_local, b_local, jnp.int32(sp), jnp.int32(ep),
+                        a_sequences, frontier_cap=frontier_cap,
+                        emit_cap=emit_cap, streamed=streamed)
+                    v, c, ovf = unpack_search(*packed)
+                if ovf:
+                    raise RuntimeError(
+                        f"dynamic block [{sp},{ep}] overflowed its device "
+                        "buffers; raise n_blocks")
+                with lock:
+                    per_device[d] += v.size
+                    per_block[k] = v.size
+                    emit(v, c)
+            except Exception as e:  # pragma: no cover - surfaced below
+                errors.append(e)
+                return
+
+    workers = [threading.Thread(target=worker, args=(d,))
+               for d in range(n_dev)]
+    for t in workers:
+        t.start()
+    for t in workers:
+        t.join()
+    if errors:
+        raise errors[0]
+    if stats is not None:
+        stats["per_device_runs"] = per_device
+        stats["per_block_runs"] = per_block
+        stats["n_blocks"] = len(blocks)
+
+
 def _sharded_search_packed(a_idx, b_idx, a_sequences, b_sequences, mesh,
                            frontier_cap, emit_cap, b_seq_offset, streamed):
     """Run the whole search + device-side packing as ONE shard_map program:

@@ -343,3 +343,78 @@ class TestBlockShardedIndex:
                            hbm_budget_bytes=64)
         merged = merge_fmi(a, b, cfg3)
         assert merged.runs == want
+
+
+class TestDynamicScheduling:
+    def test_weighted_shards_balance_bases(self):
+        from bwtmerge_tpu.parallel import sequence_shards_weighted
+
+        # pathological skew: 32 reads of 200 bases then 800 of 10
+        lens = np.array([200] * 32 + [10] * 800, np.int64)
+        bounds = sequence_shards_weighted(lens, 8)
+        # contiguous cover
+        covered = []
+        for sp, ep in bounds:
+            covered.extend(range(sp, ep + 1))
+        assert covered == list(range(lens.size))
+        per = np.array([lens[sp:ep + 1].sum() for sp, ep in bounds])
+        mean = lens.sum() / 8
+        assert per.max() <= 1.25 * mean, per  # one read granularity
+        # equal-count shards for comparison: shard 0 carries ~4x the mean
+        naive = sequence_shards(lens.size, 8)
+        naive_per = np.array([lens[sp:ep + 1].sum() for sp, ep in naive])
+        assert naive_per.max() > 3 * mean
+
+    def test_dynamic_queue_balances_skewed_reads(self, rng):
+        """Pathologically skewed read lengths across 8 virtual devices:
+        base-weighted blocks pulled from the dynamic queue keep per-device
+        emitted-run imbalance <= 15% (VERDICT r2 #6; the reference gets
+        this from its atomic block counter, utils.cpp:204-209)."""
+        from bwtmerge_tpu.parallel import dynamic_block_search
+
+        # B: 16 long reads (120 bases) then 960 short (20 bases) — sized so
+        # one read is well under the 15% balance target per shard
+        b_seqs = ([rng.integers(1, 5, size=120).astype(np.int64)
+                   for _ in range(16)]
+                  + [rng.integers(1, 5, size=20).astype(np.int64)
+                     for _ in range(960)])
+        a_seqs = oracle.random_collection(rng, 40, 30)
+        a, b = _fmi(a_seqs), _fmi(b_seqs)
+        want = search_np.build_rank_array(
+            a.rank_index, a.alpha.C.astype(np.int64),
+            b.rank_index, b.alpha.C.astype(np.int64),
+            a.sequences(), b.sequences())
+
+        from bwtmerge_tpu.ops.search_jax import RankArrayAccumulator
+
+        lens = np.array([s.size for s in b_seqs], np.int64)
+        acc = RankArrayAccumulator()
+        stats = {}
+        dynamic_block_search(
+            a.device_index, b.device_index, a.sequences(), b.sequences(),
+            acc.emit, n_blocks=8, mesh=make_mesh(8),
+            b_size=b.size(), weights=lens + 1, stats=stats)
+        got = acc.finish()
+        assert np.array_equal(got[0], want[0])
+        assert np.array_equal(got[1], want[1])
+
+        # base-weighted blocks: per-shard emitted runs within 15% of the
+        # mean (equal-count shards would give shard 0 ~4x the mean)
+        per = np.array(stats["per_block_runs"], np.float64)
+        mean = per.sum() / per.size
+        imbalance = (per.max() - mean) / mean
+        assert imbalance <= 0.15, (per, imbalance)
+
+        # the dynamic queue covers the unknown-weight case: every device
+        # participated and every block ran exactly once
+        assert stats["n_blocks"] == 8
+        acc2 = RankArrayAccumulator()
+        stats2 = {}
+        dynamic_block_search(
+            a.device_index, b.device_index, a.sequences(), b.sequences(),
+            acc2.emit, n_blocks=64, mesh=make_mesh(8),
+            b_size=b.size(), stats=stats2)
+        got2 = acc2.finish()
+        assert np.array_equal(got2[0], want[0])
+        assert np.array_equal(got2[1], want[1])
+        assert len(stats2["per_block_runs"]) == stats2["n_blocks"] == 64
