@@ -47,7 +47,9 @@ FIXTURE_NAMES = {"large": "huge", "medium": "big", "small": "bench"}
 def _fixture_path(scale: str, side: str) -> str:
     a_reads, b_reads, read_len, _, _ = SCALES[scale]
     n = a_reads if side == "a" else b_reads
-    return os.path.join(CACHE, f"{FIXTURE_NAMES[scale]}_{side}_{n}x{read_len}.sga")
+    ext = "ropebwt" if side == "c" else "sga"
+    return os.path.join(
+        CACHE, f"{FIXTURE_NAMES[scale]}_{side}_{n}x{read_len}.{ext}")
 
 
 def _pick_scale() -> str:
@@ -83,7 +85,8 @@ def _build_fixture(scale: str, side: str, seed: int) -> str:
     bwt = np.where((sa % (read_len + 1) == 0) | (prev < m), 0, prev - m)
     runs = RunArrays.from_values(bwt.astype(np.uint8))
     os.makedirs(CACHE, exist_ok=True)
-    write_bwt(path, "sga", runs, Alphabet.from_counts(runs.counts(6)))
+    fmt = "ropebwt" if side == "c" else "sga"
+    write_bwt(path, fmt, runs, Alphabet.from_counts(runs.counts(6)))
     return path
 
 
@@ -411,6 +414,68 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - never fail the bench
         print(f"# verify-rate extra skipped: {e}", file=sys.stderr)
 
+    # -- k-way fold extra: 3-way mixed-format left fold (sga+sga+ropebwt ->
+    # native), fold-2 wall clock, recompile count, checkpoint/resume cost.
+    # Guarded: never fails the bench.
+    kway_s = recompiles = resume_overhead_s = None
+    try:
+        from bwtmerge_tpu.formats.streaming import write_bwt_stream as _wbs
+        from bwtmerge_tpu.models.merge import MergeConfig, merge_fmi, \
+            merge_fmi_to_file
+
+        c_runs, _, c_alpha = read_bwt(_build_fixture(scale, "c", 104),
+                                      "ropebwt")
+        c = FMI(runs=c_runs, alpha=Alphabet.from_counts(
+            c_runs.counts(6), c_alpha.char2comp, c_alpha.comp2char))
+        cfg = MergeConfig(backend="jax", temp_dir="/tmp")
+        ab = merge_fmi(a, b, cfg)  # fold 1 (the measured merge, warm)
+
+        compile_events = {"n": 0}
+
+        def _on_event(event, duration, **kw):  # pragma: no cover - callback
+            # count only compiles above the persistent-cache threshold:
+            # sub-second helper programs are never persisted by design and
+            # would drown the signal (program-shape reuse across folds)
+            if "backend_compile" in event and duration >= 1.0:
+                compile_events["n"] += 1
+
+        try:
+            jax.monitoring.register_event_duration_secs_listener(_on_event)
+        except Exception:
+            compile_events = None
+
+        t0 = time.monotonic()
+        out_k = os.path.join("/tmp", "bench_kway.native")
+        merge_fmi_to_file(ab, c, out_k, "native", cfg)  # fold 2
+        kway_s = time.monotonic() - t0
+        if compile_events is not None:
+            # program-shape reuse across folds: fold 2 must hit the jit and
+            # persistent caches, compiling nothing new on a warm cache
+            recompiles = compile_events["n"]
+        os.remove(out_k)
+
+        # checkpoint/resume: the pairwise-fold checkpoint artifact is the
+        # intermediate native file (SURVEY §5); overhead = write + reload
+        ck = os.path.join("/tmp", "bench_ckpt.native")
+        t0 = time.monotonic()
+
+        def chunks():
+            step = 1 << 20
+            for s in range(0, ab.runs.syms.size, step):
+                yield ab.runs.syms[s:s + step], ab.runs.lens[s:s + step]
+
+        _wbs(ck, "native", chunks(), ab.alpha)
+        t_write = time.monotonic() - t0
+        t0 = time.monotonic()
+        rr, _, ra_ = read_bwt(ck, "native")
+        assert rr.size() == ab.size()
+        resume_overhead_s = t_write + (time.monotonic() - t0)
+        del rr
+        os.remove(ck)
+        del ab, c
+    except Exception as e:  # pragma: no cover - never fail the bench
+        print(f"# k-way extra skipped: {e}", file=sys.stderr)
+
     from bwtmerge_tpu.utils.metrics import memory_usage
 
     inserted_mbases = b.size() / 1e6
@@ -451,6 +516,10 @@ def main() -> None:
             "build_rlo_Mbases_s": round(build_mbp, 2) if build_mbp else None,
             "verify_2M32_s": round(verify_s, 2) if verify_s else None,
             "verify_Mpatterns_s": round(verify_mp, 2) if verify_mp else None,
+            "kway_s": round(kway_s, 2) if kway_s else None,
+            "recompiles": recompiles,
+            "resume_overhead_s": (round(resume_overhead_s, 2)
+                                  if resume_overhead_s else None),
             "warmup_compile_s": round(warmup_s, 1),
             "setup_s": round(setup_s, 1),
         },
