@@ -946,6 +946,24 @@ def _cut_chunk_q4(x, byte_start, length):
     return jax.lax.dynamic_slice(x, (jnp.int32(3), byte_start), (1, length))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "esc_rungs", "exc4_rungs"))
+def _grid_program(dc8, esc, exc4, chunk: int,
+                  esc_rungs: tuple, exc4_rungs: tuple):
+    """EVERY slice the blocked consumer may copy, as ONE device program:
+    the q4 window grid plus the side-stream ladder rungs.  Each program
+    execution on the remote service costs ~5-10 ms of queue time, so the
+    ~25 separate slice programs per block were adding ~0.3 s of device
+    serial time between the blocks' searches."""
+    cap = dc8.shape[1]
+    q4 = [jax.lax.dynamic_slice(dc8, (jnp.int32(3), jnp.int32(s // 2)),
+                                (1, chunk // 2))
+          for s in range(0, cap, chunk)]
+    esc_l = [jax.lax.slice(esc, (0, 0), (2, k)) for k in esc_rungs]
+    exc4_l = [jax.lax.slice(exc4, (0, 0), (3, k)) for k in exc4_rungs]
+    return q4, esc_l, exc4_l
+
+
 def stream_packed_ra(dc8, meta_exc, exc4=None,
                      chunk_runs: int = 4 * 1024 * 1024,
                      presliced=None, esc=None, plane=None):
@@ -1342,22 +1360,26 @@ def blocked_search_and_pack(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
         chunk = min(chunk_runs, cap)
         chunk = max(2, chunk - (chunk & 1))  # q4 nibble alignment
         bound = min(cap, block_emit_bound) if block_emit_bound else cap
-        q4_slices = [_cut_chunk_q4(dc8, jnp.int32(s // 2), chunk // 2)
-                     for s in range(0, cap, chunk)]
-        # sparse side-stream ladders: every rung is dispatched NOW so no
-        # consumer-side fetch ever creates a program that would queue
-        # behind a later search; the full-width rung is the buffer itself
-        # (copying it needs no program at all)
+        # sparse side-stream ladders: every rung is computed NOW (one grid
+        # program per block) so no consumer-side fetch ever creates a
+        # program that would queue behind a later search; the full-width
+        # rung is the buffer itself (copying it needs no program at all)
         esc_cap = esc.shape[1]
         esc_eager = _esc_bucket(max(bound // 8, 1 << 14), esc_cap)
-        esc_ladder, k = {esc_cap: esc}, esc_eager
+        esc_rungs, k = [], esc_eager
         while k < esc_cap:
-            esc_ladder[k] = _cut_esc(esc, k)
+            esc_rungs.append(k)
             k *= 4
-        exc4_ladder, k = {exc4.shape[1]: exc4}, 1 << 10
+        exc4_rungs, k = [], 1 << 10
         while k < exc4.shape[1]:
-            exc4_ladder[k] = _cut_exc4(exc4, k)
+            exc4_rungs.append(k)
             k *= 8
+        q4_slices, esc_slices, exc4_slices = _grid_program(
+            dc8, esc, exc4, chunk, tuple(esc_rungs), tuple(exc4_rungs))
+        esc_ladder = dict(zip(esc_rungs, esc_slices))
+        esc_ladder[esc_cap] = esc
+        exc4_ladder = dict(zip(exc4_rungs, exc4_slices))
+        exc4_ladder[exc4.shape[1]] = exc4
         grid = {
             "q4": (q4_slices, chunk),
             "esc": esc_ladder,
