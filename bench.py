@@ -476,6 +476,45 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - never fail the bench
         print(f"# k-way extra skipped: {e}", file=sys.stderr)
 
+    # -- GB-scale spill-ladder stress (host-only, guarded): the reference
+    # sustains 287-306 GB of temp disk (paper.tex:268); this exercises the
+    # same ladder mechanics — emit/compact/spill then k-way disk re-merge —
+    # at ~1 GB of encoded spill, far beyond what the 51 Mbp merge sheds.
+    spill_1g_s = spill_1g_files = spill_1g_mb = None
+    try:
+        from bwtmerge_tpu.models.spill import RankArraySpill
+
+        rng = np.random.default_rng(13)
+        stress = RankArraySpill(temp_dir="/tmp",
+                                spill_threshold_runs=32 * 1024 * 1024,
+                                compact_every=16 * 1024 * 1024)
+        t0 = time.monotonic()
+        total = 0
+        base = 0
+        chunk = 16 * 1024 * 1024
+        while stress.total_spilled_bytes < 1_000_000_000:
+            # ascending sorted-unique chunks with genomic-like deltas
+            deltas = rng.integers(1, 5, size=chunk)
+            v = base + np.cumsum(deltas)
+            base = int(v[-1])
+            stress.emit(v, rng.integers(1, 4, size=chunk).astype(np.int64))
+            total += chunk
+        spill_1g_files = stress.n_spill_files
+        spill_1g_mb = stress.total_spilled_bytes / 1e6
+        n_out = 0
+        prev = -1
+        for v, c in stress.stream():
+            assert v[0] > prev
+            prev = int(v[-1])
+            n_out += v.size
+        assert n_out == total  # unique ascending by construction
+        spill_1g_s = time.monotonic() - t0
+        print(f"# spill 1GB stress: {spill_1g_s:.1f}s ({total/1e6:.0f}M runs,"
+              f" {spill_1g_files} files, {spill_1g_mb:.0f} MB encoded)",
+              file=sys.stderr)
+    except Exception as e:  # pragma: no cover - never fail the bench
+        print(f"# spill stress skipped: {e}", file=sys.stderr)
+
     from bwtmerge_tpu.utils.metrics import memory_usage
 
     inserted_mbases = b.size() / 1e6
@@ -520,6 +559,9 @@ def main() -> None:
             "recompiles": recompiles,
             "resume_overhead_s": (round(resume_overhead_s, 2)
                                   if resume_overhead_s else None),
+            "spill_1g_s": round(spill_1g_s, 1) if spill_1g_s else None,
+            "spill_1g_files": spill_1g_files,
+            "spill_1g_MB": round(spill_1g_mb, 0) if spill_1g_mb else None,
             "warmup_compile_s": round(warmup_s, 1),
             "setup_s": round(setup_s, 1),
         },
