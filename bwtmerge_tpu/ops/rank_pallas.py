@@ -49,7 +49,7 @@ try:  # Pallas imports fail cleanly on backends without Mosaic
 except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
-TILE = 2048       # record-table blocks per grid step (rel <= TILE*BLK = 2^16,
+TILE = 1024       # record-table blocks per grid step (rel <= TILE*BLK = 2^15,
                   # so the hi byte plane stays <= 256 — still bf16-exact)
 QT = 256          # queries per DMA chunk
 OUT_W = 16        # output row: LANES ranks, the symbol at q, zero padding

@@ -508,7 +508,7 @@ def wavefront_search_device(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
 
 
 EXC_CAP = 8192       # byte-plane exception slots (gap/count > 254)
-EXC4_CAP = 1 << 20   # nibble-plane exception slots (gap > 14 or count > 15)
+EXC4_CAP = 1 << 16   # >254-outlier slots shared by the nibble/q4 planes
 META_ROWS = 4        # byte-plane exc(3 rows) + scalar metadata(1 row)
 
 # 4-bit pair-code table: codes 0-14 name the most frequent (delta, count)
@@ -689,16 +689,21 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array,
     wide8 = live & ~fits8
     n_exc4 = jnp.sum(wide8.astype(jnp.int32))
     k4 = min(EXC4_CAP, max(e, 1))
-    # exception lanes by one non-stable 3-operand sort (wide lanes carry
-    # their lane index, the rest a sentinel): O(E) flat cost, and still
-    # SORTED by lane (the host skips its argsort)
-    key4 = jnp.where(wide8, lane, jnp.int32(2**31 - 1))
-    ki, kd, kc = jax.lax.sort((key4, delta, cnt), num_keys=1,
-                              is_stable=False)
+    # outlier lanes by binary search on the running count of wide lanes
+    # (k4 queries over the cumsum): with the 2-byte escape stream carrying
+    # everything <= 254, outliers are so rare that the query count dropped
+    # from 1M to 64k and the searchsorted (~0.06 s at 67M lanes) beats the
+    # full-width 3-operand sort (~0.27 s) it replaces.  Comes out SORTED
+    # by lane, as the decoders require.
+    cs4 = jnp.cumsum(wide8.astype(jnp.int32))
+    slots4 = jnp.arange(1, k4 + 1, dtype=jnp.int32)
+    lane4 = (jnp.searchsorted(cs4, slots4).astype(jnp.int32)
+             if e else slots4 * 0)
     valid4 = jnp.arange(k4, dtype=jnp.int32) < n_exc4
-    exc4_idx = jnp.where(valid4, ki[:k4], -1)
-    exc4_delta = jnp.where(valid4, kd[:k4], 0)
-    exc4_count = jnp.where(valid4, kc[:k4], 0)
+    safe4 = jnp.where(valid4, lane4, 0)
+    exc4_idx = jnp.where(valid4, lane4, -1)
+    exc4_delta = jnp.where(valid4, delta[safe4], 0)
+    exc4_count = jnp.where(valid4, cnt[safe4], 0)
 
     # single-buffer outputs: each device->host transfer pays ~50-100 ms of
     # link latency, so the planes and each exception table ship as ONE
