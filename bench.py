@@ -201,7 +201,7 @@ def main() -> None:
         def counted(chunks):
             for syms, lens in chunks:
                 totals["runs"] += syms.size
-                totals["bases"] += int(lens.sum())
+                totals["bases"] += int(np.sum(lens, dtype=np.int64))
                 yield syms, lens
 
         profile = os.environ.get("BENCH_PROFILE")

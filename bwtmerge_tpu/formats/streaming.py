@@ -97,7 +97,8 @@ class StreamingNativeWriter:
             if rows != -2:
                 break
             # grow: RLE bound ~2 B/run + varints; block rows ~bytes/64
-            est_bytes = 2 * syms.size + int(lens.sum()) // 41 + 1024
+            est_bytes = (2 * syms.size
+                         + int(np.sum(lens, dtype=np.int64)) // 41 + 1024)
             self._rle = _grown(self._rle, max(2 * self._rle.size, est_bytes))
             est_rows = est_bytes // 64 + syms.size // 32 + 1024
             self._blk_id = _grown(self._blk_id, est_rows)
@@ -201,15 +202,15 @@ class StreamingSGAWriter:
             n = sga_stream_chunk(syms, lens, self._state, self._codes)
             if n != -2:
                 break
-            est = int(lens.sum()) // 31 + 2 * syms.size + 1024
+            est = int(np.sum(lens, dtype=np.int64)) // 31 + 2 * syms.size + 1024
             self._codes = _grown(self._codes, max(2 * self._codes.size, est))
         if n < 0:
             raise RuntimeError(f"sga_stream_chunk failed (code {n})")
         self.f.write(self._codes[:n])
 
         self.n_codes += n
-        self.bases += int(np.sum(lens))
-        self.sequences += int(np.sum(lens[syms == 0]))
+        self.bases += int(np.sum(lens, dtype=np.int64))
+        self.sequences += int(np.sum(lens[syms == 0], dtype=np.int64))
 
     def close(self) -> None:
         if self._closed:
@@ -229,11 +230,15 @@ STREAM_WRITERS = {
 
 
 def write_bwt_stream(path: str, fmt: str, chunks, alpha: Alphabet) -> None:
-    """Write a BWT from an iterator of (syms, lens) run chunks."""
+    """Write a BWT from an iterator of (syms, lens) run chunks (int32 or
+    int64 lens; int32 chunks may carry over-wide runs split into adjacent
+    same-symbol entries, which the native kernels re-coalesce)."""
     if fmt not in STREAM_WRITERS:
         raise ValueError(f"no streaming writer for format: {fmt}")
     w = STREAM_WRITERS[fmt](path, alpha)
     for syms, lens in chunks:
-        w.write_chunk(np.asarray(syms, dtype=np.uint8),
-                      np.asarray(lens, dtype=np.int64))
+        lens = np.asarray(lens)
+        if lens.dtype != np.int32:
+            lens = np.ascontiguousarray(lens, dtype=np.int64)
+        w.write_chunk(np.asarray(syms, dtype=np.uint8), lens)
     w.close()

@@ -11,6 +11,7 @@ import numpy as np
 from .build import load_library
 
 _u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
 
 
@@ -292,6 +293,11 @@ def _configure_stream_interleave(lib) -> None:
         ctypes.c_void_p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, _u8p, _i64p,
     ]
+    lib.interleave_ctx_chunk32.restype = ctypes.c_int64
+    lib.interleave_ctx_chunk32.argtypes = [
+        ctypes.c_void_p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, _u8p, _i32p,
+    ]
     lib.interleave_ctx_free.restype = None
     lib.interleave_ctx_free.argtypes = [ctypes.c_void_p]
     lib._bwtmerge_stream_configured = True
@@ -347,9 +353,13 @@ def interleave_stream_chunks(a_runs, b_runs, ra_chunks, n_buffers: int = 3,
 
     a_total_pos = int(a_lens.sum())
     consumed = {"a_pos": 0, "b_pos": 0}
+    # int32 run lengths: the chain is memory-bandwidth-bound and (sym, len)
+    # pairs cross it twice (interleave stores, writer loads) — 5 B/run
+    # instead of 9.  Over-wide runs arrive as adjacent same-symbol entries
+    # (RunEmitterT<int32> splits); the int32-aware writers re-coalesce.
     ring = [_il_buffer_pool.pop() if _il_buffer_pool
             else {"s": np.empty(1 << 16, dtype=np.uint8),
-                  "l": np.empty(1 << 16, dtype=np.int64)}
+                  "l": np.empty(1 << 16, dtype=np.int32)}
             for _ in range(max(1, n_buffers))]
     turn = {"i": 0}
 
@@ -372,11 +382,11 @@ def interleave_stream_chunks(a_runs, b_runs, ra_chunks, n_buffers: int = 3,
             if bufs["s"].size < cap:
                 bufs["s"] = np.empty(max(cap, 2 * bufs["s"].size),
                                      dtype=np.uint8)
-                bufs["l"] = np.empty(bufs["s"].size, dtype=np.int64)
+                bufs["l"] = np.empty(bufs["s"].size, dtype=np.int32)
             out_s, out_l = bufs["s"], bufs["l"]
-            n = lib.interleave_ctx_chunk(ctx, rv, rc, rv.size,
-                                         1 if finish else 0,
-                                         out_s.size, out_s, out_l)
+            n = lib.interleave_ctx_chunk32(ctx, rv, rc, rv.size,
+                                           1 if finish else 0,
+                                           out_s.size, out_s, out_l)
             if n != -2:
                 break
             cap = 2 * bufs["s"].size
@@ -425,8 +435,12 @@ def interleave_streaming(a_runs, b_runs, ra_chunks):
              for s, l in interleave_stream_chunks(a_runs, b_runs, ra_chunks)]
     if not parts:
         return RunArrays.empty()
-    return RunArrays(np.concatenate([p[0] for p in parts]),
-                     np.concatenate([p[1] for p in parts]))
+    syms = np.concatenate([p[0] for p in parts])
+    lens = np.concatenate([p[1] for p in parts]).astype(np.int64)
+    if syms.size > 1 and bool(np.any(syms[1:] == syms[:-1])):
+        # >2^31 runs arrive split into adjacent same-symbol entries
+        return RunArrays(syms, lens).coalesced()
+    return RunArrays(syms, lens)
 
 
 def _configure_encode_at(lib) -> None:
@@ -450,15 +464,30 @@ def _configure_stream_writers(lib) -> None:
         _u8p, _i64p, ctypes.c_int64, _i64p,
         _u8p, ctypes.c_int64, _i64p, _i64p, _i64p, ctypes.c_int64,
     ]
+    lib.sga_stream_chunk32.restype = ctypes.c_int64
+    lib.sga_stream_chunk32.argtypes = [_u8p, _i32p, ctypes.c_int64, _i64p,
+                                       _u8p, ctypes.c_int64]
+    lib.native_stream_chunk32.restype = ctypes.c_int64
+    lib.native_stream_chunk32.argtypes = [
+        _u8p, _i32p, ctypes.c_int64, _i64p,
+        _u8p, ctypes.c_int64, _i64p, _i64p, _i64p, ctypes.c_int64,
+    ]
     lib._bwtmerge_writer_configured = True
 
 
 def sga_stream_chunk(syms, lens, state: np.ndarray, out: np.ndarray) -> int:
     """Encode a run chunk into SGA codes inside the caller's persistent `out`
     buffer, resuming the stored-run partition at state[0] (updated).  Returns
-    the number of codes, or -2 when `out` is too small (state unchanged)."""
+    the number of codes, or -2 when `out` is too small (state unchanged).
+    Accepts int32 OR int64 lens (int32 chunks may carry split runs as
+    adjacent same-symbol entries; the kernel re-coalesces them)."""
     lib = _lib()
     _configure_stream_writers(lib)
+    lens = np.asarray(lens)
+    if lens.dtype == np.int32:
+        return int(lib.sga_stream_chunk32(
+            _as_u8(syms), np.ascontiguousarray(lens), len(syms),
+            state, out, out.size))
     return int(lib.sga_stream_chunk(_as_u8(syms), _as_i64(lens), len(syms),
                                     state, out, out.size))
 
@@ -472,6 +501,11 @@ def native_stream_chunk(syms, lens, state: np.ndarray, rle: np.ndarray,
     count, or -2 when a buffer is too small (state unchanged)."""
     lib = _lib()
     _configure_stream_writers(lib)
+    lens = np.asarray(lens)
+    if lens.dtype == np.int32:
+        return int(lib.native_stream_chunk32(
+            _as_u8(syms), np.ascontiguousarray(lens), len(syms), state,
+            rle, rle.size, blk_id, blk_end, blk_cc, blk_id.size))
     return int(lib.native_stream_chunk(
         _as_u8(syms), _as_i64(lens), len(syms), state,
         rle, rle.size, blk_id, blk_end, blk_cc, blk_id.size))

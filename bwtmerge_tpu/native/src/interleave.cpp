@@ -26,9 +26,10 @@
 
 namespace {
 
-struct RunEmitter {
+template <typename LenT>
+struct RunEmitterT {
   uint8_t* out_syms;
-  int64_t* out_lens;
+  LenT* out_lens;
   int64_t cap;  // capacity of out_syms/out_lens; writes beyond set overflow
   int64_t count = 0;
   uint8_t cur_sym = 0;
@@ -47,19 +48,25 @@ struct RunEmitter {
   }
 
   inline void flush() {
-    if (cur_len > 0) {
+    // int32 outputs SPLIT over-wide runs into adjacent same-symbol entries
+    // (the stateful format writers re-coalesce them); int64 never splits
+    while (cur_len > 0) {
+      int64_t take = cur_len;
+      if (sizeof(LenT) == 4 && take > 0x7FFFFFFFLL) take = 0x7FFFFFFFLL;
       if (count >= cap) {
         overflow = true;
         cur_len = 0;
         return;
       }
       out_syms[count] = cur_sym;
-      out_lens[count] = cur_len;
+      out_lens[count] = static_cast<LenT>(take);
       count++;
-      cur_len = 0;
+      cur_len -= take;
     }
   }
 };
+
+using RunEmitter = RunEmitterT<int64_t>;
 
 struct Cursor {  // position within one RLE stream
   int64_t run = 0;   // current run index
@@ -69,11 +76,12 @@ struct Cursor {  // position within one RLE stream
 // Serial interleave of RA runs [t0, t1) given stream cursors; returns false on
 // emitter overflow or if a stream is exhausted while positions are still owed
 // (corrupt rank array).
+template <typename Emitter>
 bool interleave_span(const uint8_t* a_syms, const int64_t* a_lens, int64_t na,
                      const uint8_t* b_syms, const int64_t* b_lens, int64_t nb,
                      const int64_t* ra_vals, const int64_t* ra_cnts,
                      int64_t t0, int64_t t1, int64_t a_pos0, Cursor& a,
-                     Cursor& b, RunEmitter& out) {
+                     Cursor& b, Emitter& out) {
   int64_t a_pos = a_pos0;
   for (int64_t t = t0; t < t1; t++) {
     int64_t v = ra_vals[t];
@@ -98,8 +106,9 @@ bool interleave_span(const uint8_t* a_syms, const int64_t* a_lens, int64_t na,
   return !out.overflow;
 }
 
+template <typename Emitter>
 void drain_a(const uint8_t* a_syms, const int64_t* a_lens, int64_t na,
-             Cursor& a, RunEmitter& out) {
+             Cursor& a, Emitter& out) {
   while (a.run < na && a.rem > 0) {  // append the rest of A (bwt.cpp:266-276)
     out.emit(a_syms[a.run], a.rem);
     if (++a.run < na) a.rem = a_lens[a.run];
@@ -402,10 +411,13 @@ bool walk_local_cum(const int64_t* lens, int64_t n, Cursor cur, int64_t need,
 
 }  // namespace
 
-EXPORT int64_t interleave_ctx_chunk(void* vctx, const int64_t* ra_vals,
-                                    const int64_t* ra_cnts, int64_t nra,
-                                    int64_t finish, int64_t out_cap,
-                                    uint8_t* out_syms, int64_t* out_lens) {
+namespace {
+
+template <typename LenT>
+int64_t ctx_chunk_impl(void* vctx, const int64_t* ra_vals,
+                       const int64_t* ra_cnts, int64_t nra,
+                       int64_t finish, int64_t out_cap,
+                       uint8_t* out_syms, LenT* out_lens) {
   ILCtx& c = *static_cast<ILCtx*>(vctx);
   const int64_t na = c.na, nb = c.nb;
 
@@ -479,7 +491,7 @@ EXPORT int64_t interleave_ctx_chunk(void* vctx, const int64_t* ra_vals,
 
   auto run_slice = [&](int64_t i) {
     Slice& s = slices[i];
-    RunEmitter out{out_syms + s.off, out_lens + s.off, s.cap};
+    RunEmitterT<LenT> out{out_syms + s.off, out_lens + s.off, s.cap};
     if (i == 0) {  // resume the withheld trailing run
       out.cur_sym = c.w_sym;
       out.cur_len = c.w_len;
@@ -517,13 +529,19 @@ EXPORT int64_t interleave_ctx_chunk(void* vctx, const int64_t* ra_vals,
     Slice& s = slices[i];
     int64_t from = 0;
     if (n > 0 && s.count > 0 && s.first_sym == out_syms[n - 1]) {
-      out_lens[n - 1] += out_lens[s.off];
-      from = 1;
+      int64_t summed = static_cast<int64_t>(out_lens[n - 1])
+                       + static_cast<int64_t>(out_lens[s.off]);
+      if (sizeof(LenT) == 8 || summed <= 0x7FFFFFFFLL) {
+        // int32 seams too wide to coalesce stay as adjacent same-symbol
+        // entries; the stateful format writers re-coalesce them
+        out_lens[n - 1] = static_cast<LenT>(summed);
+        from = 1;
+      }
     }
     int64_t add = s.count - from;
     std::memmove(out_syms + n, out_syms + s.off + from, add);
     std::memmove(out_lens + n, out_lens + s.off + from,
-                 add * sizeof(int64_t));
+                 add * sizeof(LenT));
     n += add;
   }
 
@@ -538,13 +556,44 @@ EXPORT int64_t interleave_ctx_chunk(void* vctx, const int64_t* ra_vals,
     c.w_sym = 0;
     c.w_len = 0;
   } else if (n > 0) {
-    // withhold the trailing run for cross-chunk coalescing
+    // withhold the trailing MAXIMAL run for cross-chunk coalescing — the
+    // whole trailing same-symbol GROUP, since the int32 emitter may have
+    // split an over-wide run into adjacent entries (a partial withhold
+    // would leak same-symbol adjacency ACROSS chunks, which the format
+    // writers' contract excludes)
     c.w_sym = out_syms[n - 1];
-    c.w_len = out_lens[n - 1];
-    n--;
+    c.w_len = 0;
+    while (n > 0 && out_syms[n - 1] == c.w_sym) {
+      c.w_len += static_cast<int64_t>(out_lens[n - 1]);
+      n--;
+    }
   } else {
     c.w_sym = 0;
     c.w_len = 0;
   }
   return n;
+}
+
+}  // namespace
+
+EXPORT int64_t interleave_ctx_chunk(void* vctx, const int64_t* ra_vals,
+                                    const int64_t* ra_cnts, int64_t nra,
+                                    int64_t finish, int64_t out_cap,
+                                    uint8_t* out_syms, int64_t* out_lens) {
+  return ctx_chunk_impl<int64_t>(vctx, ra_vals, ra_cnts, nra, finish,
+                                 out_cap, out_syms, out_lens);
+}
+
+// int32 run lengths: HALF the dominant store/load traffic of the
+// memory-bound merge phase (the host interleave+writer chain moves
+// ~9 B/run of (sym, len) twice).  Runs wider than int32 split into
+// adjacent same-symbol entries; the int32-aware format writers
+// (writer.cpp *_32) re-coalesce them, so the encoded bytes stay
+// canonical (maximal-run).
+EXPORT int64_t interleave_ctx_chunk32(void* vctx, const int64_t* ra_vals,
+                                      const int64_t* ra_cnts, int64_t nra,
+                                      int64_t finish, int64_t out_cap,
+                                      uint8_t* out_syms, int32_t* out_lens) {
+  return ctx_chunk_impl<int32_t>(vctx, ra_vals, ra_cnts, nra, finish,
+                                 out_cap, out_syms, out_lens);
 }

@@ -39,13 +39,16 @@ inline int64_t bit_length(uint64_t v) { return v ? 64 - __builtin_clzll(v) : 1; 
 // emit(c, stored_len, global_byte_offset, byte_width) per stored run and
 // write_byte(global_offset, byte) per encoded byte.  Mirrors
 // codec.cpp encode_impl exactly (one stored run per head byte).
-template <typename EmitRun, typename WriteByte>
-inline bool walk_stored(const uint8_t* syms, const int64_t* lens, int64_t n,
+template <typename LenT, typename EmitRun, typename WriteByte>
+inline bool walk_stored(const uint8_t* syms, const LenT* lens, int64_t n,
                         int64_t* pos_io, EmitRun&& emit, WriteByte&& write_byte) {
   int64_t pos = *pos_io;
   for (int64_t r = 0; r < n; r++) {
     uint8_t c = syms[r];
     int64_t length = lens[r];
+    // re-coalesce adjacent same-symbol entries (int32 producers split
+    // over-wide runs) so the encoded bytes stay canonical maximal-run
+    while (r + 1 < n && syms[r + 1] == c) length += lens[++r];
     while (length > 0) {
       int64_t run_off = pos;
       if (length < MAX_RUN) {
@@ -94,9 +97,12 @@ inline bool walk_stored(const uint8_t* syms, const int64_t* lens, int64_t n,
 // 64-byte block rule at state[0] (global RLE byte offset, updated on success).
 // Returns the number of codes written, or -2 if `cap` would be exceeded
 // (state unchanged; caller grows `out` and retries).
-EXPORT int64_t sga_stream_chunk(const uint8_t* syms, const int64_t* lens,
-                                int64_t n, int64_t* state, uint8_t* out,
-                                int64_t cap) {
+namespace {
+
+template <typename LenT>
+int64_t sga_chunk_impl(const uint8_t* syms, const LenT* lens,
+                       int64_t n, int64_t* state, uint8_t* out,
+                       int64_t cap) {
   int64_t pos = state[0];
   int64_t n_codes = 0;
   bool ok = walk_stored(
@@ -128,11 +134,12 @@ EXPORT int64_t sga_stream_chunk(const uint8_t* syms, const int64_t* lens,
 // chunks exactly as before).  Returns the number of rows, or -2 if rle_cap /
 // blk_cap would be exceeded (state unchanged, caller grows and retries).
 // The number of RLE bytes written is new_state[0] - old_state[0].
-EXPORT int64_t native_stream_chunk(const uint8_t* syms, const int64_t* lens,
-                                   int64_t n, int64_t* state, uint8_t* rle,
-                                   int64_t rle_cap, int64_t* blk_id,
-                                   int64_t* blk_end, int64_t* blk_cc,
-                                   int64_t blk_cap) {
+template <typename LenT>
+int64_t native_chunk_impl(const uint8_t* syms, const LenT* lens,
+                          int64_t n, int64_t* state, uint8_t* rle,
+                          int64_t rle_cap, int64_t* blk_id,
+                          int64_t* blk_end, int64_t* blk_cc,
+                          int64_t blk_cap) {
   if (n == 0) return 0;
   const int64_t start = state[0];
   int64_t pos = start;
@@ -181,4 +188,36 @@ EXPORT int64_t native_stream_chunk(const uint8_t* syms, const int64_t* lens,
   state[1] = text_pos;
   for (int64_t c = 0; c < SIGMA; c++) state[2 + c] = counts[c];
   return rows;
+}
+
+}  // namespace
+
+EXPORT int64_t sga_stream_chunk(const uint8_t* syms, const int64_t* lens,
+                                int64_t n, int64_t* state, uint8_t* out,
+                                int64_t cap) {
+  return sga_chunk_impl<int64_t>(syms, lens, n, state, out, cap);
+}
+
+EXPORT int64_t sga_stream_chunk32(const uint8_t* syms, const int32_t* lens,
+                                  int64_t n, int64_t* state, uint8_t* out,
+                                  int64_t cap) {
+  return sga_chunk_impl<int32_t>(syms, lens, n, state, out, cap);
+}
+
+EXPORT int64_t native_stream_chunk(const uint8_t* syms, const int64_t* lens,
+                                   int64_t n, int64_t* state, uint8_t* rle,
+                                   int64_t rle_cap, int64_t* blk_id,
+                                   int64_t* blk_end, int64_t* blk_cc,
+                                   int64_t blk_cap) {
+  return native_chunk_impl<int64_t>(syms, lens, n, state, rle, rle_cap,
+                                    blk_id, blk_end, blk_cc, blk_cap);
+}
+
+EXPORT int64_t native_stream_chunk32(const uint8_t* syms, const int32_t* lens,
+                                     int64_t n, int64_t* state, uint8_t* rle,
+                                     int64_t rle_cap, int64_t* blk_id,
+                                     int64_t* blk_end, int64_t* blk_cc,
+                                     int64_t blk_cap) {
+  return native_chunk_impl<int32_t>(syms, lens, n, state, rle, rle_cap,
+                                    blk_id, blk_end, blk_cc, blk_cap);
 }

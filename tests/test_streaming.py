@@ -201,3 +201,51 @@ class TestStreamingReaders:
         open(p, "wb").write(data[: len(data) - 7])
         with pytest.raises(ValueError, match="truncated"):
             read_bwt(p, "sga")
+
+
+class TestInt32Chunks:
+    def test_int32_chunks_with_splits_byte_identical(self, tmp_path, rng):
+        """int32-lens chunks (the interleave chain's layout) must produce
+        byte-identical files, including when over-wide runs arrive split
+        into adjacent same-symbol entries (the writers re-coalesce)."""
+        import numpy as np
+        from bwtmerge_tpu.formats.streaming import write_bwt_stream
+        from bwtmerge_tpu.models.runs import RunArrays
+        from bwtmerge_tpu.utils.alphabet import Alphabet
+
+        syms = rng.integers(0, 5, size=4000).astype(np.uint8)
+        lens = rng.integers(1, 200, size=4000).astype(np.int64)
+        runs = RunArrays(syms, lens).coalesced()
+        alpha = Alphabet.from_counts(runs.counts(6))
+
+        for fmt in ("sga", "native"):
+            want = str(tmp_path / f"w.{fmt}")
+            write_bwt_stream(want, fmt,
+                             [(runs.syms, runs.lens)], alpha)
+
+            # int32 stream with every 3rd run split into two entries
+            s_parts, l_parts = [], []
+            for i in range(runs.syms.size):
+                s, l = int(runs.syms[i]), int(runs.lens[i])
+                if i % 3 == 0 and l > 1:
+                    s_parts += [s, s]
+                    l_parts += [l - 1, 1]
+                else:
+                    s_parts.append(s)
+                    l_parts.append(l)
+            split_s = np.asarray(s_parts, np.uint8)
+            split_l = np.asarray(l_parts, np.int32)
+            got = str(tmp_path / f"g.{fmt}")
+            # ragged chunking exercises cross-call state; cuts respect the
+            # writer contract (no same-symbol adjacency ACROSS chunks —
+            # the producer withholds trailing groups to guarantee it)
+            cuts = [0]
+            for c in (17, 1000, 2345):
+                while c < split_s.size and split_s[c - 1] == split_s[c]:
+                    c += 1
+                cuts.append(min(c, split_s.size))
+            cuts.append(split_s.size)
+            write_bwt_stream(got, fmt,
+                             [(split_s[a:b], split_l[a:b])
+                              for a, b in zip(cuts, cuts[1:])], alpha)
+            assert open(got, "rb").read() == open(want, "rb").read(), fmt
