@@ -274,3 +274,45 @@ class TestHashFlag:
         want = FMI.from_runs(
             oracle.merge_collections([a_seqs, b_seqs])).hash()
         assert printed[0].split()[-1] == f"{want:016x}"
+
+
+class TestIndexPlacementFlag:
+    def test_sharded_placement_cli(self, tmp_path, rng):
+        """bwt_merge --index-placement sharded routes through the
+        block-sharded index on the 8-virtual-device mesh and produces the
+        same file as the replicated path."""
+        import subprocess
+        import sys
+
+        from bwtmerge_tpu.formats import write_bwt
+        from bwtmerge_tpu.models import oracle
+        from bwtmerge_tpu.models.runs import RunArrays
+        from bwtmerge_tpu.utils.alphabet import Alphabet
+
+        a_seqs = oracle.random_collection(rng, 20, 12, 90)
+        b_seqs = oracle.random_collection(rng, 16, 12, 90)
+        for name, seqs in (("a", a_seqs), ("b", b_seqs)):
+            runs = oracle.build_bwt(seqs)
+            write_bwt(str(tmp_path / f"{name}.sga"), "sga", runs,
+                      Alphabet.from_counts(runs.counts(6)))
+
+        import os
+        env = {**os.environ,
+               "JAX_PLATFORMS": "cpu",
+               "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+        outs = {}
+        for placement in ("replicated", "sharded"):
+            out = str(tmp_path / f"m_{placement}.sga")
+            r = subprocess.run(
+                [sys.executable, "-m", "bwtmerge_tpu.cli.bwt_merge",
+                 str(tmp_path / "a.sga"), str(tmp_path / "b.sga"), out,
+                 "-i", "sga", "-o", "sga", "-t", "8", "--quiet",
+                 "--index-placement", placement, "-d", str(tmp_path)],
+                capture_output=True, text=True, env=env)
+            assert r.returncode == 0, r.stderr[-2000:]
+            outs[placement] = open(out, "rb").read()
+        assert outs["replicated"] == outs["sharded"]
+
+        from bwtmerge_tpu.formats import read_bwt
+        got, _, _ = read_bwt(str(tmp_path / "m_sharded.sga"), "sga")
+        assert got == oracle.merge_collections([a_seqs, b_seqs])
