@@ -109,7 +109,7 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(CACHE, "xla_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     # The FIRST device->host transfer in a process pays a one-off channel

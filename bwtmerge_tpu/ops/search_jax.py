@@ -795,16 +795,6 @@ def dispatch_exc4(exc4_dev, n_exc4: int, presliced=None):
     return s
 
 
-def fetch_exc4(exc4_dev, n_exc4: int, presliced=None) -> np.ndarray:
-    """Bucketed device fetch of the first n_exc4 nibble exceptions.
-
-    Power-of-two slice lengths keep the remote-compile program cache small;
-    the waste is bounded at 2x of a table that is ~1% the plane size."""
-    if n_exc4 == 0:
-        return np.zeros((3, 0), np.int32)
-    return np.asarray(dispatch_exc4(exc4_dev, n_exc4, presliced))
-
-
 @functools.partial(jax.jit, static_argnames=("length",))
 def _cut_esc(x, length):
     return jax.lax.slice(x, (0, 0), (2, length))
@@ -812,7 +802,7 @@ def _cut_esc(x, length):
 
 def _esc_bucket(n_esc2: int, cap: int) -> int:
     """Power-of-two prefix length covering the first n_esc2 escape pairs
-    (bounded by the buffer) — shared by fetch_esc and the blocked
+    (bounded by the buffer) — shared by dispatch_esc and the blocked
     prefetcher so a pre-dispatched prefix is found by exact length."""
     k = 1 << 10
     while k < n_esc2 and k < cap:
@@ -843,15 +833,6 @@ def dispatch_esc(esc_dev, n_esc2: int, presliced=None):
         s = esc_dev if k >= cap else _cut_esc(esc_dev, k)
     s.copy_to_host_async()
     return s
-
-
-def fetch_esc(esc_dev, n_esc2: int, presliced=None) -> np.ndarray:
-    """Bucketed device fetch of the first n_esc2 escape byte pairs (the
-    planes' shared 2-row side stream).  `presliced` maps prefix length ->
-    pre-dispatched device prefix (BlockedPackedRA's prefetch thread)."""
-    if n_esc2 == 0:
-        return np.zeros((2, 0), np.uint8)
-    return np.asarray(dispatch_esc(esc_dev, n_esc2, presliced))
 
 
 # Minimum transfer-byte saving before the pair-code plane is preferred over
