@@ -418,3 +418,76 @@ class TestDynamicScheduling:
         assert np.array_equal(got2[0], want[0])
         assert np.array_equal(got2[1], want[1])
         assert len(stats2["per_block_runs"]) == stats2["n_blocks"] == 64
+
+
+class TestRangeInterleave:
+    def test_range_shards_concatenate_to_full_interleave(self, rng):
+        """interleave_range_chunks over consecutive A-position ranges +
+        coalesce_run_chunks must reproduce the full interleave exactly —
+        the single-process core of the multihost sharded merge output."""
+        from bwtmerge_tpu.native import interleave_native
+        from bwtmerge_tpu.parallel.distributed import (coalesce_run_chunks,
+                                                       interleave_range_chunks)
+
+        a_seqs = oracle.random_collection(rng, 12, 10, 70)
+        b_seqs = oracle.random_collection(rng, 9, 10, 70)
+        a, b = _fmi(a_seqs), _fmi(b_seqs)
+        v, c = search_np.build_rank_array(
+            a.rank_index, a.alpha.C.astype(np.int64),
+            b.rank_index, b.alpha.C.astype(np.int64),
+            a.sequences(), b.sequences())
+        want = interleave_native(a.runs, b.runs, v, c)
+
+        for n_ranges in (1, 2, 5):
+            # range boundaries at value quantiles, lo_0 = 0, tiling
+            cuts = [0] + [int(v[(k * v.size) // n_ranges])
+                          for k in range(1, n_ranges)] + [2**62]
+            parts = []
+            cum = np.concatenate(([0], np.cumsum(c)))
+            for k in range(n_ranges):
+                lo, hi = cuts[k], cuts[k + 1]
+                sel = (v >= lo) & (v < hi)
+                b_off = int(cum[np.searchsorted(v, lo, side="left")])
+                parts.append(list(interleave_range_chunks(
+                    a.runs, b.runs, iter([(v[sel], c[sel])]),
+                    lo, min(hi, 2**62), b_off,
+                    last=(k == n_ranges - 1), chunk_runs=37)))
+            merged = list(coalesce_run_chunks(
+                ch for p in parts for ch in p))
+            got_s = np.concatenate([m[0] for m in merged])
+            got_l = np.concatenate([m[1] for m in merged])
+            assert np.array_equal(got_s, want.syms), n_ranges
+            assert np.array_equal(got_l, want.lens), n_ranges
+
+    def test_empty_middle_range_collapses(self, rng):
+        """A range with no RA values (lo == hi) contributes nothing and the
+        neighbors still tile the output."""
+        from bwtmerge_tpu.native import interleave_native
+        from bwtmerge_tpu.parallel.distributed import (coalesce_run_chunks,
+                                                       interleave_range_chunks)
+
+        a_seqs = oracle.random_collection(rng, 5, 8, 40)
+        b_seqs = oracle.random_collection(rng, 4, 8, 40)
+        a, b = _fmi(a_seqs), _fmi(b_seqs)
+        v, c = search_np.build_rank_array(
+            a.rank_index, a.alpha.C.astype(np.int64),
+            b.rank_index, b.alpha.C.astype(np.int64),
+            a.sequences(), b.sequences())
+        want = interleave_native(a.runs, b.runs, v, c)
+        mid = int(v[v.size // 2])
+        cum = np.concatenate(([0], np.cumsum(c)))
+        b_mid = int(cum[np.searchsorted(v, mid, side="left")])
+        sel0 = v < mid
+        parts = (list(interleave_range_chunks(
+                    a.runs, b.runs, iter([(v[sel0], c[sel0])]),
+                    0, mid, 0, last=False))
+                 + list(interleave_range_chunks(   # empty collapsed range
+                    a.runs, b.runs, iter([]), mid, mid, b_mid, last=False))
+                 + list(interleave_range_chunks(
+                    a.runs, b.runs, iter([(v[~sel0], c[~sel0])]),
+                    mid, 2**62, b_mid, last=True)))
+        merged = list(coalesce_run_chunks(iter(parts)))
+        got_s = np.concatenate([m[0] for m in merged])
+        got_l = np.concatenate([m[1] for m in merged])
+        assert np.array_equal(got_s, want.syms)
+        assert np.array_equal(got_l, want.lens)
