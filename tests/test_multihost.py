@@ -90,3 +90,16 @@ def test_two_process_rank_array(tmp_path):
                       MergeConfig(backend="numpy"))
     with open(merged, "rb") as f1, open(want_file, "rb") as f2:
         assert f1.read() == f2.read()
+
+
+def test_word_split_roundtrip():
+    """Cross-process RA payloads travel as int32 word pairs (jax x64 is
+    off); values beyond 2^31 — terabase-scale a-positions — must survive."""
+    import numpy as np
+
+    from bwtmerge_tpu.parallel.distributed import _join_words, _split_words
+
+    x = np.array([0, 1, 2**31 - 1, 2**31, 2**40 + 123, 2**62 - 1], np.int64)
+    lo, hi = _split_words(x)
+    assert lo.dtype == np.int32 and hi.dtype == np.int32
+    assert np.array_equal(_join_words(lo, hi), x)
