@@ -563,7 +563,7 @@ def main() -> None:
             "spill_1g_s": round(spill_1g_s, 1) if spill_1g_s else None,
             "spill_1g_files": spill_1g_files,
             "spill_1g_MB": round(spill_1g_mb, 0) if spill_1g_mb else None,
-            "warmup_compile_s": round(warmup_s, 1),
+            "warmup_pass_s": round(warmup_s, 1),  # first full pass: compiles (if cold) + link-weather transfers
             "setup_s": round(setup_s, 1),
         },
     }))
