@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "doubling (jax, ~100x at 100 Mbp), mesh-distributed "
                         "sort (sharded, for > one chip's memory), host "
                         "numpy, or auto by collection size (default)")
+    p.add_argument("--no-sidecar", action="store_true",
+                   help="skip the read-text sidecar (<output>.reads4); the "
+                        "sidecar lets later merges use the walk search "
+                        "without decoding this BWT first")
     p.add_argument("--list-formats", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--quiet", action="store_true")
     return p
@@ -73,6 +77,13 @@ def main(argv=None) -> int:
     runs, _ = build_from_reads((flat, lengths), rlo=args.rlo,
                                backend=args.backend)
     write_bwt(args.output, args.output_format, runs, alphabet_for(runs))
+    if not args.no_sidecar:
+        # read-text sidecar: lets merges walk-search this BWT without a
+        # device decode (read ORDER is irrelevant to the rank array — the
+        # walk's emissions depend only on each read's own characters)
+        from ..formats.sidecar import sidecar_path, write_sidecar
+
+        write_sidecar(sidecar_path(args.output), lengths, flat)
     seconds = time.monotonic() - start
 
     if not args.quiet:

@@ -27,6 +27,11 @@ class FMI:
     alpha: Alphabet
     _rank: Optional[RankIndex] = field(default=None, repr=False, compare=False)
     _device: object = field(default=None, repr=False, compare=False)
+    # read-text sidecar (formats/sidecar.py): path on disk and/or the loaded
+    # walk-layout array — enables the walk search fast path (ops/walk_jax.py)
+    creads_path: Optional[str] = field(default=None, repr=False, compare=False)
+    _creads: Optional[np.ndarray] = field(default=None, repr=False,
+                                          compare=False)
 
     # -- construction ----------------------------------------------------------
 
@@ -63,6 +68,33 @@ class FMI:
     def invalidate(self) -> None:
         self._rank = None
         self._device = None
+        self.creads_path = None
+        self._creads = None
+
+    def creads(self) -> Optional[np.ndarray]:
+        """The read-text sidecar in walk layout (int8[max_len, R], characters
+        from each read's end, 0-padded), if attached or on disk; None
+        otherwise.  See ops/walk_jax.py for what this unlocks."""
+        if self._creads is None and self.creads_path is not None:
+            import os
+
+            from ..formats.sidecar import load_creads
+
+            if os.path.exists(self.creads_path):
+                try:
+                    self._creads = load_creads(self.creads_path)
+                except (ValueError, OSError) as e:
+                    # a bad sidecar must never break a merge — the walk is
+                    # an optimization; warn and fall back to the trie
+                    import sys
+
+                    print(f"ignoring unreadable reads sidecar: {e}",
+                          file=sys.stderr)
+                    self.creads_path = None
+        return self._creads
+
+    def attach_creads(self, creads: np.ndarray) -> None:
+        self._creads = creads
 
     # -- queries ---------------------------------------------------------------
 
@@ -236,7 +268,9 @@ def load_fmi(path: str, fmt: str = "native") -> FMI:
     from ..formats import read_bwt
 
     runs, _counts, alpha = read_bwt(path, fmt)
-    return FMI(runs=runs, alpha=alpha)
+    from ..formats.sidecar import sidecar_path
+
+    return FMI(runs=runs, alpha=alpha, creads_path=sidecar_path(path))
 
 
 def serialize_fmi(fmi: FMI, path: str, fmt: str = "native") -> None:

@@ -52,6 +52,14 @@ class MergeConfig:
     # k's rank-array D2H transfer (0 = auto: 2 blocks once B is big enough
     # that the transfer time is worth hiding)
     device_blocks: int = 0
+    # search algorithm: 'walk' (per-read backward walk, ops/walk_jax.py —
+    # needs B's read text: sidecar or device decode), 'trie' (the wavefront
+    # reverse-trie drivers), or 'auto' (walk when a sidecar is present or a
+    # device decode is cheap, trie otherwise).  Env BWTMERGE_SEARCH overrides.
+    search: str = "auto"
+    # cache a device-decoded read-text sidecar next to B's file so later
+    # folds/runs skip the decode (only when B came from a file)
+    cache_sidecar: bool = False
     verbose: bool = False
     timer: PhaseTimer = field(default_factory=PhaseTimer)
 
@@ -64,6 +72,9 @@ class MergeConfig:
             raise ValueError(
                 f"index_placement must be auto/replicated/sharded, "
                 f"got {self.index_placement!r}")
+        if self.search not in ("auto", "walk", "trie"):
+            raise ValueError(
+                f"search must be auto/walk/trie, got {self.search!r}")
         return self
 
     def temp_prefix(self) -> str:
@@ -282,6 +293,21 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
         from ..ops.search_jax import wavefront_search
 
         a_idx = a.device_index
+
+        # Fastest path: per-read backward walk through A ONLY (no B-side
+        # probes, no range phase, B's device index never uploaded) — needs
+        # B's read text (ops/walk_jax.py for the math and the measured
+        # economics).  Falls through to the trie drivers when text is
+        # unavailable/oversized or the walk is disabled.
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(config.devices)
+        n_dev = mesh.devices.size
+        if n_dev == 1:
+            primed = _try_walk_search(a, b, config, a_idx)
+            if primed is not None:
+                return primed
+
         b_idx = b.device_index
 
         # Preferred path: whole search as one compiled program per device
@@ -290,10 +316,6 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
         # host round trips are expensive on remote-attached TPUs, so the
         # host-driven streaming driver below is only the fallback for inputs
         # whose frontier/emission sizes overflow the static device buffers.
-        from ..parallel.mesh import make_mesh
-
-        mesh = make_mesh(config.devices)
-        n_dev = mesh.devices.size
         if _resolve_placement(config, a, b, n_dev) == "sharded":
             # indexes beyond one chip's HBM: block-sharded record tables
             # (BASELINE configs[4]'s shape — the reference has no analog,
@@ -397,6 +419,93 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
         )
         spill.emit(values, counts)
     return spill
+
+
+WALK_MAX_LEN = 1 << 14         # beyond this the trie's depth handling wins
+WALK_BLOCK_EMITS = 48 << 20    # per-block emission lanes (~1.5 GB device)
+
+
+def _search_mode(config: MergeConfig) -> str:
+    env = os.environ.get("BWTMERGE_SEARCH")
+    if env in ("walk", "trie", "auto"):
+        return env
+    return getattr(config, "search", "auto")
+
+
+def _try_walk_search(a: FMI, b: FMI, config: MergeConfig, a_idx):
+    """Attempt the walk search (ops/walk_jax.py).  Returns a primed packed
+    stream, or None to fall through to the trie drivers.
+
+    'auto' uses the walk only when B's read text is already on hand (the
+    build pipeline's sidecar); 'walk' forces it, decoding B on device once
+    when no sidecar exists (cache_sidecar persists the result next to B's
+    file for every later fold/run)."""
+    mode = _search_mode(config)
+    if mode == "trie" or b.sequences() == 0:
+        return None
+    creads = b.creads()
+    if creads is not None and not _creads_consistent(creads, b):
+        import sys
+
+        print("ignoring stale reads sidecar (character counts do not match "
+              "the BWT)", file=sys.stderr)
+        creads = None
+        b.creads_path = None
+    if creads is None:
+        if mode != "walk":
+            return None
+        from ..ops.walk_jax import decode_creads
+
+        creads = decode_creads(b.device_index, b.sequences(), b.size(),
+                               max_len_cap=WALK_MAX_LEN)
+        if creads is None:      # a read exceeds the cap: trie handles it
+            return None
+        b.attach_creads(creads)
+        if getattr(config, "cache_sidecar", False) and b.creads_path:
+            _write_decoded_sidecar(b.creads_path, creads)
+    if creads.shape[0] > WALK_MAX_LEN:
+        return None
+    from ..ops.walk_jax import blocked_walk_and_pack
+
+    max_len, r_total = creads.shape
+    n_blk = config.device_blocks
+    if n_blk == 0:
+        n_blk = 2 if b.size() >= 16 * 1024 * 1024 else 1
+    # bound per-block device emission memory (values+counts+sort ~16 B/lane)
+    while (max_len * -(-r_total // n_blk)) > WALK_BLOCK_EMITS \
+            and n_blk < max(1, r_total):
+        n_blk *= 2
+    packed = blocked_walk_and_pack(a_idx, creads, n_blk,
+                                   a_sequences=a.sequences())
+    return _prime_stream(packed)
+
+
+def _creads_consistent(creads, b: FMI) -> bool:
+    """Cheap integrity gate before trusting a sidecar: read count and
+    per-character totals must match B's alphabet (a stale/mismatched sidecar
+    would otherwise produce a silently wrong merge)."""
+    if creads.shape[1] != b.sequences():
+        return False
+    have = np.bincount(creads.reshape(-1).astype(np.uint8),
+                       minlength=8).astype(np.int64)
+    C = b.alpha.C.astype(np.int64)
+    want = np.diff(C[:7])          # counts of comps 0..5
+    return bool(np.array_equal(have[1:6], want[1:]))
+
+
+def _write_decoded_sidecar(path: str, creads) -> None:
+    """Persist a device-decoded creads array as a sidecar file (lengths +
+    flat text recovered from the walk layout)."""
+    import numpy as np
+
+    from ..formats.sidecar import write_sidecar
+
+    lens = (creads > 0).sum(axis=0).astype(np.uint32)
+    # flat chars in read order, text order (reverse of the walk layout)
+    parts = [creads[:n, i][::-1].astype(np.uint8)
+             for i, n in enumerate(lens)]
+    flat = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    write_sidecar(path, lens, flat)
 
 
 DEFAULT_HBM_BUDGET = 12 << 30  # usable HBM per chip (v5e: 16 GiB raw)

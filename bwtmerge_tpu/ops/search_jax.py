@@ -623,6 +623,16 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array,
     else:
         v, c = sort_ra_device(values, counts, n)
         n_u = n
+    dc, exc, exc4, esc2, n_exc, n_exc4, n_esc2 = _pack_planes(v, c, n_u)
+    return dc, exc, exc4, esc2, n_u, n_exc, n_exc4, n_esc2
+
+
+def _pack_planes(v: jax.Array, c: jax.Array, n_u: jax.Array):
+    """Delta/byte/nibble/pair-code packing of SORTED runs (the tail of
+    pack_ra_device, shared with the walk path's presorted emissions).
+
+    v must be ascending in the first n_u lanes with int32-max beyond;
+    returns (dc, exc, exc4, esc2, n_exc, n_exc4, n_esc2)."""
     e = v.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (e, 1), 0)[:, 0]
     live = lane < n_u
@@ -717,7 +727,7 @@ def pack_ra_device(values: jax.Array, counts: jax.Array, n: jax.Array,
                      fit(exc_count, EXC_CAP)])
     exc4 = jnp.stack([fit(exc4_idx, EXC4_CAP), fit(exc4_delta, EXC4_CAP),
                       fit(exc4_count, EXC4_CAP)])
-    return dc, exc, exc4, esc2, n_u, n_exc, n_exc4, n_esc2
+    return dc, exc, exc4, esc2, n_exc, n_exc4, n_esc2
 
 
 @functools.partial(jax.jit,
@@ -1342,44 +1352,55 @@ def blocked_search_and_pack(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
         dc8, meta, exc4, esc = search_and_pack(
             a_idx, b_idx, jnp.int32(sp), jnp.int32(ep), a_sequences,
             frontier_cap=frontier_cap, emit_cap=emit_cap, streamed=streamed)
-        cap = dc8.shape[1]
-        chunk = min(chunk_runs, cap)
-        chunk = max(2, chunk - (chunk & 1))  # q4 nibble alignment
-        bound = min(cap, block_emit_bound) if block_emit_bound else cap
-        # sparse side-stream ladders: every rung is computed NOW (one grid
-        # program per block) so no consumer-side fetch ever creates a
-        # program that would queue behind a later search; the full-width
-        # rung is the buffer itself (copying it needs no program at all)
-        esc_cap = esc.shape[1]
-        esc_eager = _esc_bucket(max(bound // 8, 1 << 14), esc_cap)
-        esc_rungs, k = [], esc_eager
-        while k < esc_cap:
-            esc_rungs.append(k)
-            k *= 4
-        exc4_rungs, k = [], 1 << 10
-        while k < exc4.shape[1]:
-            exc4_rungs.append(k)
-            k *= 8
-        q4_slices, esc_slices, exc4_slices = _grid_program(
-            dc8, esc, exc4, chunk, tuple(esc_rungs), tuple(exc4_rungs))
-        esc_ladder = dict(zip(esc_rungs, esc_slices))
-        esc_ladder[esc_cap] = esc
-        exc4_ladder = dict(zip(exc4_rungs, exc4_slices))
-        exc4_ladder[exc4.shape[1]] = exc4
-        grid = {
-            "q4": (q4_slices, chunk),
-            "esc": esc_ladder,
-            "exc4": exc4_ladder,
-        }
-        # eager copy requests, in stream order behind this block's programs
-        meta.copy_to_host_async()
-        live_w = (min(bound + 2, cap) + chunk - 1) // chunk
-        for s in q4_slices[:live_w]:
-            s.copy_to_host_async()
-        esc_ladder[min(esc_ladder)].copy_to_host_async()
-        exc4_ladder[min(exc4_ladder)].copy_to_host_async()
-        parts.append((dc8, meta, exc4, esc, grid))
+        parts.append(make_block_part(dc8, meta, exc4, esc, chunk_runs,
+                                     block_emit_bound))
     return BlockedPackedRA(parts)
+
+
+def make_block_part(dc8, meta, exc4, esc, chunk_runs: int,
+                    block_emit_bound: int | None):
+    """Dispatch a packed block's slice grid + side-stream ladders and EAGERLY
+    request every D2H copy the consumer will need — in stream order right
+    behind the block's own programs, so the DMAs overlap the NEXT block's
+    compute (see blocked_search_and_pack).  Returns the BlockedPackedRA
+    part tuple."""
+    cap = dc8.shape[1]
+    chunk = min(chunk_runs, cap)
+    chunk = max(2, chunk - (chunk & 1))  # q4 nibble alignment
+    bound = min(cap, block_emit_bound) if block_emit_bound else cap
+    # sparse side-stream ladders: every rung is computed NOW (one grid
+    # program per block) so no consumer-side fetch ever creates a
+    # program that would queue behind a later search; the full-width
+    # rung is the buffer itself (copying it needs no program at all)
+    esc_cap = esc.shape[1]
+    esc_eager = _esc_bucket(max(bound // 8, 1 << 14), esc_cap)
+    esc_rungs, k = [], esc_eager
+    while k < esc_cap:
+        esc_rungs.append(k)
+        k *= 4
+    exc4_rungs, k = [], 1 << 10
+    while k < exc4.shape[1]:
+        exc4_rungs.append(k)
+        k *= 8
+    q4_slices, esc_slices, exc4_slices = _grid_program(
+        dc8, esc, exc4, chunk, tuple(esc_rungs), tuple(exc4_rungs))
+    esc_ladder = dict(zip(esc_rungs, esc_slices))
+    esc_ladder[esc_cap] = esc
+    exc4_ladder = dict(zip(exc4_rungs, exc4_slices))
+    exc4_ladder[exc4.shape[1]] = exc4
+    grid = {
+        "q4": (q4_slices, chunk),
+        "esc": esc_ladder,
+        "exc4": exc4_ladder,
+    }
+    # eager copy requests, in stream order behind this block's programs
+    meta.copy_to_host_async()
+    live_w = (min(bound + 2, cap) + chunk - 1) // chunk
+    for s in q4_slices[:live_w]:
+        s.copy_to_host_async()
+    esc_ladder[min(esc_ladder)].copy_to_host_async()
+    exc4_ladder[min(exc4_ladder)].copy_to_host_async()
+    return (dc8, meta, exc4, esc, grid)
 
 
 def unpack_ra(dc8: np.ndarray, exc: np.ndarray, n: int, n_exc: int):

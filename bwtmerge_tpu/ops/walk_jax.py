@@ -1,0 +1,266 @@
+"""Rank-array construction by per-read backward walk — the round-4 search
+fast path.
+
+The rank array is an order-independent MULTISET of a-positions (it is
+re-sorted before interleaving), and the reverse-trie search's emissions
+(buildRA, reference fmi.cpp:261-334) equal
+
+  * the root run (value = a.sequences(), count = B.sequences()), plus
+  * for each read r of B and each suffix length t in 1..len(r): the value
+    a_t of the backward walk a_0 = a.sequences(),
+    a_{t+1} = C_A[c_t] + rank_A(a_t, c_t), with c_t the t-th character of
+    read r counted FROM THE END
+
+(each walk state after consuming t characters is the rank in A of the
+length-t suffix — one emission per B position, exactly the trie's multiset;
+verified against the trie oracle in tests/test_walk.py).
+
+So when B's per-read text is available — our build pipeline emits it as a
+sidecar for free, and any BWT can be decoded into it once on device
+(decode_creads) — the whole search phase collapses to a batched walk
+through A ONLY:
+
+  * no B-side probes at all and no range phase;
+  * state stays in FIXED read-lane order, so each step's characters are a
+    contiguous row slice of `creads` (layout [max_len, R], characters from
+    the read END, 0 past the end) — no sorts, no realignment;
+  * rank_A at a KNOWN character is one 8-byte-row gather from the
+    per-character occ/bitmask planes (build_cplanes) — measured 10 ns/lane
+    on v5e vs ~21 ns for the 64-byte fused record row and ~8.5 ns/query
+    for the sorted streamed probe PLUS its two realignment sorts;
+  * emissions land as contiguous [max_len, R] rows; the pack is one
+    2-operand device sort (measured ~1 ns/lane) + the shared plane packer.
+
+The trade: the walk processes every B position individually, giving up the
+trie's shared-prefix batching (paper.tex:182-184) — the wavefront drivers
+in search_jax.py remain the path for highly repetitive collections and for
+the sharded-index mesh.  Reference counterparts: buildRA fmi.cpp:261-334
+(replaced), BWT::rank bwt.cpp:318-341 (the per-step primitive).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .rank_jax import BLK, LANES, SIGMA, DeviceFMIndex
+from .search_jax import EXC_CAP, _bucket, _pack_planes
+
+_SENT = 2**31 - 1
+NC = SIGMA - 1        # walked characters 1..SIGMA-1 (endmarker never walked)
+
+# Per-character rank planes: row (block*NC + c-1) = [occ_c, bitmask_c] where
+# occ_c counts character c in positions [0, 32*block) and bit k of bitmask_c
+# is set iff the block's position k holds c.  rank(a, c) for KNOWN c is then
+# ONE 8-byte row gather + popcount — the narrow-row analog of the 64-byte
+# fused record (rank_jax.py), 2x cheaper per query on v5e because gathers
+# are fixed-cost-bound, not byte-bound, only below ~16 B/row.
+_SHIFTS = np.zeros(BLK, dtype=np.uint32)
+# unpack order: lane l = 8*b + w holds position 4*w + b (rank_jax._POS_OF_LANE)
+_SHIFTS[:] = 1
+_SHIFTS = (_SHIFTS << (4 * (np.arange(BLK) % 8) + np.arange(BLK) // 8)).astype(np.uint32)
+
+
+@jax.jit
+def build_cplanes(rec: jax.Array) -> jax.Array:
+    """Per-character (occ, bitmask) planes from the fused record table.
+
+    rec: int32[NBLK, 16] (rank_jax layout).  Returns int32[NBLK*NC, 2].
+    Derived entirely on device — k-way folds rebuild it from the merged
+    record table with no host round trip.
+    """
+    nblk = rec.shape[0]
+    words = rec[:, LANES:].astype(jnp.uint32)                  # [NBLK, 8]
+    syms = jnp.concatenate(
+        [((words >> s) & 0xFF).astype(jnp.int32) for s in (0, 8, 16, 24)],
+        axis=1)                                                # [NBLK, 32]
+    shifts = jnp.asarray(_SHIFTS)[None, :]                     # [1, 32] u32
+    rows = []
+    for c in range(1, SIGMA):
+        mask = jnp.sum(jnp.where(syms == c, shifts, jnp.uint32(0)),
+                       axis=1, dtype=jnp.uint32)               # [NBLK]
+        rows.append(jnp.stack(
+            [rec[:, c],
+             jax.lax.bitcast_convert_type(mask, jnp.int32)], axis=1))
+    return jnp.stack(rows, axis=1).reshape(nblk * NC, 2)
+
+
+def _rank_known_char(cpl: jax.Array, C: jax.Array, a: jax.Array,
+                     cc: jax.Array) -> jax.Array:
+    """LF(a, cc) for known characters cc in [1, SIGMA): one 8 B gather."""
+    row = cpl[(a >> 5) * NC + (cc - 1)]                        # [R, 2]
+    off = (a & (BLK - 1)).astype(jnp.uint32)
+    mask = jax.lax.bitcast_convert_type(row[:, 1], jnp.uint32)
+    low = (jnp.uint32(1) << off) - jnp.uint32(1)               # off in [0,31]
+    cnt = jax.lax.population_count(mask & low).astype(jnp.int32)
+    return C[cc] + row[:, 0] + cnt
+
+
+@jax.jit
+def _walk_emit(cpl: jax.Array, C: jax.Array, creads: jax.Array,
+               a_sequences: jax.Array):
+    """The walk loop: creads int8[max_len, R] (chars from the read end,
+    0-padded) -> (emits int32[max_len, R] with _SENT in dead lanes,
+    n_live total emissions).  Exits early once every lane is dead."""
+    max_len, r = creads.shape
+    a0 = jnp.full((r,), 0, jnp.int32) + a_sequences
+    emits0 = jnp.full((max_len, r), _SENT, jnp.int32)
+
+    def cond(st):
+        t, a, emits, n_live, n_alive = st
+        return (t < max_len) & (n_alive > 0)
+
+    def body(st):
+        t, a, emits, n_live, _ = st
+        c = jax.lax.dynamic_slice(creads, (t, 0), (1, r))[0].astype(jnp.int32)
+        alive = c > 0
+        cc = jnp.maximum(c, 1)
+        child = _rank_known_char(cpl, C, a, cc)
+        a = jnp.where(alive, child, a)
+        row = jnp.where(alive, child, _SENT)
+        emits = jax.lax.dynamic_update_slice(emits, row[None], (t, 0))
+        n_alive = jnp.sum(alive.astype(jnp.int32))
+        return t + 1, a, emits, n_live + n_alive, n_alive
+
+    st = (jnp.int32(0), a0, emits0, jnp.int32(0), jnp.int32(1))
+    _, _, emits, n_live, _ = jax.lax.while_loop(cond, body, st)
+    return emits, n_live
+
+
+@jax.jit
+def walk_and_pack_device(cpl: jax.Array, C: jax.Array, creads: jax.Array,
+                         a_sequences: jax.Array, root_count: jax.Array):
+    """Walk + root run + sort + plane packing as ONE device program.
+
+    Same output contract as search_and_pack (search_jax.py): (dc uint8[4, E],
+    meta_exc int32[4, EXC_CAP], exc4, esc) — so PackedDeviceRA /
+    stream_packed_ra / the blocked consumers work unchanged.  The walk's
+    emission count is bounded by its buffer by construction, so overflow is
+    structurally impossible (meta overflow flag always 0).
+    """
+    max_len, r = creads.shape
+    emits, n_live = _walk_emit(cpl, C, creads, a_sequences)
+    e0 = max_len * r
+    e = _bucket(e0 + 1, minimum=1 << 10)
+    values = jnp.full((e,), _SENT, jnp.int32)
+    values = jax.lax.dynamic_update_slice(values, emits.reshape(-1), (0,))
+    values = values.at[e0].set(a_sequences)          # the root run
+    counts = (values != _SENT).astype(jnp.int32)
+    counts = counts.at[e0].set(root_count)
+    v, c = jax.lax.sort((values, counts), num_keys=1, is_stable=False)
+    n_u = n_live + 1
+    dc, exc, exc4, esc, n_exc, n_exc4, n_esc2 = _pack_planes(v, c, n_u)
+    meta = jnp.zeros((1, EXC_CAP), jnp.int32)
+    meta = meta.at[0, 0].set(n_u).at[0, 1].set(n_exc)
+    meta = meta.at[0, 3].set(n_exc4).at[0, 4].set(n_esc2)
+    return dc, jnp.concatenate([exc, meta], axis=0), exc4, esc
+
+
+def blocked_walk_and_pack(a_idx: DeviceFMIndex, creads: np.ndarray,
+                          n_blocks: int,
+                          a_sequences: int | None = None,
+                          chunk_runs: int | None = None):
+    """The walk search over read blocks, packed per block and consumed as
+    one ascending chunk stream (BlockedPackedRA) — the walk analog of
+    blocked_search_and_pack: block k+1's walk compute overlaps block k's
+    rank-array D2H transfers.
+
+    creads: int8[max_len, R] walk layout (host).  Blocks partition the READ
+    LANES; each block's emissions are sorted on device, so the k-way chunk
+    merge sums duplicates across blocks exactly as for sequence blocks.
+    """
+    from .search_jax import BlockedPackedRA, make_block_part
+
+    if a_sequences is None:
+        a_sequences = int(a_idx.C[1])
+    max_len, r_total = creads.shape
+    n_blocks = max(1, min(n_blocks, r_total))
+    per = -(-r_total // n_blocks)
+    per = _bucket(per, minimum=128)              # one program shape per fold
+    cpl = build_cplanes(a_idx.rec)
+    if chunk_runs is None:
+        chunk_runs = BlockedPackedRA.CHUNK
+    parts = []
+    for b in range(0, r_total, per):
+        blk = creads[:, b:b + per]
+        n_lanes = blk.shape[1]
+        if n_lanes < per:                        # pad lanes are dead (c=0)
+            blk = np.pad(blk, ((0, 0), (0, per - n_lanes)))
+        # root-run share: each block's lanes are whole reads (pads excluded)
+        root = n_lanes
+        dc8, meta, exc4, esc = walk_and_pack_device(
+            cpl, a_idx.C, jnp.asarray(blk), jnp.int32(a_sequences),
+            jnp.int32(root))
+        # emission bound: every lane emits at most max_len + the root run
+        bound = min(dc8.shape[1], per * max_len + 1)
+        parts.append(make_block_part(dc8, meta, exc4, esc, chunk_runs,
+                                     bound))
+    return BlockedPackedRA(parts)
+
+
+# -- decoding B into creads (when no text sidecar exists) ----------------------
+
+
+@jax.jit
+def _decode_step(b_idx: DeviceFMIndex, p: jax.Array, alive: jax.Array):
+    lf, c = b_idx.LF_step(p)
+    c = jnp.where(alive, c, 0)
+    alive2 = alive & (c > 0)
+    return jnp.where(alive2, lf, p), c, alive2
+
+
+@jax.jit
+def decode_creads_device(b_idx: DeviceFMIndex, creads0: jax.Array):
+    """Decode B's reads ON DEVICE into the walk layout.
+
+    creads0: int8[max_len_cap, R] zeros (R >= B.sequences(), lane-bucketed).
+    Lane r chases LF from BWT row r (rows [0, sequences) are the endmarker
+    rows, so the first step yields each read's LAST character — exactly
+    creads order).  Returns (creads, n_alive_at_cap): a nonzero second value
+    means some read is longer than the cap (caller falls back to the trie).
+    One 64 B row gather per lane per step; runs once per input ever — the
+    result is cached as a sidecar (formats/sidecar.py).
+    """
+    max_len, r = creads0.shape
+    p0 = jnp.arange(r, dtype=jnp.int32)
+    alive0 = p0 < jnp.minimum(b_idx.C[1], r)   # C[1] = #sequences
+
+    def cond(st):
+        t, p, alive, creads = st
+        return (t < max_len) & jnp.any(alive)
+
+    def body(st):
+        t, p, alive, creads = st
+        p, c, alive = _decode_step(b_idx, p, alive)
+        creads = jax.lax.dynamic_update_slice(
+            creads, c.astype(jnp.int8)[None], (t, 0))
+        return t + 1, p, alive, creads
+
+    st = (jnp.int32(0), p0, alive0, creads0)
+    _, _, alive, creads = jax.lax.while_loop(cond, body, st)
+    return creads, jnp.sum(alive.astype(jnp.int32))
+
+
+def decode_creads(b_idx: DeviceFMIndex, sequences: int, size: int,
+                  max_len_cap: int = 1 << 14):
+    """Host wrapper: bucketed shapes, overflow-aware.  Returns creads
+    np.int8[max_len, R] (end-aligned walk layout) or None when some read
+    exceeds max_len_cap."""
+    if sequences <= 0:
+        return np.zeros((0, 0), np.int8)
+    r = _bucket(sequences, minimum=128)
+    avg = max(1, size // sequences)
+    cap = min(_bucket(4 * avg + 64, minimum=64), _bucket(max_len_cap))
+    while True:
+        creads0 = jnp.zeros((cap, r), jnp.int8)
+        creads, n_over = decode_creads_device(b_idx, creads0)
+        if int(n_over) == 0:
+            out = np.asarray(creads)[:, :sequences]  # drop bucket-pad lanes
+            used = int(np.max(np.nonzero(out.any(axis=1))[0], initial=-1)) + 1
+            return out[:used] if used else out[:1]
+        if cap >= max_len_cap:
+            return None
+        cap = min(_bucket(cap * 2), _bucket(max_len_cap))

@@ -1,0 +1,172 @@
+"""Walk search (ops/walk_jax.py): the per-read backward-walk fast path.
+
+Pins the round-4 claim the module is built on: the walk's emissions are the
+SAME rank-array multiset as the reverse-trie search's (buildRA,
+reference fmi.cpp:261-334) — verified against the numpy trie oracle — plus
+the c-plane rank primitive, the device decode, the sidecar round trip, and
+the end-to-end merge equality walk vs trie.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from bwtmerge_tpu.formats.sidecar import (creads_layout, load_creads,
+                                          sidecar_path, write_sidecar,
+                                          write_sidecar_reads)
+from bwtmerge_tpu.models.build import build_from_reads
+from bwtmerge_tpu.models.fmi import FMI
+from bwtmerge_tpu.models.merge import MergeConfig, merge_fmi
+from bwtmerge_tpu.ops.search_np import build_rank_array, compact_rank_array
+from bwtmerge_tpu.ops.walk_jax import (blocked_walk_and_pack, build_cplanes,
+                                       decode_creads, walk_and_pack_device,
+                                       _rank_known_char)
+
+
+def _random_reads(rng, n, max_len=30):
+    return [rng.integers(1, 6, size=int(rng.integers(1, max_len))
+                         ).astype(np.uint8) for _ in range(n)]
+
+
+def _fmi(reads):
+    runs, _ = build_from_reads(reads, backend="numpy")
+    return FMI.from_runs(runs)
+
+
+def _creads_of(reads):
+    lens = np.array([len(r) for r in reads], np.uint32)
+    flat = np.concatenate([np.asarray(r, np.uint8) for r in reads])
+    return creads_layout(lens, flat)
+
+
+def _trie_ra(a, b):
+    return build_rank_array(a.rank_index, a.alpha.C.astype(np.int64),
+                            b.rank_index, b.alpha.C.astype(np.int64),
+                            a.sequences(), b.sequences())
+
+
+def test_cplane_rank_matches_rank_index(rng):
+    reads = _random_reads(rng, 8, 60)
+    a = _fmi(reads)
+    idx = a.device_index
+    cpl = build_cplanes(idx.rec)
+    q = rng.integers(0, a.size() + 1, size=257).astype(np.int32)
+    c = rng.integers(1, 6, size=257).astype(np.int32)
+    got = np.asarray(_rank_known_char(cpl, idx.C, jnp.asarray(q),
+                                      jnp.asarray(c)))
+    want = (a.alpha.C.astype(np.int64)[c]
+            + a.rank_index.rank(q.astype(np.int64), c.astype(np.int64)))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_walk_pack_equals_trie_oracle(rng, seed):
+    r = np.random.default_rng(seed)
+    a = _fmi(_random_reads(r, int(r.integers(2, 10))))
+    reads_b = _random_reads(r, int(r.integers(2, 10)))
+    b = _fmi(reads_b)
+    want_v, want_k = _trie_ra(a, b)
+
+    creads = _creads_of(reads_b)
+    packed = blocked_walk_and_pack(a.device_index, creads, n_blocks=2,
+                                   a_sequences=a.sequences())
+    got_v, got_k = packed.finish()
+    got_v, got_k = compact_rank_array(got_v, got_k)
+    np.testing.assert_array_equal(got_v, want_v)
+    np.testing.assert_array_equal(got_k, want_k)
+
+
+def test_walk_single_program_contract(rng):
+    a = _fmi(_random_reads(rng, 5))
+    reads_b = _random_reads(rng, 7)
+    b = _fmi(reads_b)
+    creads = _creads_of(reads_b)
+    idx = a.device_index
+    cpl = build_cplanes(idx.rec)
+    dc8, meta, exc4, esc = walk_and_pack_device(
+        cpl, idx.C, jnp.asarray(creads), jnp.int32(a.sequences()),
+        jnp.int32(len(reads_b)))
+    from bwtmerge_tpu.ops.search_jax import unpack_search
+
+    v, k, ovf = unpack_search(dc8, meta, exc4, esc)
+    assert not ovf
+    want_v, want_k = _trie_ra(a, b)
+    np.testing.assert_array_equal(v, want_v)
+    np.testing.assert_array_equal(k, want_k)
+
+
+def test_decode_creads_roundtrip(rng):
+    reads = _random_reads(rng, 9, 40)
+    b = _fmi(reads)
+    creads = decode_creads(b.device_index, b.sequences(), b.size())
+    assert creads is not None
+    # decoded lanes are the same multiset of reads (order may differ)
+    dec = []
+    for i in range(creads.shape[1]):
+        col = creads[:, i]
+        n = int((col > 0).sum())
+        assert (col[:n] > 0).all() and (col[n:] == 0).all()
+        if n:                                 # bucket-pad lanes are empty
+            dec.append(tuple(int(x) for x in col[:n][::-1]))  # text order
+    assert sorted(dec) == sorted(tuple(int(x) for x in r) for r in reads)
+
+
+def test_sidecar_roundtrip(tmp_path, rng):
+    reads = _random_reads(rng, 6)
+    p = str(tmp_path / "x.bwt")
+    write_sidecar_reads(sidecar_path(p), reads)
+    creads = load_creads(sidecar_path(p))
+    np.testing.assert_array_equal(creads, _creads_of(reads))
+
+
+def test_merge_walk_equals_trie(rng, tmp_path, monkeypatch):
+    reads_a = _random_reads(rng, 6)
+    reads_b = _random_reads(rng, 8)
+    a1, b1 = _fmi(reads_a), _fmi(reads_b)
+    a2, b2 = _fmi(reads_a), _fmi(reads_b)
+    b1.attach_creads(_creads_of(reads_b))
+
+    monkeypatch.setenv("BWTMERGE_SEARCH", "walk")
+    m_walk = merge_fmi(a1, b1, MergeConfig(backend="jax",
+                                           temp_dir=str(tmp_path)))
+    monkeypatch.setenv("BWTMERGE_SEARCH", "trie")
+    m_trie = merge_fmi(a2, b2, MergeConfig(backend="jax",
+                                           temp_dir=str(tmp_path)))
+    np.testing.assert_array_equal(m_walk.runs.syms, m_trie.runs.syms)
+    np.testing.assert_array_equal(m_walk.runs.lens, m_trie.runs.lens)
+    assert m_walk.hash() == m_trie.hash()
+
+
+def test_merge_walk_forced_decodes_without_sidecar(rng, tmp_path, monkeypatch):
+    reads_a = _random_reads(rng, 4)
+    reads_b = _random_reads(rng, 5)
+    a1, b1 = _fmi(reads_a), _fmi(reads_b)
+    a2, b2 = _fmi(reads_a), _fmi(reads_b)
+
+    monkeypatch.setenv("BWTMERGE_SEARCH", "walk")
+    m_walk = merge_fmi(a1, b1, MergeConfig(backend="jax",
+                                           temp_dir=str(tmp_path)))
+    monkeypatch.delenv("BWTMERGE_SEARCH")
+    m_ref = merge_fmi(a2, b2, MergeConfig(backend="numpy",
+                                          temp_dir=str(tmp_path)))
+    assert m_walk.hash() == m_ref.hash()
+    np.testing.assert_array_equal(m_walk.runs.syms, m_ref.runs.syms)
+
+
+def test_walk_empty_and_single_char_reads(tmp_path, monkeypatch):
+    # 1-char reads: each contributes exactly one emission beyond the root
+    reads_a = [np.array([2], np.uint8), np.array([3, 1, 4], np.uint8)]
+    reads_b = [np.array([5], np.uint8), np.array([1], np.uint8),
+               np.array([2, 2], np.uint8)]
+    a, b = _fmi(reads_a), _fmi(reads_b)
+    b.attach_creads(_creads_of(reads_b))
+    monkeypatch.setenv("BWTMERGE_SEARCH", "walk")
+    m = merge_fmi(a, b, MergeConfig(backend="jax", temp_dir=str(tmp_path)))
+    a2, b2 = _fmi(reads_a), _fmi(reads_b)
+    m_ref = merge_fmi(a2, b2, MergeConfig(backend="numpy",
+                                          temp_dir=str(tmp_path)))
+    assert m.hash() == m_ref.hash()
