@@ -136,43 +136,52 @@ class StreamingNativeWriter:
             self._block_end_pos.append(np.array([oe]))
             self._block_char_cum.append(occ_[None, :])
 
-        f = self.f
-        n_bytes = self.n_bytes
-        # BlockArray zero padding to 8 MB blocks
-        n_big = (n_bytes + BLOCK_ARRAY_BLOCK - 1) // BLOCK_ARRAY_BLOCK
-        f.write(b"\x00" * (n_big * BLOCK_ARRAY_BLOCK - n_bytes))
-
         block_end_pos = (np.concatenate(self._block_end_pos)
                          if self._block_end_pos else np.zeros(0, np.int64))
         block_char_cum = (np.concatenate(self._block_char_cum)
                           if self._block_char_cum else np.zeros((0, SIGMA), np.int64))
-        n_blocks = block_end_pos.size
-        char_counts = self.char_counts
-        for c in range(SIGMA):
-            positions = block_char_cum[:, c] + np.arange(n_blocks, dtype=np.int64)
-            sdsl.write_sd_vector(f, positions.astype(np.uint64),
-                                 int(char_counts[c]) + n_blocks)
-            f.write(struct.pack("<Q", n_blocks))
-        sdsl.write_sd_vector(f, (block_end_pos - 1).astype(np.uint64),
-                             self.text_pos)
-        # serialize a C array derived from the ACTUAL streamed counts (the
-        # caller's alpha provides the char mappings; its C may be stale)
-        alpha = Alphabet.from_counts(char_counts, self.alpha.char2comp,
-                                     self.alpha.comp2char)
-        sdsl.write_int_vector(f, alpha.char2comp.astype(np.uint64), 8,
-                              fixed_width=True)
-        sdsl.write_int_vector(f, alpha.comp2char.astype(np.uint64), 8,
-                              fixed_width=True)
-        sdsl.write_int_vector(f, alpha.C.astype(np.uint64), 64,
-                              fixed_width=True)
-        f.write(struct.pack("<Q", alpha.sigma))
+        write_native_tail(self.f, self.n_bytes, block_end_pos, block_char_cum,
+                          self.char_counts, self.alpha)
+        self.f.close()
 
-        header = NativeHeader(sequences=self.sequences, bases=self.text_pos)
-        header.set_order(identify_alphabet(self.alpha))
-        f.seek(0)
-        f.write(header.to_bytes())
-        f.write(struct.pack("<Q", n_bytes))
-        f.close()
+
+def write_native_tail(f, n_bytes: int, block_end_pos: np.ndarray,
+                      block_char_cum: np.ndarray, char_counts: np.ndarray,
+                      alpha_maps: Alphabet) -> None:
+    """Finish a native file whose RLE bytes are already written: 8 MB
+    BlockArray padding, per-char sample sd_vectors, block boundaries,
+    alphabet, and the back-patched header.  `f` must be seekable and
+    positioned after the last RLE byte; `alpha_maps` supplies the char
+    mappings (C is re-derived from the streamed counts)."""
+    # BlockArray zero padding to 8 MB blocks
+    n_big = (n_bytes + BLOCK_ARRAY_BLOCK - 1) // BLOCK_ARRAY_BLOCK
+    f.write(b"\x00" * (n_big * BLOCK_ARRAY_BLOCK - n_bytes))
+
+    n_blocks = block_end_pos.size
+    text_pos = int(char_counts.sum())
+    for c in range(SIGMA):
+        positions = block_char_cum[:, c] + np.arange(n_blocks, dtype=np.int64)
+        sdsl.write_sd_vector(f, positions.astype(np.uint64),
+                             int(char_counts[c]) + n_blocks)
+        f.write(struct.pack("<Q", n_blocks))
+    sdsl.write_sd_vector(f, (block_end_pos - 1).astype(np.uint64), text_pos)
+    # serialize a C array derived from the ACTUAL streamed counts (the
+    # caller's alpha provides the char mappings; its C may be stale)
+    alpha = Alphabet.from_counts(char_counts, alpha_maps.char2comp,
+                                 alpha_maps.comp2char)
+    sdsl.write_int_vector(f, alpha.char2comp.astype(np.uint64), 8,
+                          fixed_width=True)
+    sdsl.write_int_vector(f, alpha.comp2char.astype(np.uint64), 8,
+                          fixed_width=True)
+    sdsl.write_int_vector(f, alpha.C.astype(np.uint64), 64,
+                          fixed_width=True)
+    f.write(struct.pack("<Q", alpha.sigma))
+
+    header = NativeHeader(sequences=int(char_counts[0]), bases=text_pos)
+    header.set_order(identify_alphabet(alpha_maps))
+    f.seek(0)
+    f.write(header.to_bytes())
+    f.write(struct.pack("<Q", n_bytes))
 
 
 class StreamingSGAWriter:
@@ -221,6 +230,104 @@ class StreamingSGAWriter:
         self.f.seek(0)
         self.f.write(header.to_bytes())
         self.f.close()
+
+
+class NativeFragmentWriter:
+    """Encode ONE fragment of a native file's RLE byte stream, resuming the
+    64-byte block rule at a global byte offset with global prefix state
+    (text position, char counts) — the per-process piece of a distributed
+    native write (parallel/distributed.py).  Emits raw RLE bytes to `f` and
+    collects per-block sample rows WITH block ids, so the stitcher can drop
+    the duplicate row at each fragment seam (a 64-byte block spanning two
+    fragments is reported by both; the later row carries the complete
+    cumulative stats because this writer starts from the global prefix)."""
+
+    def __init__(self, f, start_byte_offset: int, start_counts: np.ndarray):
+        self.f = f
+        self._state = np.zeros(2 + SIGMA, dtype=np.int64)
+        self._state[0] = start_byte_offset
+        self._state[1] = int(np.sum(start_counts, dtype=np.int64))
+        self._state[2:] = start_counts
+        self._rle = np.empty(1 << 20, dtype=np.uint8)
+        self._blk_id = np.empty(1 << 15, dtype=np.int64)
+        self._blk_end = np.empty(1 << 15, dtype=np.int64)
+        self._blk_cc = np.empty((1 << 15) * SIGMA, dtype=np.int64)
+        self._ids: List[np.ndarray] = []
+        self._end: List[np.ndarray] = []
+        self._cc: List[np.ndarray] = []
+
+    @property
+    def n_bytes_written(self) -> int:
+        return int(self._state[0])
+
+    def write_chunk(self, syms: np.ndarray, lens: np.ndarray) -> None:
+        if syms.size == 0:
+            return
+        from ..native import native_stream_chunk
+
+        prev_bytes = int(self._state[0])
+        while True:
+            rows = native_stream_chunk(syms, lens, self._state, self._rle,
+                                       self._blk_id, self._blk_end,
+                                       self._blk_cc)
+            if rows != -2:
+                break
+            est_bytes = (2 * syms.size
+                         + int(np.sum(lens, dtype=np.int64)) // 41 + 1024)
+            self._rle = _grown(self._rle, max(2 * self._rle.size, est_bytes))
+            est_rows = est_bytes // 64 + syms.size // 32 + 1024
+            self._blk_id = _grown(self._blk_id, est_rows)
+            self._blk_end = _grown(self._blk_end, est_rows)
+            self._blk_cc = _grown(self._blk_cc, est_rows * SIGMA)
+        if rows < 0:
+            raise RuntimeError(f"native_stream_chunk failed (code {rows})")
+        self.f.write(self._rle[: int(self._state[0]) - prev_bytes])
+        self._ids.append(self._blk_id[:rows].copy())
+        self._end.append(self._blk_end[:rows].copy())
+        self._cc.append(self._blk_cc[: rows * SIGMA].reshape(rows, SIGMA).copy())
+
+    def finish(self):
+        """(block_ids, block_end_pos, block_char_cum) for this fragment,
+        one row per touched 64-byte block (last update wins within the
+        fragment); seam dedup across fragments is the stitcher's job."""
+        if not self._ids:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros((0, SIGMA), np.int64))
+        ids = np.concatenate(self._ids)
+        end = np.concatenate(self._end)
+        cc = np.vstack(self._cc)
+        keep = np.ones(ids.size, bool)
+        keep[:-1] = ids[:-1] != ids[1:]   # keep the LAST row of each block
+        return ids[keep], end[keep], cc[keep]
+
+
+class SGAFragmentWriter:
+    """Encode ONE fragment of an SGA file's code stream, resuming the
+    stored-run partition at a global RLE byte offset (the SGA codes derive
+    from the 64-byte-block stored runs, so the phase matters even though the
+    file bytes are codes)."""
+
+    def __init__(self, f, start_rle_offset: int):
+        self.f = f
+        self._state = np.asarray([start_rle_offset], dtype=np.int64)
+        self._codes = np.empty(1 << 20, dtype=np.uint8)
+        self.n_codes = 0
+
+    def write_chunk(self, syms: np.ndarray, lens: np.ndarray) -> None:
+        if syms.size == 0:
+            return
+        from ..native import sga_stream_chunk
+
+        while True:
+            n = sga_stream_chunk(syms, lens, self._state, self._codes)
+            if n != -2:
+                break
+            est = int(np.sum(lens, dtype=np.int64)) // 31 + 2 * syms.size + 1024
+            self._codes = _grown(self._codes, max(2 * self._codes.size, est))
+        if n < 0:
+            raise RuntimeError(f"sga_stream_chunk failed (code {n})")
+        self.f.write(self._codes[:n])
+        self.n_codes += n
 
 
 STREAM_WRITERS = {

@@ -23,6 +23,7 @@ try:
         ra_decode_q4_chunk,
         sga_stream_chunk,
         native_stream_chunk,
+        fragment_phase_table,
     )
 except Exception as _e:  # pragma: no cover - fallback path
     raise ImportError(f"native runtime unavailable: {_e}") from _e

@@ -472,6 +472,8 @@ def _configure_stream_writers(lib) -> None:
         _u8p, _i32p, ctypes.c_int64, _i64p,
         _u8p, ctypes.c_int64, _i64p, _i64p, _i64p, ctypes.c_int64,
     ]
+    lib.fragment_phase_table.restype = ctypes.c_int64
+    lib.fragment_phase_table.argtypes = [_u8p, _i64p, ctypes.c_int64, _i64p]
     lib._bwtmerge_writer_configured = True
 
 
@@ -509,6 +511,21 @@ def native_stream_chunk(syms, lens, state: np.ndarray, rle: np.ndarray,
     return int(lib.native_stream_chunk(
         _as_u8(syms), _as_i64(lens), len(syms), state,
         rle, rle.size, blk_id, blk_end, blk_cc, blk_id.size))
+
+
+def fragment_phase_table(syms, lens) -> np.ndarray:
+    """64-phase transfer table of a run fragment: row 0 = native RLE byte
+    counts, row 1 = SGA code counts, one column per start phase of the
+    global byte offset (the Run codec's block rule is position-dependent,
+    support.h:256-282).  O(64 * runs) native work, no byte materialization."""
+    syms, lens = _as_u8(syms), _as_i64(lens)
+    lib = _lib()
+    _configure_stream_writers(lib)
+    out = np.empty(2 * 64, dtype=np.int64)
+    rc = lib.fragment_phase_table(syms, lens, syms.size, out)
+    if rc != 0:
+        raise RuntimeError(f"fragment_phase_table failed (code {rc})")
+    return out.reshape(2, 64)
 
 
 def rle_encode_at(syms, lens, start_offset: int) -> bytes:

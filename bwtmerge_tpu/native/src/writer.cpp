@@ -192,6 +192,32 @@ int64_t native_chunk_impl(const uint8_t* syms, const LenT* lens,
 
 }  // namespace
 
+// 64-phase transfer table for a run FRAGMENT: for each start phase p in
+// [0, 64) of the global RLE byte offset, out[p] = total encoded native RLE
+// bytes and out[64 + p] = total SGA codes of (syms, lens) under the
+// position-dependent block rule (support.h:256-282).  The multihost fragment
+// writer gathers these tiny tables and composes offset_{k+1} = offset_k +
+// bytes_k(offset_k mod 64) locally, so cross-fragment byte offsets resolve
+// with one collective instead of a sequential encode chain.
+EXPORT int64_t fragment_phase_table(const uint8_t* syms, const int64_t* lens,
+                                    int64_t n, int64_t* out) {
+  for (int64_t phase = 0; phase < BLOCK; phase++) {
+    int64_t pos = phase;
+    int64_t n_codes = 0;
+    bool ok = walk_stored(
+        syms, lens, n, &pos,
+        [&](uint8_t, int64_t stored_len, int64_t) {
+          n_codes += (stored_len + SGA_MAX_RUN - 1) / SGA_MAX_RUN;
+          return true;
+        },
+        [](int64_t, uint8_t) { return true; });
+    if (!ok) return -1;
+    out[phase] = pos - phase;
+    out[BLOCK + phase] = n_codes;
+  }
+  return 0;
+}
+
 EXPORT int64_t sga_stream_chunk(const uint8_t* syms, const int64_t* lens,
                                 int64_t n, int64_t* state, uint8_t* out,
                                 int64_t cap) {

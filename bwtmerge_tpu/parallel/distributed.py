@@ -100,6 +100,21 @@ def _join_words(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
             | (hi.astype(np.int64) << 32))
 
 
+def _allgather_i64(x: np.ndarray) -> np.ndarray:
+    """Allgather an int64 vector across processes as int32 word pairs (jax
+    x64 is off; a direct int64 allgather would silently truncate).  Returns
+    [nproc, x.size]."""
+    from jax.experimental import multihost_utils
+
+    x = np.ascontiguousarray(x, dtype=np.int64)
+    pack = np.empty((2, x.size), np.int32)
+    pack[0], pack[1] = _split_words(x)
+    allp = np.asarray(multihost_utils.process_allgather(pack))
+    allp = allp.reshape(-1, 2, x.size)
+    return _join_words(allp[:, 0].reshape(-1),
+                       allp[:, 1].reshape(-1)).reshape(-1, x.size)
+
+
 def exchange_by_rank_range(values: np.ndarray, counts: np.ndarray,
                            oversample: int = 64, stats: Optional[dict] = None):
     """Route sorted-unique (values, counts) RA runs to their owning process
@@ -131,15 +146,34 @@ def exchange_by_rank_range(values: np.ndarray, counts: np.ndarray,
                          sent_runs=values.size)
         return values, counts, 0
 
-    # --- splitters from regular samples (small, replicated) -------------
+    # --- splitters from count-mass-weighted samples (small, replicated) --
+    # Interleave work per range is POSITIONS (sum of counts + A-span), not
+    # runs: a collection where a few runs carry huge counts would balance
+    # run counts yet skew the per-range interleave.  So sample values at
+    # local count-mass quantiles, carry the mass each sample represents,
+    # and cut at global mass quantiles.  Payloads cross processes as int32
+    # word pairs (jax x64 is off).
     r = oversample
     if values.size:
-        samp = values[(np.arange(r, dtype=np.int64) * values.size) // r]
+        cm = np.cumsum(counts, dtype=np.int64)
+        targets = (np.arange(r, dtype=np.int64) * cm[-1]) // r
+        idx = np.minimum(np.searchsorted(cm, targets, side="right"),
+                         values.size - 1)
+        samp = values[idx]
+        wts = np.full(r, max(int(cm[-1]) // r, 1), np.int64)
     else:
         samp = np.full(r, np.int64(2**62))  # empty: never attracts a range
-    all_samp = np.sort(np.asarray(
-        multihost_utils.process_allgather(samp)).reshape(-1))
-    splitters = all_samp[[(q + 1) * r for q in range(nproc - 1)]]
+        wts = np.zeros(r, np.int64)
+    allp = _allgather_i64(np.concatenate([samp, wts]))
+    all_samp = allp[:, :r].reshape(-1)
+    all_wts = allp[:, r:].reshape(-1)
+    order = np.argsort(all_samp, kind="stable")
+    all_samp = all_samp[order]
+    cw = np.cumsum(all_wts[order], dtype=np.int64)
+    total_w = max(int(cw[-1]), 1)
+    qmass = (np.arange(1, nproc, dtype=np.int64) * total_w) // nproc
+    splitters = all_samp[np.minimum(
+        np.searchsorted(cw, qmass, side="right"), all_samp.size - 1)]
 
     # --- bucket the local runs by owner ----------------------------------
     cuts = np.concatenate(([0], np.searchsorted(values, splitters),
@@ -149,9 +183,8 @@ def exchange_by_rank_range(values: np.ndarray, counts: np.ndarray,
         [counts[cuts[q]:cuts[q + 1]].sum() for q in range(nproc)],
         dtype=np.int64)
 
-    sizes = np.asarray(multihost_utils.process_allgather(piece_runs))  # [P,P]
-    count_sums = np.asarray(
-        multihost_utils.process_allgather(piece_count_sums))           # [P,P]
+    sizes = _allgather_i64(piece_runs)                                 # [P,P]
+    count_sums = _allgather_i64(piece_count_sums)                      # [P,P]
     w = max(int(sizes.max()), 1)
     if stats is not None:
         stats.update(exchange_width=w,
@@ -268,8 +301,6 @@ def multihost_rank_array(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     multihost_rank_array_ranged + multihost_merge_to_file, which never
     materialize more than O(|RA|/P) per process.
     """
-    from jax.experimental import multihost_utils
-
     pid, nproc = process_info()
     if nproc == 1:
         v, c, ovf = _local_rank_array(a_idx, b_idx, a_sequences, b_sequences,
@@ -279,13 +310,12 @@ def multihost_rank_array(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
     my_v, my_c, _off, _lo, _hi, _drain, ovf = multihost_rank_array_ranged(
         a_idx, b_idx, a_sequences, b_sequences, frontier_cap, emit_cap)
 
-    local_n = np.int64(my_v.size)
-    all_n = np.asarray(multihost_utils.process_allgather(local_n))
+    all_n = _allgather_i64(np.asarray([my_v.size], np.int64)).reshape(-1)
     width = max(int(all_n.max()), 1)
     padded = np.zeros((2, width), dtype=np.int64)
     padded[0, :my_v.size] = my_v
     padded[1, :my_v.size] = my_c
-    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    gathered = _allgather_i64(padded.reshape(-1)).reshape(nproc, 2, width)
     parts_v = [gathered[p, 0, :int(all_n[p])] for p in range(nproc)]
     parts_c = [gathered[p, 1, :int(all_n[p])] for p in range(nproc)]
     # ranges are disjoint and ascending by construction: concatenate
@@ -407,6 +437,30 @@ def coalesce_run_chunks(chunks):
                np.asarray([pend[1]], np.int64))
 
 
+def _fragment_seam_plan(n_runs, head_sym, head_len, tail_sym):
+    """Cross-fragment run coalescing, decided from per-fragment boundary
+    metadata alone (deterministic on every process).  Each coalesced run is
+    owned by the fragment contributing its FIRST piece: fragment p drops its
+    head run when it continues the pending run, and the owner's tail run
+    grows by the absorbed lengths (chains through single-run fragments).
+    Returns (drop_head[P] bool, extra_tail[P] int64)."""
+    nproc = len(n_runs)
+    drop_head = np.zeros(nproc, bool)
+    extra_tail = np.zeros(nproc, np.int64)
+    pend_owner = -1
+    pend_sym = -1
+    for p in range(nproc):
+        if n_runs[p] == 0:
+            continue
+        if pend_owner >= 0 and head_sym[p] == pend_sym:
+            drop_head[p] = True
+            extra_tail[pend_owner] += head_len[p]
+            if n_runs[p] == 1:
+                continue          # fully absorbed; the pending run lives on
+        pend_owner, pend_sym = p, int(tail_sym[p])
+    return drop_head, extra_tail
+
+
 def multihost_merge_to_file(a, b, path: str, fmt: str = "native",
                             shard_dir: Optional[str] = None,
                             frontier_cap: int = 1 << 16,
@@ -414,19 +468,36 @@ def multihost_merge_to_file(a, b, path: str, fmt: str = "native",
                             stats: Optional[dict] = None) -> None:
     """Fully distributed merge: every process searches its B-block,
     receives its A-range of the rank array (rank-range exchange),
-    interleaves that range, and writes a run-chunk shard; process 0 then
-    streams the shards in rank order through the format writer.
+    interleaves that range, and ENCODES its fragment of the output file's
+    byte stream itself — resuming the format's position-dependent 64-byte
+    block rule at its global byte offset (native rle codec support.h:256-282;
+    codec.cpp rle_encode_at semantics).  Process 0 only writes headers,
+    concatenates the encoded fragment files, and (native) stitches the
+    per-block sample tables; it never decodes or re-encodes run data, so no
+    process performs an O(total output) encode pass.
 
-    Per-process peak: inputs + O(|RA|/P) rank array + O(output/P) shard.
+    Cross-fragment coordination is three O(P)-sized collectives: boundary
+    runs (seam coalescing), per-fragment char counts (prefix state), and
+    64-phase size tables (fragment_phase_table) from which every process
+    composes the global byte offsets locally.
+
+    Per-process peak: inputs + O(|RA|/P) rank array + O(output/P) fragment.
     `shard_dir` must be shared across processes (defaults to the output's
     directory — multi-host deployments point it at the shared filesystem
     the output itself lives on).
     """
-    import jax
+    import shutil
+
     from jax.experimental import multihost_utils
 
-    from ..formats.streaming import write_bwt_stream
-    from ..utils.alphabet import Alphabet
+    from ..formats.streaming import (NativeFragmentWriter, SGAFragmentWriter,
+                                     write_bwt_stream, write_native_tail)
+    from ..formats.headers import NativeHeader, SGAHeader
+    from ..models.runs import SIGMA, RunArrays
+    from ..native import fragment_phase_table
+
+    if fmt not in ("native", "sga"):
+        raise ValueError(f"no distributed fragment writer for format: {fmt}")
 
     pid, nproc = process_info()
     shard_dir = shard_dir or (os.path.dirname(os.path.abspath(path)) or ".")
@@ -438,25 +509,95 @@ def multihost_merge_to_file(a, b, path: str, fmt: str = "native",
         raise RuntimeError("device search overflowed its static buffers; "
                            "re-run with larger caps")
 
-    shard_path = os.path.join(shard_dir, f".bwtmerge_shard_{pid}.npz")
-
     def ra_chunks():
         step = 1 << 20
         for s in range(0, my_v.size, step):
             yield my_v[s:s + step], my_c[s:s + step]
 
-    parts = list(interleave_range_chunks(
+    range_chunks = interleave_range_chunks(
         a.runs, b.runs, ra_chunks(), lo, int(min(hi, np.int64(2**62))),
-        b_offset, last=drain))
-    if stats is not None:
-        stats["shard_runs"] = int(sum(p[0].size for p in parts))
-    np.savez(shard_path,
-             syms=(np.concatenate([p[0] for p in parts])
-                   if parts else np.zeros(0, np.uint8)),
-             lens=(np.concatenate([p[1] for p in parts])
-                   if parts else np.zeros(0, np.int64)))
+        b_offset, last=drain)
 
-    multihost_utils.sync_global_devices("bwtmerge shards written")
+    if nproc == 1:
+        write_bwt_stream(path, fmt, coalesce_run_chunks(range_chunks),
+                         a.alpha)
+        return
+
+    # --- this process's fragment, as maximal runs -------------------------
+    parts = list(range_chunks)
+    syms = (np.concatenate([p[0] for p in parts]) if parts
+            else np.zeros(0, np.uint8))
+    lens = (np.concatenate([p[1] for p in parts]) if parts
+            else np.zeros(0, np.int64))
+    del parts
+    frag = RunArrays(syms, lens.astype(np.int64)).coalesced()
+    syms, lens = frag.syms, frag.lens
+    if stats is not None:
+        stats["shard_runs"] = int(syms.size)
+
+    # --- seam plan from boundary metadata (one tiny allgather) ------------
+    meta = np.zeros(4, np.int64)
+    if syms.size:
+        meta[:] = (syms.size, syms[0], lens[0], syms[-1])
+    bounds = _allgather_i64(meta)                       # [P, 4]
+    drop_head, extra_tail = _fragment_seam_plan(
+        bounds[:, 0], bounds[:, 1], bounds[:, 2], bounds[:, 3])
+    if drop_head[pid]:
+        syms, lens = syms[1:], lens[1:]
+    if extra_tail[pid]:
+        lens = lens.copy()
+        lens[-1] += extra_tail[pid]
+
+    # --- global prefix state (char counts) + 64-phase size tables ---------
+    counts = np.zeros(SIGMA, np.int64)
+    for c in range(SIGMA):
+        counts[c] = int(np.sum(lens[syms == c], dtype=np.int64))
+    tab = fragment_phase_table(syms, lens)              # [2, 64]
+    g = _allgather_i64(np.concatenate([counts, tab.reshape(-1)]))
+    all_counts = g[:, :SIGMA]                           # [P, SIGMA]
+    tabs = g[:, SIGMA:].reshape(nproc, 2, 64)
+    # compose the offset chain: fragment p's size depends only on its start
+    # phase (offset mod 64), so every process resolves all offsets locally
+    off = 0
+    start_off = frag_bytes = frag_codes = 0
+    total_codes = 0
+    for p in range(nproc):
+        nb = int(tabs[p, 0, off % 64])
+        nc = int(tabs[p, 1, off % 64])
+        if p == pid:
+            start_off, frag_bytes, frag_codes = off, nb, nc
+        total_codes += nc
+        off += nb
+    total_bytes = off
+    total_counts = all_counts.sum(axis=0)
+    prefix_counts = (all_counts[:pid].sum(axis=0) if pid
+                     else np.zeros(SIGMA, np.int64))
+
+    # --- encode THIS fragment only ----------------------------------------
+    frag_path = os.path.join(shard_dir, f".bwtmerge_frag_{pid}.bytes")
+    samp_path = os.path.join(shard_dir, f".bwtmerge_frag_{pid}_samples.npz")
+    step = 1 << 20
+    with open(frag_path, "wb") as f:
+        if fmt == "sga":
+            w = SGAFragmentWriter(f, start_off)
+            for s in range(0, syms.size, step):
+                w.write_chunk(syms[s:s + step], lens[s:s + step])
+            assert w.n_codes == frag_codes, (w.n_codes, frag_codes)
+        else:
+            w = NativeFragmentWriter(f, start_off, prefix_counts)
+            for s in range(0, syms.size, step):
+                w.write_chunk(syms[s:s + step], lens[s:s + step])
+            assert w.n_bytes_written - start_off == frag_bytes, \
+                (w.n_bytes_written, start_off, frag_bytes)
+            ids, end, cc = w.finish()
+            np.savez(samp_path, ids=ids, end=end, cc=cc)
+    if stats is not None:
+        stats["frag_bytes"] = int(frag_bytes)
+        stats["frag_offset"] = int(start_off)
+
+    multihost_utils.sync_global_devices("bwtmerge fragments written")
+
+    # --- process 0: headers + byte concatenation + sample stitch ----------
     if pid == 0:
         alpha = type(a.alpha)(
             char2comp=a.alpha.char2comp.copy(),
@@ -464,14 +605,35 @@ def multihost_merge_to_file(a, b, path: str, fmt: str = "native",
             C=(a.alpha.C.astype(np.int64)
                + b.alpha.C.astype(np.int64)).astype(np.uint64),
         )
-
-        def shard_chunks():
+        with open(path, "wb") as out:
+            if fmt == "sga":
+                out.write(SGAHeader(sequences=int(total_counts[0]),
+                                    bases=int(total_counts.sum()),
+                                    bytes_=total_codes).to_bytes())
+            else:
+                out.write(b"\x00" * (NativeHeader.SIZE + 8))
             for p in range(nproc):
-                sp = os.path.join(shard_dir, f".bwtmerge_shard_{p}.npz")
-                with np.load(sp) as z:
-                    yield z["syms"], z["lens"]
-                os.remove(sp)
-
-        write_bwt_stream(path, fmt, coalesce_run_chunks(shard_chunks()),
-                         alpha)
+                fp = os.path.join(shard_dir, f".bwtmerge_frag_{p}.bytes")
+                with open(fp, "rb") as src:
+                    shutil.copyfileobj(src, out, 16 * 1024 * 1024)
+                os.remove(fp)
+            if fmt == "native":
+                ids_l, end_l, cc_l = [], [], []
+                for p in range(nproc):
+                    sp = os.path.join(shard_dir,
+                                      f".bwtmerge_frag_{p}_samples.npz")
+                    with np.load(sp) as z:
+                        ids_l.append(z["ids"])
+                        end_l.append(z["end"])
+                        cc_l.append(z["cc"])
+                    os.remove(sp)
+                ids = np.concatenate(ids_l)
+                end = np.concatenate(end_l)
+                cc = np.vstack(cc_l)
+                # seam blocks are reported by both neighbours; the LATER row
+                # carries the complete cumulative stats (global prefix state)
+                keep = np.ones(ids.size, bool)
+                keep[:-1] = ids[:-1] != ids[1:]
+                write_native_tail(out, total_bytes, end[keep], cc[keep],
+                                  total_counts, alpha)
     multihost_utils.sync_global_devices("bwtmerge output written")

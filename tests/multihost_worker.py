@@ -62,12 +62,57 @@ def main() -> None:
     assert (my_v >= lo).all() if my_v.size else True
     assert (my_v < int(hi)).all() if my_v.size else True
 
-    # --- fully distributed merged output, shards concatenated in order ----
+    # --- fully distributed merged output, fragments concatenated in order -
     shard_dir = os.path.dirname(os.path.abspath(out))
     merged_path = os.path.join(shard_dir, "merged_multihost.sga")
+    mstats = {}
     multihost_merge_to_file(fa, fb, merged_path, "sga",
                             shard_dir=shard_dir,
-                            frontier_cap=4096, emit_cap=1 << 16)
+                            frontier_cap=4096, emit_cap=1 << 16,
+                            stats=mstats)
+    # fragment contract: THIS process encoded only its own range's bytes —
+    # a strict subset of the output — and process 0 never re-encoded
+    # (byte-identity of the concatenated file, checked by the test, proves
+    # the fragments ARE the final bytes)
+    total_out = os.path.getsize(merged_path)
+    assert 0 < mstats["frag_bytes"] < total_out, mstats
+    assert mstats["shard_runs"] <= bound, mstats
+
+    # --- distributed NATIVE output: fragment encode + sample-table stitch -
+    merged_native = os.path.join(shard_dir, "merged_multihost.native")
+    nstats = {}
+    multihost_merge_to_file(fa, fb, merged_native, "native",
+                            shard_dir=shard_dir,
+                            frontier_cap=4096, emit_cap=1 << 16,
+                            stats=nstats)
+    assert 0 < nstats["frag_bytes"], nstats
+
+    # --- count-skew balance: splitters must balance POSITION mass ---------
+    # 64 heavy runs (1M positions each, clumped at the bottom of the value
+    # space) carry ~99.7% of the interleave work; run-index splitters would
+    # hand one process ~half the runs but ~all the positions.  The
+    # count-weighted splitters must keep per-process position mass within
+    # 2x of balance.
+    from bwtmerge_tpu.parallel.distributed import exchange_by_rank_range
+    n_light, n_heavy = 20_000, 64
+    light_v = np.linspace(1 << 20, 1 << 40, n_light).astype(np.int64)
+    heavy_v = np.arange(n_heavy, dtype=np.int64) * 97 + 3
+    v_all = np.concatenate([heavy_v, light_v])
+    c_all = np.concatenate([np.full(n_heavy, 1_000_000, np.int64),
+                            np.ones(n_light, np.int64)])
+    o = np.argsort(v_all)
+    v_all, c_all = v_all[o], c_all[o]
+    my_v2, my_c2, _ = exchange_by_rank_range(
+        np.ascontiguousarray(v_all[pid::2]),
+        np.ascontiguousarray(c_all[pid::2]))
+    my_mass = int(my_c2.sum())
+    from jax.experimental import multihost_utils
+    masses = np.asarray(multihost_utils.process_allgather(
+        np.array([my_mass], np.int32))).reshape(-1)
+    total_mass = int(c_all.sum())
+    assert int(masses.sum()) == total_mass, (masses, total_mass)
+    assert int(masses.max()) <= 2 * total_mass // nproc, \
+        f"count-skewed exchange unbalanced: {masses} vs total {total_mass}"
 
     # --- compat surface: full RA assembled from the range shards ----------
     v, c, ovf = multihost_rank_array(

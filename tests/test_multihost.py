@@ -91,6 +91,15 @@ def test_two_process_rank_array(tmp_path):
     with open(merged, "rb") as f1, open(want_file, "rb") as f2:
         assert f1.read() == f2.read()
 
+    # native output: per-process fragment encode + sample-table stitch must
+    # also be byte-identical to the single-process streaming writer
+    merged_nat = str(tmp_path / "merged_multihost.native")
+    want_nat = str(tmp_path / "merged_single.native")
+    merge_fmi_to_file(fa, fb, want_nat, "native",
+                      MergeConfig(backend="numpy"))
+    with open(merged_nat, "rb") as f1, open(want_nat, "rb") as f2:
+        assert f1.read() == f2.read()
+
 
 def test_word_split_roundtrip():
     """Cross-process RA payloads travel as int32 word pairs (jax x64 is
