@@ -445,10 +445,15 @@ def main() -> None:
         except Exception:
             compile_events = None
 
-        t0 = time.monotonic()
+        # best-of-2 like the headline: a single-shot record is dominated by
+        # link weather on this remote attachment (r3's committed 91.6 s vs
+        # 17.6 s observed warm) and cannot be trended across rounds
         out_k = os.path.join("/tmp", "bench_kway.native")
-        merge_fmi_to_file(ab, c, out_k, "native", cfg)  # fold 2
-        kway_s = time.monotonic() - t0
+        kway_s = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            merge_fmi_to_file(ab, c, out_k, "native", cfg)  # fold 2
+            kway_s = min(kway_s, time.monotonic() - t0)
         if compile_events is not None:
             # program-shape reuse across folds: fold 2 must hit the jit and
             # persistent caches, compiling nothing new on a warm cache
@@ -458,21 +463,24 @@ def main() -> None:
         # checkpoint/resume: the pairwise-fold checkpoint artifact is the
         # intermediate native file (SURVEY §5); overhead = write + reload
         ck = os.path.join("/tmp", "bench_ckpt.native")
-        t0 = time.monotonic()
 
         def chunks():
             step = 1 << 20
             for s in range(0, ab.runs.syms.size, step):
                 yield ab.runs.syms[s:s + step], ab.runs.lens[s:s + step]
 
-        _wbs(ck, "native", chunks(), ab.alpha)
-        t_write = time.monotonic() - t0
-        t0 = time.monotonic()
-        rr, _, ra_ = read_bwt(ck, "native")
-        assert rr.size() == ab.size()
-        resume_overhead_s = t_write + (time.monotonic() - t0)
-        del rr
-        os.remove(ck)
+        resume_overhead_s = float("inf")
+        for _ in range(2):  # best-of-2 (see kway_s)
+            t0 = time.monotonic()
+            _wbs(ck, "native", chunks(), ab.alpha)
+            t_write = time.monotonic() - t0
+            t0 = time.monotonic()
+            rr, _, ra_ = read_bwt(ck, "native")
+            assert rr.size() == ab.size()
+            resume_overhead_s = min(resume_overhead_s,
+                                    t_write + (time.monotonic() - t0))
+            del rr
+            os.remove(ck)
         del ab, c
     except Exception as e:  # pragma: no cover - never fail the bench
         print(f"# k-way extra skipped: {e}", file=sys.stderr)
