@@ -24,6 +24,7 @@ try:
         sga_stream_chunk,
         native_stream_chunk,
         fragment_phase_table,
+        nib4_pack,
     )
 except Exception as _e:  # pragma: no cover - fallback path
     raise ImportError(f"native runtime unavailable: {_e}") from _e

@@ -513,6 +513,28 @@ def native_stream_chunk(syms, lens, state: np.ndarray, rle: np.ndarray,
         rle, rle.size, blk_id, blk_end, blk_cc, blk_id.size))
 
 
+def _configure_nib4(lib) -> None:
+    if getattr(lib, "_bwtmerge_nib4_configured", False):
+        return
+    lib.nib4_pack.restype = ctypes.c_int64
+    lib.nib4_pack.argtypes = [_u8p, _i64p, ctypes.c_int64, _u8p,
+                              ctypes.c_int64]
+    lib._bwtmerge_nib4_configured = True
+
+
+def nib4_pack(syms, lens, out: np.ndarray) -> int:
+    """Expand run arrays into the block-planar 4-bit device upload layout
+    (DeviceFMIndex.build) inside the caller's pre-filled buffer `out`
+    (uint8, one byte per two positions).  Returns positions written."""
+    syms, lens = _as_u8(syms), _as_i64(lens)
+    lib = _lib()
+    _configure_nib4(lib)
+    n = lib.nib4_pack(syms, lens, syms.size, out, out.size * 2)
+    if n < 0:
+        raise ValueError("nib4_pack: buffer too small for the run total")
+    return int(n)
+
+
 def fragment_phase_table(syms, lens) -> np.ndarray:
     """64-phase transfer table of a run fragment: row 0 = native RLE byte
     counts, row 1 = SGA code counts, one column per start phase of the

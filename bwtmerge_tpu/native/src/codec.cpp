@@ -146,3 +146,33 @@ EXPORT uint64_t fnv1a_bytes(const uint8_t* data, int64_t n, uint64_t seed) {
   for (int64_t i = 0; i < n; i++) res = (res ^ data[i]) * PRIME;
   return res;
 }
+
+// Block-planar 4-bit text packing — the device upload layout of
+// DeviceFMIndex.build (rank_jax.py): byte ((p>>5)<<4) | (p&15) holds
+// position p in its low nibble when (p&16)==0, high nibble otherwise.
+// Expands (syms, lens) runs straight into the caller's pre-filled buffer
+// (fill = SIGMA | SIGMA<<4 beyond the text), replacing the numpy
+// repeat/reshape chain that dominated fold-to-fold index rebuilds.
+// Returns positions written, or -1 if the buffer is too small.
+EXPORT int64_t nib4_pack(const uint8_t* syms, const int64_t* lens, int64_t n,
+                         uint8_t* out, int64_t out_positions) {
+  int64_t p = 0;
+  for (int64_t r = 0; r < n; r++) {
+    const uint8_t c = syms[r];
+    int64_t end = p + lens[r];
+    if (end > out_positions) return -1;
+    // per-16-position spans: positions p..p|15 within one half-block are
+    // CONSECUTIVE bytes of the same nibble plane — straight byte stores
+    while (p < end) {
+      const int64_t span_end = (p | 15) + 1 < end ? (p | 15) + 1 : end;
+      uint8_t* base = out + ((p >> 5) << 4) + (p & 15);
+      if (p & 16) {
+        const uint8_t hi = static_cast<uint8_t>(c << 4);
+        for (; p < span_end; p++) { *base = (*base & 0x0F) | hi; base++; }
+      } else {
+        for (; p < span_end; p++) { *base = (*base & 0xF0) | c; base++; }
+      }
+    }
+  }
+  return p;
+}

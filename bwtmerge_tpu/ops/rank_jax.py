@@ -121,16 +121,25 @@ class DeviceFMIndex:
         # runs (1 B/pos decoded windows of <= 4 MB) so the only O(n) host
         # temporary is the 0.5 B/pos nibble buffer itself.
         nibbles = np.full(padded // 2, SIGMA | (SIGMA << 4), dtype=np.uint8)
-        pos = 0
-        for c_syms, c_lens in runs.iter_chunks(1 << 22):  # multiple of BLK
-            win = np.repeat(c_syms, c_lens)
-            if win.size % BLK:
-                win = np.concatenate(
-                    [win, np.full((-win.size) % BLK, SIGMA, np.uint8)])
-            blk = win.reshape(-1, BLK)
-            nib = (blk[:, :16] | (blk[:, 16:] << 4)).astype(np.uint8).reshape(-1)
-            nibbles[pos // 2: pos // 2 + nib.size] = nib
-            pos += blk.size
+        try:
+            # one native pass straight from the runs (~2x memcpy speed);
+            # this is the fold-to-fold index-rebuild hot path
+            from ..native import nib4_pack
+
+            wrote = nib4_pack(runs.syms, runs.lens, nibbles)
+            assert wrote == size, (wrote, size)
+        except ImportError:  # pragma: no cover - numpy fallback
+            pos = 0
+            for c_syms, c_lens in runs.iter_chunks(1 << 22):  # multiple of BLK
+                win = np.repeat(c_syms, c_lens)
+                if win.size % BLK:
+                    win = np.concatenate(
+                        [win, np.full((-win.size) % BLK, SIGMA, np.uint8)])
+                blk = win.reshape(-1, BLK)
+                nib = (blk[:, :16]
+                       | (blk[:, 16:] << 4)).astype(np.uint8).reshape(-1)
+                nibbles[pos // 2: pos // 2 + nib.size] = nib
+                pos += blk.size
 
         counts = runs.counts(SIGMA) if C is None else np.asarray(C)
         c_arr = np.zeros(LANES + 1, dtype=np.int32)
