@@ -104,52 +104,61 @@ def _walk_emit(cpl: jax.Array, C: jax.Array, creads: jax.Array,
                a_sequences: jax.Array):
     """The walk loop: creads int8[max_len, R] (chars from the read end,
     0-padded) -> (emits int32[max_len, R] with _SENT in dead lanes,
-    n_live total emissions).  Exits early once every lane is dead."""
-    max_len, r = creads.shape
+    n_live total emissions).
+
+    Two hard-won platform rules are baked into this function's shape
+    (round-4 drills at the 26M-lane bench scale; host transfers of the
+    buffers involved were always correct, so only device-side consumers
+    ever saw the corruption):
+
+      * lax.scan over the character rows, NOT a while_loop carrying the
+        emission buffer — XLA aliases a carried buffer updated in place
+        with dynamic_update_slice, and downstream ops of the loop output
+        read stale lanes;
+      * the stacked [max_len, R] output is FLATTENED INSIDE this program —
+        a tall 2-D int32 buffer gets a row-padded tiled layout, and a
+        SECOND program bulk-reading it across the jit boundary read
+        garbage on this TPU runtime (deterministically!), while the
+        in-program reshape relayouts it into a clean 1-D buffer.
+
+    Regression test: tests/test_walk.py::test_walk_pack_bench_scale_block
+    (gated behind BWTMERGE_SLOW_TESTS=1 for runtime).  scan stacking also
+    drops the early exit — callers pass creads trimmed to the longest
+    read, so for read collections there are no wasted rows.
+
+    Returns (emits int32[max_len*R] flat, n_live)."""
+    r = creads.shape[1]
     a0 = jnp.full((r,), 0, jnp.int32) + a_sequences
-    emits0 = jnp.full((max_len, r), _SENT, jnp.int32)
 
-    def cond(st):
-        t, a, emits, n_live, n_alive = st
-        return (t < max_len) & (n_alive > 0)
-
-    def body(st):
-        t, a, emits, n_live, _ = st
-        c = jax.lax.dynamic_slice(creads, (t, 0), (1, r))[0].astype(jnp.int32)
+    def body(a, c_row):
+        c = c_row.astype(jnp.int32)
         alive = c > 0
         cc = jnp.maximum(c, 1)
         child = _rank_known_char(cpl, C, a, cc)
-        a = jnp.where(alive, child, a)
+        a2 = jnp.where(alive, child, a)
         row = jnp.where(alive, child, _SENT)
-        emits = jax.lax.dynamic_update_slice(emits, row[None], (t, 0))
-        n_alive = jnp.sum(alive.astype(jnp.int32))
-        return t + 1, a, emits, n_live + n_alive, n_alive
+        return a2, (row, jnp.sum(alive.astype(jnp.int32)))
 
-    st = (jnp.int32(0), a0, emits0, jnp.int32(0), jnp.int32(1))
-    _, _, emits, n_live, _ = jax.lax.while_loop(cond, body, st)
-    return emits, n_live
+    _, (emits, alive_n) = jax.lax.scan(body, a0, creads)
+    return emits.reshape(-1), jnp.sum(alive_n)
 
 
 @jax.jit
-def walk_and_pack_device(cpl: jax.Array, C: jax.Array, creads: jax.Array,
-                         a_sequences: jax.Array, root_count: jax.Array):
-    """Walk + root run + sort + plane packing as ONE device program.
-
-    Same output contract as search_and_pack (search_jax.py): (dc uint8[4, E],
-    meta_exc int32[4, EXC_CAP], exc4, esc) — so PackedDeviceRA /
-    stream_packed_ra / the blocked consumers work unchanged.  The walk's
-    emission count is bounded by its buffer by construction, so overflow is
-    structurally impossible (meta overflow flag always 0).
-    """
-    max_len, r = creads.shape
-    emits, n_live = _walk_emit(cpl, C, creads, a_sequences)
-    e0 = max_len * r
+def _pack_walk(emits: jax.Array, n_live: jax.Array, a_sequences: jax.Array,
+               root_count: jax.Array):
+    """Root run + sort + plane packing over a finished FLAT emission
+    buffer (see _walk_emit for why it must arrive 1-D)."""
+    e0 = emits.shape[0]
     e = _bucket(e0 + 1, minimum=1 << 10)
-    values = jnp.full((e,), _SENT, jnp.int32)
-    values = jax.lax.dynamic_update_slice(values, emits.reshape(-1), (0,))
-    values = values.at[e0].set(a_sequences)          # the root run
-    counts = (values != _SENT).astype(jnp.int32)
-    counts = counts.at[e0].set(root_count)
+    # root run + sentinel fill appended by CONCATENATE, root count patched
+    # with a pure elementwise where — no dynamic_update_slice into a large
+    # buffer (see walk_and_pack_device's two-program note)
+    tail_lane = jax.lax.broadcasted_iota(jnp.int32, (e - e0, 1), 0)[:, 0]
+    tail = jnp.where(tail_lane == 0, a_sequences, _SENT)
+    values = jnp.concatenate([emits, tail])
+    lane = jax.lax.broadcasted_iota(jnp.int32, (e, 1), 0)[:, 0]
+    counts = jnp.where(lane == e0, root_count,
+                       (values != _SENT).astype(jnp.int32))
     v, c = jax.lax.sort((values, counts), num_keys=1, is_stable=False)
     n_u = n_live + 1
     dc, exc, exc4, esc, n_exc, n_exc4, n_esc2 = _pack_planes(v, c, n_u)
@@ -157,6 +166,30 @@ def walk_and_pack_device(cpl: jax.Array, C: jax.Array, creads: jax.Array,
     meta = meta.at[0, 0].set(n_u).at[0, 1].set(n_exc)
     meta = meta.at[0, 3].set(n_exc4).at[0, 4].set(n_esc2)
     return dc, jnp.concatenate([exc, meta], axis=0), exc4, esc
+
+
+def walk_and_pack_device(cpl: jax.Array, C: jax.Array, creads: jax.Array,
+                         a_sequences: jax.Array, root_count: jax.Array):
+    """Walk + root run + sort + plane packing, as TWO device programs.
+
+    Same output contract as search_and_pack (search_jax.py): (dc uint8[4, E],
+    meta_exc int32[4, EXC_CAP], exc4, esc) — so PackedDeviceRA /
+    stream_packed_ra / the blocked consumers work unchanged.  The walk's
+    emission count is bounded by its buffer by construction, so overflow is
+    structurally impossible (meta overflow flag always 0).
+
+    DELIBERATELY two programs, not one fused jit: with the walk scan and
+    the 33M-lane pack in one program, this platform's XLA buffer assignment
+    aliased the scan's stacked output against pack temporaries and produced
+    NONDETERMINISTIC packed planes (~20M corrupted bytes between identical
+    calls; reproduced at the bench shape, .bench_cache/dbg_walk8/9 drills,
+    round 4).  Splitting at the emits boundary makes the emission buffer an
+    immutable program INPUT, which XLA may not alias; both halves measured
+    deterministic and oracle-exact at the same shape.  The extra program
+    costs one dispatch (~1 ms), nothing else — the buffer stays on device.
+    """
+    emits, n_live = _walk_emit(cpl, C, creads, a_sequences)
+    return _pack_walk(emits, n_live, a_sequences, root_count)
 
 
 def blocked_walk_and_pack(a_idx: DeviceFMIndex, creads: np.ndarray,

@@ -157,6 +157,50 @@ def test_merge_walk_forced_decodes_without_sidecar(rng, tmp_path, monkeypatch):
     np.testing.assert_array_equal(m_walk.runs.syms, m_ref.runs.syms)
 
 
+@pytest.mark.skipif(not os.environ.get("BWTMERGE_SLOW_TESTS"),
+                    reason="needs the full 26M-lane shape (minutes); "
+                           "set BWTMERGE_SLOW_TESTS=1")
+def test_walk_pack_bench_scale_block():
+    """Regression guard for the emission-buffer aliasing bug: at the bench
+    shape (524288 lanes x 50 steps) XLA CPU aliased the while_loop-carried
+    emission buffer and downstream in-jit consumers read 128 stale lanes
+    (host copies of the same buffer were correct).  This runs the scan-based
+    _walk_emit + concatenate pack at 131072 lanes x 50 steps — a quarter of
+    the racing shape, full-shape check lives in the bench pipeline — and
+    must round-trip exactly."""
+    r = np.random.default_rng(7)
+    m_a, m_b, L = 200_000, 524_288 // 4, 50  # small A, full-bucket B lanes
+    flat_a = r.integers(1, 5, size=m_a * L).astype(np.int32)
+    a = _fmi((flat_a, np.full(m_a, L, np.int64)))
+    flat_b = r.integers(1, 5, size=m_b * L).astype(np.int32)
+    creads = creads_layout(np.full(m_b, L, np.uint32),
+                           flat_b.astype(np.uint8))
+    from bwtmerge_tpu.ops.walk_jax import _SENT, _walk_emit, build_cplanes
+
+    idx = a.device_index
+    cpl = build_cplanes(idx.rec)
+    emits, n_live = _walk_emit(cpl, idx.C, jnp.asarray(creads),
+                               jnp.int32(a.sequences()))
+    ev = np.asarray(emits).reshape(-1)
+    assert int(n_live) == m_b * L and (ev != _SENT).all()
+    vals = np.sort(np.concatenate([ev.astype(np.int64),
+                                   [a.sequences()]]))
+    packed = blocked_walk_and_pack(idx, creads, n_blocks=1,
+                                   a_sequences=a.sequences())
+    got_v, got_k = packed.finish()
+    assert int(got_k.sum()) == m_b * L + m_b
+    keep = np.ones(vals.size, bool)
+    keep[1:] = vals[1:] != vals[:-1]
+    st = np.flatnonzero(keep)
+    uv = vals[st]
+    uc = np.add.reduceat(
+        np.concatenate([np.ones(ev.size, np.int64), [m_b]])[np.argsort(
+            np.concatenate([ev.astype(np.int64), [a.sequences()]]),
+            kind="stable")], st)
+    np.testing.assert_array_equal(got_v, uv)
+    np.testing.assert_array_equal(got_k, uc)
+
+
 def test_walk_empty_and_single_char_reads(tmp_path, monkeypatch):
     # 1-char reads: each contributes exactly one emission beyond the root
     reads_a = [np.array([2], np.uint8), np.array([3, 1, 4], np.uint8)]
