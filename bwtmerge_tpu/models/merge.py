@@ -475,9 +475,18 @@ def _try_walk_search(a: FMI, b: FMI, config: MergeConfig, a_idx):
     while (max_len * -(-r_total // n_blk)) > WALK_BLOCK_EMITS \
             and n_blk < max(1, r_total):
         n_blk *= 2
-    packed = blocked_walk_and_pack(a_idx, creads, n_blk,
-                                   a_sequences=a.sequences())
-    return _prime_stream(packed)
+    try:
+        packed = blocked_walk_and_pack(a_idx, creads, n_blk,
+                                       a_sequences=a.sequences())
+        return _prime_stream(packed)
+    except Exception as e:  # pragma: no cover - platform-dependent
+        # a walk failure (e.g. a compile rejected at an extreme shape) must
+        # never fail the merge: the trie drivers handle every input
+        import sys
+
+        print(f"walk search unavailable, falling back to trie: {e}",
+              file=sys.stderr)
+        return None
 
 
 def _creads_consistent(creads, b: FMI) -> bool:

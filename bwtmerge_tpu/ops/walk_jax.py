@@ -65,13 +65,8 @@ _SHIFTS = (_SHIFTS << (4 * (np.arange(BLK) % 8) + np.arange(BLK) // 8)).astype(n
 
 
 @jax.jit
-def build_cplanes(rec: jax.Array) -> jax.Array:
-    """Per-character (occ, bitmask) planes from the fused record table.
-
-    rec: int32[NBLK, 16] (rank_jax layout).  Returns int32[NBLK*NC, 2].
-    Derived entirely on device — k-way folds rebuild it from the merged
-    record table with no host round trip.
-    """
+def _cplanes_of(rec: jax.Array) -> jax.Array:
+    """Per-character (occ, bitmask) plane rows of one record-table slab."""
     nblk = rec.shape[0]
     words = rec[:, LANES:].astype(jnp.uint32)                  # [NBLK, 8]
     syms = jnp.concatenate(
@@ -86,6 +81,40 @@ def build_cplanes(rec: jax.Array) -> jax.Array:
             [rec[:, c],
              jax.lax.bitcast_convert_type(mask, jnp.int32)], axis=1))
     return jnp.stack(rows, axis=1).reshape(nblk * NC, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _cplanes_slab(rec: jax.Array, start: jax.Array, size: int) -> jax.Array:
+    return _cplanes_of(jax.lax.dynamic_slice(
+        rec, (start, jnp.int32(0)), (size, rec.shape[1])))
+
+
+CPLANE_SLAB = 1 << 22   # blocks per cplane program (compile-tested shape;
+                        # the one-shot program failed to COMPILE at 15.9M
+                        # blocks / 510 Mbp on the remote compile service)
+
+
+def build_cplanes(rec: jax.Array) -> jax.Array:
+    """Per-character (occ, bitmask) planes from the fused record table.
+
+    rec: int32[NBLK, 16] (rank_jax layout).  Returns int32[NBLK*NC, 2].
+    Derived entirely on device — k-way folds rebuild it from the merged
+    record table with no host round trip.  Large tables run slab-by-slab
+    through ONE bucket-shaped program (the last slab is clamped and its
+    overlap trimmed) so k-way folds at any base size reuse the compile."""
+    nblk = rec.shape[0]
+    if nblk <= CPLANE_SLAB:
+        return _cplanes_of(rec)
+    parts = []
+    pos = 0
+    while pos < nblk:
+        start = min(pos, nblk - CPLANE_SLAB)
+        sl = _cplanes_slab(rec, jnp.int32(start), CPLANE_SLAB)
+        if start < pos:     # final slab: drop rows already covered
+            sl = sl[(pos - start) * NC:]
+        parts.append(sl)
+        pos = start + CPLANE_SLAB
+    return jnp.concatenate(parts)
 
 
 def _rank_known_char(cpl: jax.Array, C: jax.Array, a: jax.Array,

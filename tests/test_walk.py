@@ -63,6 +63,20 @@ def test_cplane_rank_matches_rank_index(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_cplanes_slab_matches_oneshot(rng, monkeypatch):
+    """The slab-chunked cplane builder (large record tables whose one-shot
+    program the remote compiler rejects) must equal the one-shot result,
+    including the clamped-and-trimmed final slab."""
+    from bwtmerge_tpu.ops import walk_jax
+
+    a = _fmi(_random_reads(rng, 30, 40))
+    rec = a.device_index.rec
+    full = np.asarray(walk_jax._cplanes_of(rec))
+    monkeypatch.setattr(walk_jax, "CPLANE_SLAB", 8)
+    slabbed = np.asarray(walk_jax.build_cplanes(rec))
+    np.testing.assert_array_equal(full, slabbed)
+
+
 @pytest.mark.parametrize("seed", [1, 2, 3])
 def test_walk_pack_equals_trie_oracle(rng, seed):
     r = np.random.default_rng(seed)
