@@ -3,7 +3,7 @@
 Shape mirrors BASELINE configs[1-2]: a large base index plus two further
 inserts, left-folded pairwise (the reference's production workload,
 bwt_merge.cpp:163-173), ~1 Gbp total.  Fixtures are built once on the
-chip by `.bench_cache/build_xlarge.py` (7x102 Mbp device-built read sets
+chip by `scripts/build_xlarge_fixtures.py` (7x102 Mbp device-built read sets
 folded into a ~714 Mbp base, plus two 102 Mbp insert pieces with
 read-text sidecars) and cached under .bench_cache/xl_*.
 
@@ -62,7 +62,7 @@ def main() -> None:
                               "value": 0.0, "unit": "Mbases/s/chip",
                               "vs_baseline": 0.0,
                               "extra": {"error": f"missing fixture {p} — "
-                                        "run .bench_cache/build_xlarge.py"}}))
+                                        "run scripts/build_xlarge_fixtures.py"}}))
             return
 
     runs, _, alpha = read_bwt(base_path, "native")
