@@ -359,16 +359,20 @@ def main() -> None:
             e2e_s = min(e2e_s, dt)
 
         # -- trie comparison extra (the engine behind the sharded-mesh and
-        # no-text paths); blocks on the packed metadata like the walk
+        # no-text paths); blocks on the packed metadata like the walk.
+        # First pass warms the trie programs (compiles/cache loads are not
+        # the thing being measured), second is the record.
         if pipelined:
-            t0 = time.monotonic()
-            cand = PackedDeviceRA(*search_and_pack(
-                a_idx, b_idx, jnp.int32(blocks[0][0]), jnp.int32(blocks[0][1]),
-                a.sequences(), frontier_cap=fcap, emit_cap=ecap,
-                streamed=streamed))
-            assert not cand.overflowed
-            trie_search_s = time.monotonic() - t0
-            del cand
+            trie_search_s = float("inf")
+            for _ in range(2):
+                t0 = time.monotonic()
+                cand = PackedDeviceRA(*search_and_pack(
+                    a_idx, b_idx, jnp.int32(blocks[0][0]),
+                    jnp.int32(blocks[0][1]), a.sequences(),
+                    frontier_cap=fcap, emit_cap=ecap, streamed=streamed))
+                assert not cand.overflowed
+                trie_search_s = min(trie_search_s, time.monotonic() - t0)
+                del cand
     elif pipelined:
         # -- search headline: the RA stays packed on device, one program
         # (search_s = dispatch + meta read; the plane never crosses D2H)
