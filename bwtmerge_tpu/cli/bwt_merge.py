@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output format (default native)")
     p.add_argument("--backend", default="jax", choices=("numpy", "jax"),
                    help="compute backend (default jax)")
+    p.add_argument("--search", default="auto",
+                   choices=("auto", "walk", "trie"),
+                   help="search engine: per-read backward walk (needs the "
+                        "read-text sidecar; 'walk' forces a one-time device "
+                        "decode without one), reverse-trie wavefront, or "
+                        "auto (walk when text is on hand; default)")
     p.add_argument("--checkpoint", default=None, metavar="DIR",
                    help="checkpoint each pairwise merge to DIR and resume an "
                         "interrupted k-way merge from the last completed fold")
@@ -235,7 +241,8 @@ def main(argv=None) -> int:
         enable_compile_cache()
 
     config = MergeConfig(backend=args.backend, temp_dir=args.temp_dir,
-                         verbose=not args.quiet)
+                         verbose=not args.quiet, search=args.search,
+                         cache_sidecar=(args.search == "walk"))
     if args.run_buffer is not None:
         config.run_buffer_runs = args.run_buffer * 1024 * 1024
     if args.thread_buffer is not None:

@@ -325,13 +325,16 @@ def multihost_rank_array(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
 # -- sharded merge output ------------------------------------------------------
 
 
-def _range_cursor(lens: np.ndarray, pos: int) -> Tuple[int, int]:
+def _range_cursor(lens: np.ndarray, pos: int,
+                  cum: Optional[np.ndarray] = None) -> Tuple[int, int]:
     """(run index, remaining-in-run) cursor at absolute position `pos` of an
     RLE stream (prefix-sum binary search, the host analog of
-    interleave.cpp cursor_at)."""
+    interleave.cpp cursor_at).  Pass a precomputed `cum` (np.cumsum(lens))
+    when calling per-fragment — recomputing it is O(runs) per call."""
     if pos <= 0:
         return 0, int(lens[0]) if lens.size else 0
-    cum = np.cumsum(lens)
+    if cum is None:
+        cum = np.cumsum(lens)
     run = int(np.searchsorted(cum, pos, side="right"))
     if run >= lens.size:
         return int(lens.size), 0
@@ -340,7 +343,9 @@ def _range_cursor(lens: np.ndarray, pos: int) -> Tuple[int, int]:
 
 def interleave_range_chunks(a_runs, b_runs, ra_chunks, lo: int, hi: int,
                             b_offset: int, last: bool,
-                            chunk_runs: int = 1 << 20):
+                            chunk_runs: int = 1 << 20,
+                            a_cum: Optional[np.ndarray] = None,
+                            b_cum: Optional[np.ndarray] = None):
     """Generator of merged (syms, lens) run chunks for ONE A-position range
     [lo, hi) of the interleave, given that range's ascending RA chunks and
     the B-rank offset of its first insertion.
@@ -360,8 +365,8 @@ def interleave_range_chunks(a_runs, b_runs, ra_chunks, lo: int, hi: int,
     b_syms, b_lens = _as_u8(b_runs.syms), _as_i64(b_runs.lens)
 
     state = np.zeros(7, np.int64)
-    state[0], state[1] = _range_cursor(a_lens, lo)
-    state[2], state[3] = _range_cursor(b_lens, b_offset)
+    state[0], state[1] = _range_cursor(a_lens, lo, a_cum)
+    state[2], state[3] = _range_cursor(b_lens, b_offset, b_cum)
     state[4] = lo
 
     def run(rv, rc, finish):

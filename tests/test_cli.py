@@ -316,3 +316,20 @@ class TestIndexPlacementFlag:
         from bwtmerge_tpu.formats import read_bwt
         got, _, _ = read_bwt(str(tmp_path / "m_sharded.sga"), "sga")
         assert got == oracle.merge_collections([a_seqs, b_seqs])
+
+
+def test_merge_search_walk_flag(tmp_path, sga_files, collections):
+    """--search walk (forcing a one-time device decode of B's text) must
+    produce a byte-identical output to --search trie."""
+    a_path, b_path = sga_files
+    out_w = str(tmp_path / "m_walk.sga")
+    out_t = str(tmp_path / "m_trie.sga")
+    for out, mode in ((out_w, "walk"), (out_t, "trie")):
+        rc = bwt_merge.main([a_path, b_path, out, "-i", "sga", "-o", "sga",
+                             "--backend", "jax", "--search", mode, "--quiet"])
+        assert rc == 0
+    assert open(out_w, "rb").read() == open(out_t, "rb").read()
+    # forcing the walk cached a sidecar next to B for later folds/runs
+    from bwtmerge_tpu.formats.sidecar import sidecar_path
+    import os
+    assert os.path.exists(sidecar_path(b_path))

@@ -212,3 +212,64 @@ class TestEmptyCollectionMerge:
         for backend in ("numpy", "jax"):
             merged = merge_fmi(a, empty, MergeConfig(backend=backend))
             assert merged.runs == a.runs
+
+
+class TestParallelInterleave:
+    def test_parallel_interleave_byte_identity(self, rng, tmp_path):
+        """The range-parallel interleave (models/parallel_merge.py) must
+        produce byte-identical sga AND native files to the serial native
+        interleave chain, across many tiny chunk boundaries."""
+        from bwtmerge_tpu.formats.streaming import write_bwt_stream
+        from bwtmerge_tpu.models.parallel_merge import (
+            interleave_stream_chunks_parallel)
+        from bwtmerge_tpu.native import interleave_stream_chunks
+        from bwtmerge_tpu.parallel.distributed import coalesce_run_chunks
+        from bwtmerge_tpu.utils.alphabet import Alphabet
+
+        a_seqs = oracle.random_collection(rng, 40, 10, 90)
+        b_seqs = oracle.random_collection(rng, 35, 10, 90)
+        fa = FMI.from_runs(oracle.build_bwt(a_seqs))
+        fb = FMI.from_runs(oracle.build_bwt(b_seqs))
+        rv, rc = search_np.build_rank_array(
+            fa.rank_index, fa.alpha.C.astype(np.int64),
+            fb.rank_index, fb.alpha.C.astype(np.int64),
+            fa.sequences(), fb.sequences())
+        alpha = Alphabet.from_counts(
+            fa.alpha.counts().astype(np.int64)
+            + fb.alpha.counts().astype(np.int64))
+
+        def chunks(step):
+            for s in range(0, rv.size, step):
+                yield rv[s:s + step], rc[s:s + step]
+
+        for fmt in ("sga", "native"):
+            want = str(tmp_path / f"serial.{fmt}")
+            write_bwt_stream(want, fmt,
+                             interleave_stream_chunks(fa.runs, fb.runs,
+                                                      chunks(1 << 20)),
+                             alpha)
+            for step in (7, 64, 1 << 20):
+                got = str(tmp_path / f"par_{step}.{fmt}")
+                write_bwt_stream(
+                    got, fmt,
+                    coalesce_run_chunks(interleave_stream_chunks_parallel(
+                        fa.runs, fb.runs, chunks(step), workers=3)),
+                    alpha)
+                assert open(got, "rb").read() == open(want, "rb").read(), \
+                    (fmt, step)
+
+    def test_parallel_interleave_empty_ra(self, rng, tmp_path):
+        """Empty B: the drain fragment must still emit all of A."""
+        from bwtmerge_tpu.models.parallel_merge import (
+            interleave_stream_chunks_parallel)
+        from bwtmerge_tpu.parallel.distributed import coalesce_run_chunks
+
+        a_seqs = oracle.random_collection(rng, 8, 5, 40)
+        fa = FMI.from_runs(oracle.build_bwt(a_seqs))
+        fb_runs = type(fa.runs)(np.zeros(0, np.uint8), np.zeros(0, np.int64))
+        parts = list(coalesce_run_chunks(interleave_stream_chunks_parallel(
+            fa.runs, fb_runs, iter([]), workers=2)))
+        syms = np.concatenate([p[0] for p in parts])
+        lens = np.concatenate([p[1] for p in parts])
+        got = type(fa.runs)(syms, lens)
+        assert got == fa.runs
