@@ -765,13 +765,33 @@ def search_and_pack(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
 
 def _meta_fields(meta_exc):
     """(n, n_exc, overflowed, n_exc4, n_esc2) from a host meta buffer
-    (4 rows: byte-plane exception table + scalar metadata row)."""
+    (4 rows: byte-plane exception table + scalar metadata row).
+
+    `overflowed` here is the BYTE-PLANE-ONLY verdict (emission overflow or
+    a truncated byte exception table); callers holding the exc4/esc side
+    streams should use `packed_overflowed` instead — the nibble/pair-code
+    planes stay decodable from exc4 alone long after n_exc passes EXC_CAP
+    (large sparse rank spaces: a 714 Mbp base put ~5x EXC_CAP wide gaps in
+    a 50M-run block, which is business as usual, not an overflow)."""
     n = int(meta_exc[3, 0])
     n_exc = int(meta_exc[3, 1])
     overflowed = bool(meta_exc[3, 2]) or n_exc > EXC_CAP
     n_exc4 = int(meta_exc[3, 3]) if meta_exc.shape[1] > 3 else 0
     n_esc2 = int(meta_exc[3, 4]) if meta_exc.shape[1] > 4 else 0
     return n, n_exc, overflowed, n_exc4, n_esc2
+
+
+def packed_overflowed(meta_exc, have_side: bool) -> bool:
+    """True when a packed RA is NOT decodable: the device search flagged a
+    real emission overflow, or no transfer plane's exception table covers
+    it (byte needs n_exc <= EXC_CAP; nib/q4 need the exc4/esc side streams
+    and n_exc4 <= EXC4_CAP)."""
+    n, n_exc, _, n_exc4, _ = _meta_fields(meta_exc)
+    if bool(meta_exc[3, 2]):
+        return True
+    byte_ok = n_exc <= EXC_CAP
+    side_ok = have_side and n_exc4 <= EXC4_CAP
+    return not (byte_ok or side_ok)
 
 
 @functools.partial(jax.jit, static_argnames=("length",))
@@ -854,16 +874,18 @@ Q4_MIN_SAVE = 4 << 20
 
 
 def _choose_plane(dc8, n: int, n_exc4: int, n_esc2: int,
-                  exc4, esc, plane: str | None = None) -> str:
+                  exc4, esc, plane: str | None = None,
+                  byte_ok: bool = True) -> str:
     """Pick the cheapest valid transfer plane for a packed RA block:
     'q4' (0.5 B/run + 2 B/escape), 'nib' (1 B/run + 2 B/escape),
-    'byte' (2 B/run)."""
+    'byte' (2 B/run).  byte_ok=False bars the byte plane (its exception
+    table is truncated past EXC_CAP wide runs)."""
     if plane is not None:
         return plane
     nib_ok = (exc4 is not None and esc is not None and n_exc4 <= EXC4_CAP
               and dc8.shape[0] > 2)
     q4_ok = nib_ok and dc8.shape[0] > 3 and dc8.shape[1] % 2 == 0
-    if q4_ok and n // 2 > Q4_MIN_SAVE:
+    if q4_ok and (n // 2 > Q4_MIN_SAVE or not byte_ok):
         return "q4"
     return "nib" if nib_ok else "byte"
 
@@ -879,10 +901,11 @@ def unpack_search(dc8, meta_exc, exc4=None, esc=None, plane=None) -> tuple:
     double the transfer.  The bucket sizes ({2^k, 3*2^(k-2)}, <=33% waste)
     keep the slice program cache small on the remote-compile service."""
     meta_exc = jax.device_get(meta_exc)
-    n, n_exc, overflowed, n_exc4, n_esc2 = _meta_fields(meta_exc)
-    if overflowed:
+    n, n_exc, _ovf_byte, n_exc4, n_esc2 = _meta_fields(meta_exc)
+    if packed_overflowed(meta_exc, exc4 is not None and esc is not None):
         return np.zeros(0, np.int64), np.zeros(0, np.int64), True
-    plane = _choose_plane(dc8, n, n_exc4, n_esc2, exc4, esc, plane)
+    plane = _choose_plane(dc8, n, n_exc4, n_esc2, exc4, esc, plane,
+                          byte_ok=n_exc <= EXC_CAP)
     cap = dc8.shape[1]
     k = 1 << 10
     while k < n:
@@ -974,14 +997,19 @@ def stream_packed_ra(dc8, meta_exc, exc4=None,
     Raises ValueError on overflow (callers should have checked meta first).
     """
     meta_exc = jax.device_get(meta_exc)
-    n, n_exc, overflowed, n_exc4, n_esc2 = _meta_fields(meta_exc)
-    if overflowed:
+    n, n_exc, _ovf_byte, n_exc4, n_esc2 = _meta_fields(meta_exc)
+    have_side = exc4 is not None and esc is not None
+    if packed_overflowed(meta_exc, have_side):
         raise ValueError("packed RA overflowed its device buffers")
     if n == 0:
         return
     if presliced is not None and not isinstance(presliced, dict):
         presliced = {"nib": presliced}  # legacy (slices, chunk) tuple
-    plane = _choose_plane(dc8, n, n_exc4, n_esc2, exc4, esc, plane)
+    plane = _choose_plane(dc8, n, n_exc4, n_esc2, exc4, esc, plane,
+                          byte_ok=n_exc <= EXC_CAP)
+    if plane == "byte" and n_exc > EXC_CAP:
+        raise ValueError("byte plane cannot cover its exception table "
+                         f"({n_exc} wide runs > {EXC_CAP} slots)")
 
     cap = dc8.shape[1]
     grid = (presliced or {}).get(plane)
@@ -1169,7 +1197,8 @@ class PackedDeviceRA:
 
     @property
     def overflowed(self) -> bool:
-        return bool(self.meta[3, 2]) or int(self.meta[3, 1]) > EXC_CAP
+        return packed_overflowed(
+            self.meta, self.exc4 is not None and self.esc is not None)
 
     @property
     def n_runs(self) -> int:
@@ -1179,7 +1208,8 @@ class PackedDeviceRA:
     def plane(self) -> str:
         """Transfer plane the consumers will pick ('q4'/'nib'/'byte')."""
         n, n_exc, ovf, n_exc4, n_esc2 = _meta_fields(self.meta)
-        return _choose_plane(self.dc8, n, n_exc4, n_esc2, self.exc4, self.esc)
+        return _choose_plane(self.dc8, n, n_exc4, n_esc2, self.exc4, self.esc,
+                             byte_ok=n_exc <= EXC_CAP)
 
     def stream(self, chunk_runs: int | None = None):
         if chunk_runs is None:
@@ -1246,7 +1276,9 @@ class BlockedPackedRA:
     @property
     def overflowed(self) -> bool:
         return any(
-            bool(self._meta(i)[3, 2]) or int(self._meta(i)[3, 1]) > EXC_CAP
+            packed_overflowed(self._meta(i),
+                              self.parts[i][2] is not None
+                              and self.parts[i][3] is not None)
             for i in range(len(self.parts)))
 
     @property
@@ -1263,10 +1295,12 @@ class BlockedPackedRA:
                 m = self._meta(i)
             except Exception:
                 return
-            n, n_exc, ovf, n_exc4, n_esc2 = _meta_fields(m)
-            if ovf or sliced is None:
+            n, n_exc, _ovf_byte, n_exc4, n_esc2 = _meta_fields(m)
+            if sliced is None or packed_overflowed(
+                    m, exc4 is not None and esc is not None):
                 continue
-            plane = _choose_plane(dc8, n, n_exc4, n_esc2, exc4, esc)
+            plane = _choose_plane(dc8, n, n_exc4, n_esc2, exc4, esc,
+                                  byte_ok=n_exc <= EXC_CAP)
             # side streams first: the consumer needs them before it can
             # decode ANY window, and the ladders were dispatched right
             # after this block's search (blocked_search_and_pack), so these

@@ -323,11 +323,17 @@ def sharded_packed_ra(
             a_idx, b_idx, a_sequences, b_sequences, mesh, frontier_cap,
             emit_cap, b_seq_offset, streamed)
 
+    from ..ops.search_jax import EXC4_CAP
+
     n_emit_h = np.asarray(n_emit)
     n_exc_h = np.asarray(n_exc)
     n_exc4_h = np.asarray(n_exc4)
     n_esc2_h = np.asarray(n_esc2)
-    if bool(np.asarray(overflow).any()) or bool((n_exc_h > EXC_CAP).any()):
+    # a shard is decodable via the byte plane (n_exc <= EXC_CAP) OR the
+    # nib/q4 planes with the exc4/esc side streams (n_exc4 <= EXC4_CAP) —
+    # sparse rank spaces exceed EXC_CAP routinely at multi-100-Mbp bases
+    if bool(np.asarray(overflow).any()) or bool(
+            ((n_exc_h > EXC_CAP) & (n_exc4_h > EXC4_CAP)).any()):
         return None
 
     exc_h = np.asarray(exc)

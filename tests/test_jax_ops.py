@@ -527,3 +527,47 @@ class TestSearchAndPack:
             a.sequences(), frontier_cap=256, emit_cap=64)
         _, _, ovf = unpack_search(dc8, meta_exc, exc4, esc)
         assert ovf
+
+
+class TestWideGapPack:
+    def test_exc_cap_overflow_uses_side_streams(self):
+        """An RA whose wide-gap count exceeds the byte-plane exception table
+        (EXC_CAP) must still pack/decode via the exc4/esc side streams —
+        sparse rank spaces at multi-100-Mbp bases produce this routinely
+        (the old all-or-nothing check silently forced a trie fallback)."""
+        import jax.numpy as jnp
+
+        from bwtmerge_tpu.ops.search_jax import (EXC_CAP, PackedDeviceRA,
+                                                 pack_ra_device,
+                                                 stream_packed_ra)
+
+        n = EXC_CAP + 1000          # every delta = 300 -> all runs "wide"
+        values = (np.arange(n, dtype=np.int64) * 300 + 7).astype(np.int32)
+        counts = np.ones(n, np.int32)
+        cap = 1 << 14
+        v = jnp.full((cap,), 2**31 - 1, jnp.int32).at[:n].set(
+            jnp.asarray(values))
+        c = jnp.zeros((cap,), jnp.int32).at[:n].set(jnp.asarray(counts))
+        dc, exc, exc4, esc, n_u, n_exc, n_exc4, n_esc2 = pack_ra_device(
+            v, c, jnp.int32(n), compact=False)
+        assert int(n_exc) > EXC_CAP
+        meta = np.zeros((1, EXC_CAP), np.int32)
+        meta[0, 0] = int(n_u)
+        meta[0, 1] = int(n_exc)
+        meta[0, 3] = int(n_exc4)
+        meta[0, 4] = int(n_esc2)
+        meta_exc = np.concatenate([np.asarray(exc), meta])
+
+        packed = PackedDeviceRA(dc, jnp.asarray(meta_exc), exc4, esc)
+        assert not packed.overflowed
+        gv, gc = packed.finish()
+        np.testing.assert_array_equal(gv, values.astype(np.int64))
+        np.testing.assert_array_equal(gc, counts.astype(np.int64))
+
+        # explicit byte plane must refuse (its table is truncated)
+        with pytest.raises(ValueError):
+            list(stream_packed_ra(dc, meta_exc, exc4, esc=esc, plane="byte"))
+
+        # without the side streams the pack is genuinely undecodable
+        bare = PackedDeviceRA(dc, jnp.asarray(meta_exc))
+        assert bare.overflowed
