@@ -101,7 +101,13 @@ def merge_fmi(a: FMI, b: FMI, config: Optional[MergeConfig] = None) -> FMI:
             # stateful native interleave (bounded host memory)
             from ..native import interleave_streaming
 
-            merged_runs = interleave_streaming(a.runs, b.runs, ra.stream())
+            # capacity hint: every A/B run appears at most once plus at
+            # most two seam splits per RA run (worst case)
+            ra_runs = int(getattr(ra, "n_runs", 0) or 0)
+            hint = (a.runs.n_runs + b.runs.n_runs + 2 * ra_runs + 16
+                    if ra_runs else 0)
+            merged_runs = interleave_streaming(a.runs, b.runs, ra.stream(),
+                                               hint_runs=hint)
         else:
             ra_values, ra_counts = ra.finish()
             merged_runs = _interleave(a.runs, b.runs, ra_values, ra_counts, config)
@@ -238,9 +244,12 @@ class _PrimedStream:
     n_spill_files = 0
     total_spilled_bytes = 0
 
-    def __init__(self, first, rest):
+    n_runs = 0  # capacity hint for interleave_streaming (0 = unknown)
+
+    def __init__(self, first, rest, n_runs=0):
         self._first = first
         self._rest = rest
+        self.n_runs = int(n_runs)
 
     def stream(self, chunk_runs=None):
         import itertools
@@ -269,7 +278,7 @@ def _prime_stream(packed):
         first = next(stream, None)
     except ValueError:
         return None
-    return _PrimedStream(first, stream)
+    return _PrimedStream(first, stream, getattr(packed, "n_runs", 0))
 
 
 def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
