@@ -8,15 +8,20 @@ built BWTs get one from a single on-device decode (decode_creads), cached
 here so every later fold/merge skips the decode.
 
 Layout (little-endian):
-  magic   u64  0x31534452544D5742  ("BWTMRDS1")
+  magic   u64  0x32534452544D5742  ("BWTMRDS2"; v1 "BWTMRDS1" accepted)
   R       u64  number of reads
   total   u64  total characters (sum of lengths)
+  hash    u64  FNV-1a over the packed chars bytes (v2 only; corruption gate)
   lengths u32[R]
   chars   u8[(total+1)//2]  4-bit packed comp values 1..5, reads
           concatenated in BWT endmarker-rank order, low nibble first
 
 The in-memory walk layout ([max_len, R] int8, characters from the END,
 0 past each read's end) is assembled on load with vectorized numpy.
+
+A matching-content gate lives in models/merge.py (_creads_consistent):
+the header hash proves the FILE is intact; the LF spot-walk there proves
+the reads actually belong to the BWT being merged.
 """
 
 from __future__ import annotations
@@ -25,7 +30,23 @@ import os
 
 import numpy as np
 
-MAGIC = 0x31534452544D5742
+MAGIC_V1 = 0x31534452544D5742
+MAGIC = 0x32534452544D5742
+
+
+def _fnv1a_packed(packed: np.ndarray) -> int:
+    """FNV-1a over the packed chars bytes (reference fnv1a_hash,
+    utils.h:155-176) — native runtime when available, pure Python
+    otherwise."""
+    packed = np.ascontiguousarray(packed, np.uint8)
+    try:
+        from ..native import fnv1a_bytes as native_fnv
+
+        return native_fnv(packed)
+    except Exception:
+        from ..utils.hashing import fnv1a_bytes
+
+        return fnv1a_bytes(packed)
 
 
 def sidecar_path(bwt_path: str) -> str:
@@ -47,8 +68,8 @@ def write_sidecar(path: str, lengths: np.ndarray, flat_chars: np.ndarray
     packed = (flat[0::2] | (flat[1::2] << 4)).astype(np.uint8)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        np.array([MAGIC, lengths.size, flat.size - pad],
-                 dtype="<u8").tofile(f)
+        np.array([MAGIC, lengths.size, flat.size - pad,
+                  _fnv1a_packed(packed)], dtype="<u8").tofile(f)
         lengths.astype("<u4").tofile(f)
         packed.tofile(f)
     os.replace(tmp, path)
@@ -63,14 +84,25 @@ def write_sidecar_reads(path: str, reads) -> None:
 
 
 def read_sidecar(path: str):
-    """-> (lengths uint32[R], flat uint8[total])."""
+    """-> (lengths uint32[R], flat uint8[total]).
+
+    v2 files carry an FNV-1a hash of the packed chars; a mismatch (torn
+    write, disk corruption, foreign file) raises ValueError so the walk
+    path falls back to the trie instead of merging corrupt text."""
     with open(path, "rb") as f:
         head = np.fromfile(f, dtype="<u8", count=3)
-        if head.size != 3 or int(head[0]) != MAGIC:
+        if head.size != 3 or int(head[0]) not in (MAGIC, MAGIC_V1):
             raise ValueError(f"{path}: not a reads sidecar")
+        want_hash = None
+        if int(head[0]) == MAGIC:
+            want_hash = int(np.fromfile(f, dtype="<u8", count=1)[0])
         r, total = int(head[1]), int(head[2])
         lengths = np.fromfile(f, dtype="<u4", count=r)
         packed = np.fromfile(f, dtype=np.uint8, count=(total + 1) // 2)
+    if lengths.size != r or packed.size != (total + 1) // 2:
+        raise ValueError(f"{path}: truncated reads sidecar")
+    if want_hash is not None and _fnv1a_packed(packed) != want_hash:
+        raise ValueError(f"{path}: reads sidecar hash mismatch (corrupt)")
     flat = np.empty(packed.size * 2, np.uint8)
     flat[0::2] = packed & 0xF
     flat[1::2] = packed >> 4

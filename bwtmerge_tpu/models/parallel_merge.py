@@ -79,4 +79,7 @@ def interleave_stream_chunks_parallel(a_runs, b_runs, ra_chunks,
         while pending:
             yield from pending.popleft().result()
     finally:
-        ex.shutdown(wait=False)
+        # cancel queued fragments too: without it an early generator close
+        # (or a raising fragment) leaves in-flight tasks burning cores and
+        # pinning the large run arrays until they finish
+        ex.shutdown(wait=False, cancel_futures=True)

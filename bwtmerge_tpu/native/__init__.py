@@ -10,6 +10,7 @@ from .build import load_library  # noqa: F401
 try:
     from .api import (  # noqa: F401
         rle_hash,
+        fnv1a_bytes,
         rle_decode,
         rle_encode,
         rle_encode_at,

@@ -101,6 +101,12 @@ def rle_hash(syms, lens) -> int:
     return int(_lib().rle_hash_runs(syms, lens, syms.size))
 
 
+def fnv1a_bytes(data, seed: int = 0xCBF29CE484222325) -> int:
+    """FNV-1a over raw bytes (codec.cpp fnv1a_bytes) at memory speed."""
+    data = _as_u8(data)
+    return int(_lib().fnv1a_bytes(data, data.size, ctypes.c_uint64(seed)))
+
+
 def interleave_native(a_runs, b_runs, ra_values, ra_counts,
                       threads: Optional[int] = None):
     """Merged RunArrays of A and B according to the rank array.
@@ -458,8 +464,16 @@ def interleave_streaming(a_runs, b_runs, ra_chunks, hint_runs: int = 0):
         n = need
     if n == 0:
         return RunArrays.empty()
-    syms = syms[:n]
-    lens = lens[:n]
+    if cap - n > max(cap // 16, 1 << 20):
+        # hint_runs is an upper bound (a+b+2*RA runs): slicing would pin the
+        # full-capacity buffers (9 B/run of slack) behind the views for the
+        # whole next fold — copy to exact size when the slack is material,
+        # keep the zero-copy slice for tight fits
+        syms = syms[:n].copy()
+        lens = lens[:n].copy()
+    else:
+        syms = syms[:n]
+        lens = lens[:n]
     if syms.size > 1 and bool(np.any(syms[1:] == syms[:-1])):
         # >2^31 runs arrive split into adjacent same-symbol entries
         return RunArrays(syms, lens).coalesced()

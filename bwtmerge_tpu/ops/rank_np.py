@@ -90,3 +90,67 @@ class RankIndex:
         sym = self.syms[k]
         rnk = self.occ[k, sym] + (i - self.run_starts[k])
         return rnk, sym
+
+
+@dataclass
+class SparseRankIndex:
+    """Block-sampled rank over maximal runs: O(R/stride) memory instead of
+    RankIndex's O(R * sigma) occ table (3.7 GB at 77M runs) — built for
+    sparse query workloads like the sidecar spot-walk (models/merge.py),
+    where a handful of LF chains must not cost a full index build.
+
+    Samples cumulative occ + text position every `stride` runs; a query
+    locates its block by binary search over the sampled starts, then scans
+    the <= stride runs of that block (vectorized cumsum per query).
+    """
+
+    syms: np.ndarray          # uint8[R] (view of the source runs)
+    lens: np.ndarray          # int64[R]
+    blk_starts: np.ndarray    # int64[NB+1] text position at run block*stride
+    blk_occ: np.ndarray       # int64[NB+1, sigma] occ at those runs
+    stride: int
+
+    @classmethod
+    def build(cls, runs: RunArrays, sigma: int = SIGMA,
+              stride: int = 1 << 12) -> "SparseRankIndex":
+        syms = np.asarray(runs.syms)
+        lens = np.asarray(runs.lens, dtype=np.int64)
+        r = syms.size
+        idx = np.arange(0, r, stride, dtype=np.int64) if r else np.zeros(1, np.int64)
+        nb = idx.size
+        blk_starts = np.zeros(nb + 1, np.int64)
+        blk_occ = np.zeros((nb + 1, sigma), np.int64)
+        if r:
+            sums = np.add.reduceat(lens, idx)
+            np.cumsum(sums, out=blk_starts[1:])
+            for c in range(sigma):
+                contrib = np.where(syms == c, lens, 0)
+                np.cumsum(np.add.reduceat(contrib, idx), out=blk_occ[1:, c])
+        return cls(syms=syms, lens=lens, blk_starts=blk_starts,
+                   blk_occ=blk_occ, stride=stride)
+
+    @property
+    def size(self) -> int:
+        return int(self.blk_starts[-1])
+
+    def inverse_select(self, positions):
+        """(rank(i, BWT[i]), BWT[i]) per position; O(stride) scan each."""
+        i = np.asarray(positions, dtype=np.int64)
+        rnk = np.empty(i.shape, np.int64)
+        sym = np.empty(i.shape, np.uint8)
+        for q, pos in enumerate(i):
+            b = int(np.searchsorted(self.blk_starts, pos, side="right")) - 1
+            b = min(max(b, 0), self.blk_starts.size - 2)
+            lo = b * self.stride
+            hi = min(lo + self.stride, self.syms.size)
+            local = np.cumsum(self.lens[lo:hi])
+            off = pos - int(self.blk_starts[b])
+            k = int(np.searchsorted(local, off, side="right"))
+            k = min(k, hi - lo - 1)
+            s = int(self.syms[lo + k])
+            run_start = int(local[k - 1]) if k else 0
+            in_block = int(np.sum(
+                self.lens[lo:lo + k][self.syms[lo:lo + k] == s]))
+            rnk[q] = int(self.blk_occ[b, s]) + in_block + (off - run_start)
+            sym[q] = s
+        return rnk, sym

@@ -887,7 +887,17 @@ def _choose_plane(dc8, n: int, n_exc4: int, n_esc2: int,
     q4_ok = nib_ok and dc8.shape[0] > 3 and dc8.shape[1] % 2 == 0
     if q4_ok and (n // 2 > Q4_MIN_SAVE or not byte_ok):
         return "q4"
-    return "nib" if nib_ok else "byte"
+    if nib_ok:
+        return "nib"
+    if not byte_ok:
+        # no nibble plane AND the byte plane's exception table is truncated:
+        # decoding would silently return wrong runs, so refuse here (every
+        # consumer — unpack_search included — must see this, not just
+        # stream_packed_ra's own guard)
+        raise ValueError(
+            "byte plane cannot cover its exception table and no nibble "
+            "plane exists for this packed RA")
+    return "byte"
 
 
 def unpack_search(dc8, meta_exc, exc4=None, esc=None, plane=None) -> tuple:

@@ -228,3 +228,54 @@ def test_walk_empty_and_single_char_reads(tmp_path, monkeypatch):
     m_ref = merge_fmi(a2, b2, MergeConfig(backend="numpy",
                                           temp_dir=str(tmp_path)))
     assert m.hash() == m_ref.hash()
+
+
+def test_sidecar_hash_rejects_corruption(tmp_path, rng):
+    # v2 sidecars carry an FNV-1a of the packed chars; a flipped byte in
+    # the chars region must fail the load (round-5 trust-gate hardening)
+    p = str(tmp_path / "x.sga")
+    reads = _random_reads(rng, 6)
+    write_sidecar_reads(sidecar_path(p), reads)
+    raw = bytearray(open(sidecar_path(p), "rb").read())
+    raw[-1] ^= 0x0F  # corrupt a packed char byte
+    open(sidecar_path(p), "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="hash mismatch"):
+        load_creads(sidecar_path(p))
+
+
+def test_composition_matched_wrong_sidecar_rejected(tmp_path, monkeypatch):
+    # A sidecar whose reads are a ROTATION of B's true reads has identical
+    # read count and per-character totals (the round-4 gate accepted it and
+    # corrupted silently) — the LF spot-walk must reject it, and the merge
+    # must fall back to the trie and still produce the correct result.
+    reads_b = [np.full(i + 2, (i % 5) + 1, np.uint8) for i in range(6)]
+    reads_a = [np.array([1, 2, 3], np.uint8), np.array([4, 4], np.uint8)]
+    a, b = _fmi(reads_a), _fmi(reads_b)
+    rotated = reads_b[1:] + reads_b[:1]   # every lane's content changes
+
+    from bwtmerge_tpu.models.merge import _creads_consistent
+
+    assert _creads_consistent(_creads_of(reads_b), b)
+    assert not _creads_consistent(_creads_of(rotated), b)
+
+    b.attach_creads(_creads_of(rotated))
+    b.creads_path = None
+    monkeypatch.setenv("BWTMERGE_SEARCH", "auto")
+    m = merge_fmi(a, b, MergeConfig(backend="jax", temp_dir=str(tmp_path)))
+    a2, b2 = _fmi(reads_a), _fmi(reads_b)
+    m_ref = merge_fmi(a2, b2, MergeConfig(backend="numpy",
+                                          temp_dir=str(tmp_path)))
+    assert m.hash() == m_ref.hash()
+
+
+def test_sparse_rank_matches_full(rng):
+    from bwtmerge_tpu.ops.rank_np import SparseRankIndex
+
+    reads = _random_reads(rng, 40, 80)
+    f = _fmi(reads)
+    sparse = SparseRankIndex.build(f.runs, f.alpha.sigma, stride=8)
+    q = rng.integers(0, f.size(), size=200).astype(np.int64)
+    want_r, want_s = f.rank_index.inverse_select(q)
+    got_r, got_s = sparse.inverse_select(q)
+    np.testing.assert_array_equal(got_s, want_s)
+    np.testing.assert_array_equal(got_r, want_r)
