@@ -82,6 +82,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "released before each merge phase, which re-reads "
                         "them in bounded windows (the reference's clearUntil "
                         "memory profile); streaming output formats only")
+    p.add_argument("--fold", default="auto",
+                   choices=("auto", "kway", "chain"),
+                   help="k-way strategy: 'kway' folds all inputs at once by "
+                        "pairwise rank-array decomposition (no intermediate "
+                        "merged index is ever built — flat insert rate in "
+                        "base size, O(window) memory; jax backend + walk "
+                        "search, streaming output formats); 'chain' is the "
+                        "reference-style left fold of pairwise merges; "
+                        "'auto' picks kway when eligible (default)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler device trace of the merges to "
                         "DIR (view with TensorBoard/Perfetto)")
@@ -212,6 +221,52 @@ def _low_memory_merge(args, inputs, in_formats, output, config,
     return status
 
 
+def _kway_merge(args, inputs, in_formats, output, config,
+                patterns, pre, post, start) -> int:
+    """All-at-once k-way fold by pairwise rank-array decomposition
+    (models/kfold.py): no intermediate merged index, O(window) host memory,
+    insert rate flat in the accumulated base size."""
+    from ..models.kfold import merge_files_many
+
+    if patterns:
+        for name, fmt in zip(inputs, in_formats):
+            fmi = load_fmi(name, fmt)
+            verify_fmi(fmi, "Input", patterns, pre, verbose=not args.quiet,
+                       use_device=args.backend == "jax")
+            del fmi
+
+    stats: dict = {}
+    merge_start = time.monotonic()
+    with config.timer.device_trace(args.profile):
+        merge_files_many(inputs, output, in_formats, args.output_format,
+                         config, stats=stats)
+    bytes_added = sum(stats.get("piece_bases", [0])[1:])
+    if not args.quiet:
+        secs = time.monotonic() - merge_start
+        print(f"Merged {len(inputs)} inputs in one k-way fold: "
+              f"{in_megabytes(bytes_added) / max(secs, 1e-9):.2f} MB/s")
+
+    status = 0
+    if patterns or args.print_hash:
+        index = load_fmi(output, args.output_format)
+        verify_fmi(index, "Output", patterns, post, verbose=not args.quiet,
+                   use_device=args.backend == "jax")
+        if args.print_hash:
+            print(f"Hash:             {index.hash():016x}")
+        if patterns:
+            errors = int(np.sum(pre != post))
+            if errors:
+                print(f"Verification failed for {errors} patterns")
+                status = 2
+            else:
+                print("Verification successful")
+            print("")
+
+    if not args.quiet:
+        report_totals(time.monotonic() - start, bytes_added)
+    return status
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.list_formats:
@@ -278,6 +333,21 @@ def main(argv=None) -> int:
         chars = sum(len(p) for p in patterns)
         print(f"Read {len(patterns)} patterns of total length {chars}")
         print("")
+
+    from ..formats.streaming import STREAM_WRITERS as _SW
+
+    kway_ok = (len(inputs) > 2 and args.backend == "jax"
+               and args.search != "trie" and args.output_format in _SW
+               and not args.checkpoint and not args.low_memory)
+    if args.fold == "kway" or (args.fold == "auto" and kway_ok):
+        if not kway_ok:
+            why = ("needs >2 inputs, --backend jax, a walk-capable --search, "
+                   "a streaming output format, and no --checkpoint/--low-memory")
+            print(f"bwt_merge: --fold kway unavailable ({why}); "
+                  "falling back to the pairwise chain", file=sys.stderr)
+        else:
+            return _kway_merge(args, inputs, in_formats, output, config,
+                               patterns, pre, post, start)
 
     if args.low_memory:
         return _low_memory_merge(args, inputs, in_formats, output, config,

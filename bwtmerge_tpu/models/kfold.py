@@ -1,0 +1,297 @@
+"""K-way fold orchestration over the pairwise rank-array decomposition.
+
+The left-fold merge (reference bwt_merge.cpp:163-173) re-derived so that no
+intermediate merged index is ever built (see ops/kfold_jax.py for the math):
+
+  device   one resident cplane index per piece; piece k's summed rank array
+           = elementwise sum of its sorted pairwise walks through pieces
+           0..k-1; packed planes stream to the host (~0.5 B/run)
+  host     k-1 windowed interleave passes chained as PIPELINED chunk
+           generators (native/windowed.py): pass k consumes pass k-1's
+           output stream, so all passes + the device walks overlap and peak
+           host memory is O(window), independent of every size in sight
+
+Fold cost per inserted base is flat in the accumulated base size by
+construction — the property the reference gets from C++ pointer-chasing at
+8-9 Mbp/s (paper.tex:266) and that the round-4 left-fold lost on the
+link-bound TPU attachment.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..utils.alphabet import Alphabet
+from .fmi import FMI
+from .merge import MergeConfig
+from .runs import RunArrays
+
+# read-lane bound: pieces bigger than this fall back to the pairwise chain
+MAX_PIECE_LANES = 256 * 1024 * 1024
+
+
+def _alpha_sum(alphas: List[Alphabet]) -> Alphabet:
+    a0 = alphas[0]
+    C = a0.C.astype(np.int64).copy()
+    for a in alphas[1:]:
+        if a != a0:
+            raise ValueError("cannot merge BWTs with different alphabets")
+        C += a.C.astype(np.int64)
+    return type(a0)(char2comp=a0.char2comp.copy(),
+                    comp2char=a0.comp2char.copy(),
+                    C=C.astype(np.uint64))
+
+
+class _FoldDevice:
+    """Device residency + fold-step dispatch for a k-way fold.
+
+    Pieces are registered in fold order; `dispatch_step(k)` walks piece k
+    through every earlier piece and returns a single-part BlockedPackedRA
+    whose window D2H copies are requested eagerly (pure DMA that overlaps
+    later steps' walk compute — the platform executes programs in dispatch
+    order, so lazily-sliced windows would queue behind them).
+    """
+
+    def __init__(self, timer=None):
+        self.targets = []   # PieceIndex per registered piece
+        self.timer = timer
+
+    def _phase(self, name):
+        import contextlib
+
+        return self.timer.phase(name) if self.timer else contextlib.nullcontext()
+
+    def add_piece(self, runs: RunArrays, counts: np.ndarray,
+                  need_creads: bool, need_index: bool):
+        """Upload piece (nibble-packed), derive cplanes (if it will be
+        walked through) and device-decode its creads (if it will walk).
+        The fused record table is freed on return."""
+        from ..ops.kfold_jax import PieceIndex
+        from ..ops.rank_jax import DeviceFMIndex
+        from ..ops.walk_jax import decode_creads_dev
+
+        idx = DeviceFMIndex.build(runs, counts)
+        creads = None
+        if need_creads:
+            dec = decode_creads_dev(idx, int(counts[0]), runs.size())
+            if dec is None:
+                raise _PieceTooLong()
+            creads, n_reads = dec
+            if creads.shape[0] * creads.shape[1] > MAX_PIECE_LANES:
+                raise _PieceTooLong()
+        if need_index:
+            self.targets.append(PieceIndex.from_device_index(idx))
+        else:
+            self.targets.append(None)
+        return creads
+
+    def dispatch_step(self, k: int, creads, n_reads: int, chars: int):
+        """Summed packed RA of piece k vs pieces 0..k-1, window grid
+        pre-dispatched; returns a stream-capable object."""
+        from ..ops.kfold_jax import summed_packed_ra
+        from ..ops.search_jax import BlockedPackedRA, make_block_part
+
+        targets = self.targets[:k]
+        assert all(t is not None for t in targets)
+        dc8, meta, exc4, esc = summed_packed_ra(targets, creads,
+                                                n_reads=n_reads)
+        part = make_block_part(dc8, meta, exc4, esc, BlockedPackedRA.CHUNK,
+                               chars + n_reads + 2)
+        return BlockedPackedRA([part])
+
+
+class _PieceTooLong(Exception):
+    pass
+
+
+def merge_fmi_many(fmis: List[FMI], config: Optional[MergeConfig] = None
+                   ) -> FMI:
+    """K-way merge of in-memory FMIs via the pairwise decomposition;
+    falls back to sequential pairwise merge_fmi when the fold engine is
+    unavailable (numpy backend, oversized reads, walk-disabled)."""
+    from .merge import merge_fmi
+
+    config = (config or MergeConfig()).sanitize()
+    if len(fmis) == 0:
+        raise ValueError("merge_fmi_many needs at least one input")
+    if len(fmis) == 1:
+        return fmis[0]
+    alpha = _alpha_sum([f.alpha for f in fmis])
+    use_fold = (config.backend == "jax"
+                and _search_mode_allows_walk(config)
+                and len(fmis) > 2)
+    if use_fold:
+        try:
+            chunks = _fold_chain_chunks(
+                len(fmis), lambda k: (fmis[k].runs, fmis[k].alpha), config,
+                a_chunks=fmis[0].runs.iter_chunks(1 << 20),
+                piece_chunks=lambda k: fmis[k].runs.iter_chunks(1 << 20))
+            merged = _materialize(chunks)
+            return FMI(runs=merged, alpha=alpha)
+        except _PieceTooLong:
+            print("kfold: piece reads exceed the walk cap; falling back to "
+                  "the pairwise chain", file=sys.stderr)
+    acc = fmis[0]
+    for f in fmis[1:]:
+        acc = merge_fmi(acc, f, config)
+    return acc
+
+
+def merge_files_many(paths: List[str], out_path: str,
+                     in_fmts, out_fmt: str = "native",
+                     config: Optional[MergeConfig] = None,
+                     window_positions: int = 1 << 24,
+                     stats: Optional[dict] = None) -> None:
+    """K-way streaming file merge: the memory-bounded production fold.
+
+    Per piece, the runs are resident only during its device upload; the
+    interleave chain re-reads every file as bounded windows.  Peak host
+    memory: max piece runs (upload window) + O(window) chain state.
+    """
+    from ..formats.streaming import write_bwt_stream
+    from ..formats.streaming_read import read_bwt_chunks, read_bwt_streaming
+    from .merge import merge_files
+
+    config = (config or MergeConfig()).sanitize()
+    config.timer.verbose = config.verbose
+    if isinstance(in_fmts, str):
+        in_fmts = [in_fmts] * len(paths)
+    if len(paths) < 2:
+        raise ValueError("merge_files_many needs at least two inputs")
+
+    use_fold = config.backend == "jax" and _search_mode_allows_walk(config)
+    if not use_fold or len(paths) == 2:
+        # pairwise chain through temp checkpoints (the round-4 path)
+        import os
+        import tempfile
+
+        cur, cur_fmt = paths[0], in_fmts[0]
+        tmpdir = tempfile.mkdtemp(dir=config.temp_dir, prefix=".bwtm_fold_")
+        try:
+            for k in range(1, len(paths)):
+                out_k = (out_path if k == len(paths) - 1
+                         else os.path.join(tmpdir, f"fold_{k}.native"))
+                fmt_k = out_fmt if k == len(paths) - 1 else "native"
+                merge_files(cur, paths[k], out_k, cur_fmt, fmt_k,
+                            config, window_positions, stats,
+                            in_fmt_b=in_fmts[k])
+                cur, cur_fmt = out_k, fmt_k
+        finally:
+            import shutil
+
+            shutil.rmtree(tmpdir, ignore_errors=True)
+        return
+
+    def loader(k):
+        # one piece's runs resident at a time (freed after its upload)
+        runs, _, al = read_bwt_streaming(paths[k], in_fmts[k])
+        return runs, al
+
+    alphas = [None] * len(paths)
+    total = [0]
+
+    try:
+        chunks = _fold_chain_chunks(
+            len(paths), loader, config,
+            a_chunks=read_bwt_chunks(paths[0], in_fmts[0]),
+            piece_chunks=lambda k: read_bwt_chunks(paths[k], in_fmts[k]),
+            window_positions=window_positions, stats=stats,
+            alphas_out=alphas, total_out=total)
+        alpha = _alpha_sum(alphas)
+        if stats is not None:
+            stats["piece_bases"] = [a.size() for a in alphas]
+        with config.timer.phase("fold chain (interleave+write)"):
+            write_bwt_stream(out_path, out_fmt, chunks, alpha)
+    except _PieceTooLong:
+        print("kfold: piece reads exceed the walk cap; falling back to the "
+              "pairwise chain", file=sys.stderr)
+        return merge_files_many(paths, out_path, in_fmts, out_fmt,
+                                _chain_config(config), window_positions,
+                                stats)
+    if config.verbose:
+        config.timer.report(total[0])
+
+
+def _chain_config(config: MergeConfig) -> MergeConfig:
+    import copy
+
+    c = copy.copy(config)
+    c.search = "trie"
+    return c
+
+
+def _search_mode_allows_walk(config: MergeConfig) -> bool:
+    import os
+
+    env = os.environ.get("BWTMERGE_SEARCH")
+    mode = env if env in ("walk", "trie", "auto") else \
+        getattr(config, "search", "auto")
+    return mode != "trie"
+
+
+def _fold_chain_chunks(k_total: int, loader, config: MergeConfig, a_chunks,
+                       piece_chunks, window_positions: int = 1 << 24,
+                       stats: Optional[dict] = None,
+                       alphas_out: Optional[list] = None,
+                       total_out: Optional[list] = None):
+    """Build the full device fold + host interleave chain; returns the
+    merged run-chunk generator (ascending maximal-run-clean chunks).
+
+    loader(k) -> (RunArrays, Alphabet) loads piece k (released after its
+    upload); a_chunks/piece_chunks supply the interleave chain's INPUT
+    streams (file readers or in-memory chunkers) so piece runs need not
+    stay resident.
+    """
+    from ..native.windowed import interleave_windowed_chunks
+    from ..utils.pipeline import prefetch_chunks
+
+    dev = _FoldDevice(timer=config.timer)
+    steps = []
+    with config.timer.phase("device fold dispatch"):
+        t0 = time.monotonic()
+        for k in range(k_total):
+            runs, al = loader(k)
+            counts = al.counts()
+            if alphas_out is not None:
+                alphas_out[k] = al
+            if total_out is not None:
+                total_out[0] += runs.size()
+            creads = dev.add_piece(
+                runs, counts, need_creads=k > 0,
+                need_index=k < k_total - 1)
+            if k > 0:
+                n_reads = int(counts[0])
+                steps.append(dev.dispatch_step(k, creads, n_reads,
+                                               runs.size() - n_reads))
+            del creads, runs
+            if config.verbose:
+                print(f"kfold: piece {k} dispatched "
+                      f"({time.monotonic() - t0:.1f}s)", file=sys.stderr)
+
+    if stats is not None:
+        stats["fold_steps"] = len(steps)
+
+    cur = a_chunks
+    for k in range(1, k_total):
+        cur = interleave_windowed_chunks(
+            prefetch_chunks(cur, depth=2), piece_chunks(k),
+            steps[k - 1].stream(), window_positions=window_positions,
+            stats=stats)
+    return prefetch_chunks(cur, depth=1)
+
+
+def _materialize(chunks) -> RunArrays:
+    parts_s, parts_l = [], []
+    for s, l in chunks:
+        # chunks are views valid only until the next iteration
+        parts_s.append(np.array(s, np.uint8, copy=True))
+        parts_l.append(np.array(l, np.int64, copy=True))
+    if not parts_s:
+        return RunArrays.empty()
+    runs = RunArrays(np.concatenate(parts_s),
+                     np.concatenate(parts_l).astype(np.int64))
+    return runs.coalesced()

@@ -177,15 +177,19 @@ def interleave_windowed_chunks(
     a_chunks, b_chunks, ra_chunks, *,
     window_positions: int = 1 << 24,
     stats: Optional[dict] = None,
+    n_buffers: int = 4,
 ) -> Iterator[RunChunk]:
     """Merged (syms, lens) run chunks from chunked A, B, and rank-array
     streams, holding O(window_positions) host memory.
 
     The bounded-memory sibling of interleave_stream_chunks (native/api.py):
-    same maximal-run-clean output contract (yielded arrays are views valid
-    until the next iteration), but A and B are chunk ITERATORS — e.g.
-    read_bwt_chunks over the source files — instead of resident RunArrays.
-    `stats`, when given, receives {"max_window_positions": peak} on exit.
+    same maximal-run-clean output contract, but A and B are chunk ITERATORS
+    — e.g. read_bwt_chunks over the source files — instead of resident
+    RunArrays.  Yielded arrays are views into a ring of `n_buffers` output
+    buffers, so a consumer may hold up to n_buffers-2 chunks in flight —
+    enough for a depth-2 prefetch_chunks stage between chained passes (the
+    k-way fold pipeline, models/kfold.py).  `stats`, when given, receives
+    {"max_window_positions": peak} on exit.
     """
     from .api import _configure_stream_interleave, _lib
 
@@ -199,8 +203,10 @@ def interleave_windowed_chunks(
     b_pos = 0  # absolute B positions consumed
     withheld_sym, withheld_len = 0, 0
     state = np.zeros(7, dtype=np.int64)
-    bufs = {"s": np.empty(1 << 16, dtype=np.uint8),
-            "l": np.empty(1 << 16, dtype=np.int64)}
+    ring = [{"s": np.empty(1 << 16, dtype=np.uint8),
+             "l": np.empty(1 << 16, dtype=np.int64)}
+            for _ in range(max(2, n_buffers))]
+    slot = [0]
 
     def call(rv_abs, rc, finish):
         nonlocal a_pos, b_pos, withheld_sym, withheld_len
@@ -223,6 +229,8 @@ def interleave_windowed_chunks(
         # B fragments + one split per RA run + finish tail
         cap = ((a_win.syms.size - ar) + (b_win.syms.size - br)
                + 2 * rv.size + 8)
+        bufs = ring[slot[0]]
+        slot[0] = (slot[0] + 1) % len(ring)
         if bufs["s"].size < cap:
             bufs["s"] = np.empty(max(cap, 2 * bufs["s"].size), dtype=np.uint8)
             bufs["l"] = np.empty(bufs["s"].size, dtype=np.int64)

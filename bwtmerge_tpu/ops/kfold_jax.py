@@ -1,0 +1,172 @@
+"""K-way fold by pairwise rank-array decomposition — the round-5 fold
+engine.
+
+The reference merges k BWTs as a left fold of pairwise merges, re-building
+the accumulated index after every fold (bwt_merge.cpp:163-173; FMI::FMI
+fmi.cpp:336-369 + BWT::build bwt.cpp:477-512).  On a remote-attached TPU
+that design is fatal: the merged index must cross the host link every fold
+(hundreds of MB at tens of MB/s), so fold cost grows with the BASE size and
+the insert rate collapses as the base grows (the round-4 xlarge record:
+0.159x baseline at 918 Mbp).
+
+This module replaces it with a decomposition that never materializes an
+intermediate index ANYWHERE:
+
+  rank of piece k's suffix s in the accumulated base (pieces 0..k-1)
+      = |{suffixes of piece_0 <= s}| + ... + |{suffixes of piece_{k-1} <= s}|
+      = sum of PAIRWISE rank arrays against the ORIGINAL pieces.
+
+Each pairwise rank array is computed by the per-read backward walk
+(ops/walk_jax.py) of piece k's reads through piece l's resident cplane
+index.  Alignment of the sum needs no suffix identity: RA against any
+earlier piece is non-decreasing in piece-k suffix rank j (if suffix j <=
+suffix j' then every suffix <= j is <= j'), so the j-th smallest value of
+each sorted emission array belongs to the SAME suffix j, and the per-j sum
+is an elementwise add of sorted arrays.  Endmarker suffixes (j < R) each
+count l.sequences() suffixes of piece l (piece order breaks ties: earlier
+pieces' endmarkers sort first, exactly the reference's root-run convention,
+fmi.cpp:286-287), contributing the constant root value sum.
+
+Device cost per fold step k: one walk per earlier piece — O(|piece_k|)
+work against SMALL resident indexes — plus one sort and one elementwise
+add; the only host-link traffic is piece_k's one-time nibble upload
+(0.5 B/base) and the packed summed rank array out (~0.5 B/run).  Nothing
+proportional to the accumulated base ever crosses the link, so the insert
+rate is flat in base size by construction.
+
+The host-side interleave chain consumes the summed streams pairwise
+(merged_{k} = interleave(merged_{k-1} stream, piece_k, RA_k)) as PIPELINED
+chunk generators (native/windowed.py), so all k-1 passes overlap each
+other and the device walks; peak host memory stays O(window).
+
+The reference cannot use this decomposition at all: its search phase needs
+the built FMI of the accumulated base because it has no access to the
+inserted pieces' read text (construction is outsourced to ropebwt,
+paper.tex:274).  The walk engine's read-text sidecar is what unlocks it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .rank_jax import DeviceFMIndex
+from .search_jax import EXC_CAP, _bucket, _pack_planes
+from .walk_jax import _SENT, _walk_emit, build_cplanes
+
+
+class PieceIndex:
+    """Device residency for one fold piece: per-character cplanes + C.
+
+    Built once per piece from its DeviceFMIndex; the fused record table is
+    NOT retained (the walk only gathers cplane rows), so a resident piece
+    costs 1.25 B/position of HBM.
+    """
+
+    def __init__(self, cpl: jax.Array, C: jax.Array, sequences: int,
+                 size: int):
+        self.cpl = cpl
+        self.C = C
+        self.sequences = int(sequences)
+        self.size = int(size)
+
+    @classmethod
+    def from_device_index(cls, idx: DeviceFMIndex) -> "PieceIndex":
+        return cls(build_cplanes(idx.rec), idx.C, int(idx.C[1]), idx.size)
+
+
+@jax.jit
+def _walk_sorted(cpl: jax.Array, C: jax.Array, creads: jax.Array,
+                 a0: jax.Array):
+    """Walk + single-operand ascending sort: the piece's pairwise rank
+    array in suffix-rank order (dead lanes sort to the end as _SENT).
+
+    a0 is the walk start value: l.sequences() for an earlier piece l (the
+    '<=' tie convention — l's endmarkers precede the walked piece's).
+    Returns (vals int32[max_len*R] sorted, n_live)."""
+    emits, n_live = _walk_emit(cpl, C, creads, a0)
+    return jax.lax.sort(emits), n_live
+
+
+@jax.jit
+def _sum_sorted(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Per-suffix sum of two sorted pairwise rank arrays (see module
+    docstring for why elementwise add IS the per-suffix sum).  _SENT pads
+    stay _SENT (both arrays have the same live count by construction)."""
+    return jnp.where((a == _SENT) | (b == _SENT), _SENT, a + b)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _pack_presorted(vals: jax.Array, n_live: jax.Array,
+                    root_value: jax.Array, root_count: jax.Array):
+    """Plane-pack an ALREADY SORTED emission array plus its root run.
+
+    The root run (endmarker suffixes: value = sum of earlier pieces'
+    sequence counts, count = R) sorts before every emission (emissions are
+    >= C_l[1] per walked piece l), so it prepends without a sort — this is
+    _pack_walk (walk_jax.py) minus the device sort the caller already did.
+    Output contract matches search_and_pack: (dc8, meta_exc, exc4, esc).
+    """
+    e0 = vals.shape[0]
+    e = _bucket(e0 + 2, minimum=1 << 10)
+    ext = jnp.concatenate([
+        root_value[None].astype(jnp.int32), vals,
+        jnp.full(e - e0 - 1, _SENT, jnp.int32)])
+    lane = jax.lax.broadcasted_iota(jnp.int32, (e, 1), 0)[:, 0]
+    counts = jnp.where(lane == 0, root_count,
+                       (ext != _SENT).astype(jnp.int32))
+    n_u = n_live + 1
+    dc, exc, exc4, esc, n_exc, n_exc4, n_esc2 = _pack_planes(ext, counts, n_u)
+    meta = jnp.zeros((1, EXC_CAP), jnp.int32)
+    meta = meta.at[0, 0].set(n_u).at[0, 1].set(n_exc)
+    meta = meta.at[0, 3].set(n_exc4).at[0, 4].set(n_esc2)
+    return dc, jnp.concatenate([exc, meta], axis=0), exc4, esc
+
+
+# One walk program (scan + sort) peaks at ~16 B/lane of device temporaries;
+# this bounds a single piece's max_len * R to ~4 GB of them.  K-way fold
+# pieces are piece-sized by construction; bigger inserts fall back to the
+# pairwise chain (models/merge.py).
+MAX_WALK_LANES = 256 * 1024 * 1024
+
+
+def summed_packed_ra(targets, creads, n_reads: int | None = None):
+    """The fold-step search: walk `creads` (piece k's reads, walk layout,
+    one lane per read) through every earlier piece's resident index and
+    return the SUMMED packed rank array (PackedDeviceRA-compatible tuple).
+
+    targets: list[PieceIndex] — pieces 0..k-1 in fold order.
+    creads: host array (lane-padded here) or a device array already
+    lane-bucketed (decode_creads_dev output) with n_reads its live lanes.
+    Returns (dc8, meta_exc, exc4, esc) left on device.
+    """
+    max_len, r = creads.shape
+    if isinstance(creads, np.ndarray):
+        n_reads = r if n_reads is None else n_reads
+        per = _bucket(max(r, 1), minimum=128)  # one program shape per size
+        if per > r:
+            creads = np.pad(creads, ((0, 0), (0, per - r)))  # dead lanes
+        creads_dev = jnp.asarray(creads)
+    else:
+        if n_reads is None:
+            raise ValueError("device creads needs an explicit n_reads")
+        per = r
+        creads_dev = creads
+    if max_len * per > MAX_WALK_LANES:
+        raise ValueError(
+            f"piece walk of {max_len * per} lanes exceeds MAX_WALK_LANES; "
+            "use the pairwise fold chain for oversized inserts")
+    r = n_reads
+    total = None
+    n_live = None
+    root_value = 0
+    for t in targets:
+        vals, n_live = _walk_sorted(t.cpl, t.C, creads_dev,
+                                    jnp.int32(t.sequences))
+        total = vals if total is None else _sum_sorted(total, vals)
+        root_value += t.sequences
+    return _pack_presorted(total, n_live, jnp.int32(root_value),
+                           jnp.int32(r))
