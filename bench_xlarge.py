@@ -1,18 +1,22 @@
-"""XLarge bench tier: multi-GB 3-way fold on one chip (VERDICT r3 #4).
+"""XLarge bench tier: ~1 Gbp 3-way fold on one chip through the k-way
+pairwise-decomposition engine (models/kfold.py) — the round-5 scale record.
 
-Shape mirrors BASELINE configs[1-2]: a large base index plus two further
-inserts, left-folded pairwise (the reference's production workload,
-bwt_merge.cpp:163-173), ~1 Gbp total.  Fixtures are built once on the
-chip by `scripts/build_xlarge_fixtures.py` (7x102 Mbp device-built read sets
-folded into a ~714 Mbp base, plus two 102 Mbp insert pieces with
-read-text sidecars) and cached under .bench_cache/xl_*.
+Shape mirrors BASELINE configs[1-2]: a large base plus two inserts.  Unlike
+the round-4 tier (in-memory left fold re-uploading the merged index every
+fold, 0.159x baseline, 25 GB RSS), this fold:
 
-Measures per-fold wall clock, sustained Mbases/s over both folds, spill
-temp-disk bytes, peak RSS — and verifies the pattern-count invariant
-(count_merged(p) == sum count_input_i(p), the reference's -v gate,
+  * never builds an intermediate merged index (device cost per insert is
+    O(insert), flat in base size — the reference's defining property,
+    paper.tex:266);
+  * streams the merged BWT to a file through the windowed interleave chain
+    (O(window) host memory, verdict r4 item 2).
+
+Reports sustained Mbases/s over the inserted bases, a per-phase breakdown
+(piece load+upload+decode dispatch, per-step walk completion, chain
+interleave+write), peak RSS, and verifies the pattern-count invariant
+(count_merged(p) == sum count_input_i(p), the reference -v gate,
 bwt_merge.cpp:179-194) with read-derived 32-mers.  Prints ONE JSON line;
-`python bench.py` embeds the committed record (XLARGE.json) in its
-extras so the standard bench stays inside its try timeout.
+`python bench.py` embeds the committed record (XLARGE.json).
 """
 
 from __future__ import annotations
@@ -47,16 +51,16 @@ def main() -> None:
 
     warm = ensure_d2h_warm()
 
-    from bwtmerge_tpu.formats import read_bwt
-    from bwtmerge_tpu.formats.sidecar import sidecar_path
-    from bwtmerge_tpu.models.fmi import FMI
-    from bwtmerge_tpu.models.merge import MergeConfig, merge_fmi
-    from bwtmerge_tpu.models import merge as merge_mod
+    from bwtmerge_tpu.formats.sidecar import load_creads, sidecar_path
+    from bwtmerge_tpu.models.kfold import merge_files_many
+    from bwtmerge_tpu.models.merge import MergeConfig
 
     base_path = os.path.join(CACHE, "xl_base.native")
     p1_path = os.path.join(CACHE, "xl_piece_208.sga")
     p2_path = os.path.join(CACHE, "xl_piece_209.sga")
-    for p in (base_path, p1_path, p2_path):
+    paths = [base_path, p1_path, p2_path]
+    fmts = ["native", "sga", "sga"]
+    for p in paths:
         if not os.path.exists(p):
             print(json.dumps({"metric": "xlarge 3-way fold throughput",
                               "value": 0.0, "unit": "Mbases/s/chip",
@@ -65,86 +69,81 @@ def main() -> None:
                                         "run scripts/build_xlarge_fixtures.py"}}))
             return
 
-    runs, _, alpha = read_bwt(base_path, "native")
-    base = FMI(runs=runs, alpha=alpha)
-    r1, _, al1 = read_bwt(p1_path, "sga")
-    p1 = FMI(runs=r1, alpha=al1, creads_path=sidecar_path(p1_path))
-    r2, _, al2 = read_bwt(p2_path, "sga")
-    p2 = FMI(runs=r2, alpha=al2, creads_path=sidecar_path(p2_path))
-    print(f"# fixtures: base {base.size()/1e6:.0f} Mbp + "
-          f"{p1.size()/1e6:.0f} + {p2.size()/1e6:.0f} Mbp", file=sys.stderr)
-
-    # pattern sample BEFORE merging: 32-mers drawn from p1/p2 reads so the
-    # invariant counts are nonzero (random 32-mers over sigma=4 are ~all 0)
+    # pattern sample BEFORE merging: 32-mers drawn from p1/p2 read sidecars
+    # (random 32-mers over sigma=4 are ~all absent)
     rng = np.random.default_rng(17)
     pats = []
-    for fmi in (p1, p2):
-        creads = fmi.creads()
+    for p in (p1_path, p2_path):
+        creads = load_creads(sidecar_path(p))
         cols = rng.integers(0, creads.shape[1], size=2048)
         for c in cols:
             col = creads[:, c]
-            n = int((col > 0).sum())
-            if n >= 32:
+            if int((col > 0).sum()) >= 32:
                 pats.append(col[:32][::-1].astype(np.int32))  # text order
+        del creads
     pats = np.stack(pats)
     lens = np.full(pats.shape[0], 32, np.int32)
     print(f"# {pats.shape[0]} read-derived 32-mers", file=sys.stderr)
 
-    from bwtmerge_tpu.ops.rank_jax import DeviceFMIndex, backward_search
+    from bwtmerge_tpu.formats.streaming_read import (alphabet_for,
+                                                     read_bwt_chunks)
+    from bwtmerge_tpu.ops.rank_jax import (DeviceFMIndex, backward_search,
+                                           pack_nibbles_chunked)
 
-    def dev_counts(fmi) -> np.ndarray:
-        idx = fmi.device_index
+    def dev_counts_path(path, fmt) -> tuple:
+        """(pattern counts, size, sequences) of one input — chunk-streamed
+        to the device at 0.5 B/pos host cost, counted, released."""
+        nib, counts, size, _ = pack_nibbles_chunked(read_bwt_chunks(path, fmt))
+        alpha = alphabet_for(fmt, counts, path)
+        idx = DeviceFMIndex.from_nibbles(nib, alpha.counts(), size)
+        del nib
         sp, ep = backward_search(idx, jnp.asarray(pats), jnp.asarray(lens), 32)
-        return (np.asarray(ep) - np.asarray(sp) + 1).clip(min=0)
+        cnt = (np.asarray(ep) - np.asarray(sp) + 1).clip(min=0)
+        return cnt, size, int(alpha.counts()[0])
 
     t0 = time.monotonic()
-    want = dev_counts(base) + dev_counts(p1) + dev_counts(p2)
-    verify_in_s = time.monotonic() - t0
-    print(f"# input pattern counts {verify_in_s:.1f}s", file=sys.stderr)
-
-    # upload the base index (the folds rebuild it after each merge)
-    _ = np.asarray(base.device_index.rec[0])
+    want = np.zeros(pats.shape[0], np.int64)
+    sizes = []
+    for p, f in zip(paths, fmts):
+        c, sz, _ = dev_counts_path(p, f)
+        want += c
+        sizes.append(sz)
     warm.join()
+    verify_in_s = time.monotonic() - t0
+    print(f"# input pattern counts {verify_in_s:.1f}s "
+          f"(sizes {[s // 10**6 for s in sizes]} Mbp)", file=sys.stderr)
     setup_s = time.monotonic() - t_setup
 
-    spilled = {"bytes": 0, "files": 0}
-    orig = merge_mod._build_ra_spill
-
-    def spying(a_, b_, cfg_):
-        ra = orig(a_, b_, cfg_)
-        spilled["bytes"] += getattr(ra, "total_spilled_bytes", 0)
-        spilled["files"] += getattr(ra, "n_spill_files", 0)
-        return ra
-
-    cfg = MergeConfig(backend="jax", temp_dir="/tmp", search="auto")
-    merge_mod._build_ra_spill = spying
-    try:
-        t0 = time.monotonic()
-        acc = merge_fmi(base, p1, cfg)
-        fold1_s = time.monotonic() - t0
-        print(f"# fold 1 (+{p1.size()/1e6:.0f} Mbp): {fold1_s:.1f}s",
-              file=sys.stderr)
-        t0 = time.monotonic()
-        acc = merge_fmi(acc, p2, cfg)
-        fold2_s = time.monotonic() - t0
-        print(f"# fold 2 (+{p2.size()/1e6:.0f} Mbp): {fold2_s:.1f}s",
-              file=sys.stderr)
-    finally:
-        merge_mod._build_ra_spill = orig
-
-    total_bases = acc.size()
+    # ---- the measured fold: one k-way streaming merge to a native file ----
+    out_path = os.path.join("/tmp", "xl_merged.native")
+    cfg = MergeConfig(backend="jax", temp_dir="/tmp", search="auto",
+                      verbose=True)
+    stats: dict = {"sync_steps": True}
     t0 = time.monotonic()
-    got = dev_counts(acc)
+    merge_files_many(paths, out_path, fmts, "native", cfg, stats=stats)
+    fold_s = time.monotonic() - t0
+    phases = {k: round(v, 2) for k, v in cfg.timer.phases.items()}
+    print(f"# k-way fold: {fold_s:.1f}s  phases={phases}  "
+          f"steps={stats.get('step_walk_done_s')}", file=sys.stderr)
+
+    total_bases = sum(sizes)
+    inserted = sizes[1] + sizes[2]
+
+    # ---- output verification (outside the fold window, like the CLI -v) ----
+    t0 = time.monotonic()
+    got_counts, out_size, _ = dev_counts_path(out_path, "native")
     verify_out_s = time.monotonic() - t0
-    assert np.array_equal(got, want), \
-        f"pattern-count invariant FAILED ({int((got != want).sum())} diffs)"
+    assert out_size == total_bases, (out_size, total_bases)
+    assert np.array_equal(got_counts, want), \
+        f"pattern-count invariant FAILED ({int((got_counts != want).sum())} diffs)"
     print(f"# pattern-count invariant OK ({pats.shape[0]} patterns, "
           f"{verify_out_s:.1f}s)", file=sys.stderr)
+    out_mb = os.path.getsize(out_path) / 1e6
+    os.remove(out_path)
 
     from bwtmerge_tpu.utils.metrics import memory_usage
 
-    inserted = (p1.size() + p2.size()) / 1e6
-    rate = inserted / (fold1_s + fold2_s)
+    rate = inserted / 1e6 / fold_s
     print(json.dumps({
         "metric": "xlarge 3-way fold throughput",
         "value": round(rate, 3),
@@ -152,14 +151,18 @@ def main() -> None:
         "vs_baseline": round(rate / BASELINE_MBP_S, 3),
         "extra": {
             "device": str(jax.devices()[0]),
+            "engine": "kway pairwise-decomposition fold (models/kfold.py)",
             "total_bases": int(total_bases),
-            "base_bases": base.size(),
-            "insert_bases": p1.size() + p2.size(),
-            "fold1_s": round(fold1_s, 1),
-            "fold2_s": round(fold2_s, 1),
+            "base_bases": int(sizes[0]),
+            "insert_bases": int(inserted),
+            "fold_s": round(fold_s, 1),
             "sustained_Mbases_s": round(rate, 3),
-            "ra_spill_files": spilled["files"],
-            "ra_spilled_MB": round(spilled["bytes"] / 1e6, 1),
+            "phase_s": phases,
+            "piece_dispatch_s": stats.get("piece_dispatch_s"),
+            "step_walk_done_s": stats.get("step_walk_done_s"),
+            "step_runs": stats.get("step_runs"),
+            "max_window_positions": stats.get("max_window_positions"),
+            "output_MB": round(out_mb, 1),
             "peak_rss_GB": round(memory_usage() / 1e9, 2),
             "patterns": int(pats.shape[0]),
             "invariant_ok": True,

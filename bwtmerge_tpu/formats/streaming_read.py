@@ -218,3 +218,16 @@ def read_bwt_streaming(path: str, fmt: str,
         base = create_alphabet(FORMATS[fmt].order())
         alpha = Alphabet.from_counts(counts, base.char2comp, base.comp2char)
     return runs, counts, alpha
+
+
+def alphabet_for(fmt: str, counts: np.ndarray, path: str) -> Alphabet:
+    """The Alphabet a format's batch reader would attach, from externally
+    accumulated counts — lets chunk-stream consumers (e.g. the k-way fold's
+    0.5 B/pos nibble loader, ops/rank_jax.pack_nibbles_chunked) skip the
+    run-array materialization entirely."""
+    from .formats import FORMATS
+
+    if fmt == "native":
+        return read_native_tail(path)
+    base = create_alphabet(FORMATS[fmt].order())
+    return Alphabet.from_counts(counts, base.char2comp, base.comp2char)

@@ -65,19 +65,27 @@ class _FoldDevice:
 
         return self.timer.phase(name) if self.timer else contextlib.nullcontext()
 
-    def add_piece(self, runs: RunArrays, counts: np.ndarray,
+    def add_piece(self, payload, counts: np.ndarray,
                   need_creads: bool, need_index: bool):
         """Upload piece (nibble-packed), derive cplanes (if it will be
         walked through) and device-decode its creads (if it will walk).
-        The fused record table is freed on return."""
+        The fused record table is freed on return.
+
+        payload: RunArrays (in-memory pieces) or a ("nib", nibbles, size)
+        tuple from the 0.5 B/pos chunked file loader."""
         from ..ops.kfold_jax import PieceIndex
         from ..ops.rank_jax import DeviceFMIndex
         from ..ops.walk_jax import decode_creads_dev
 
-        idx = DeviceFMIndex.build(runs, counts)
+        if isinstance(payload, tuple) and payload[0] == "nib":
+            _, nibbles, size = payload
+            idx = DeviceFMIndex.from_nibbles(nibbles, counts, size)
+        else:
+            idx = DeviceFMIndex.build(payload, counts)
+        runs_size = idx.size
         creads = None
         if need_creads:
-            dec = decode_creads_dev(idx, int(counts[0]), runs.size())
+            dec = decode_creads_dev(idx, int(counts[0]), runs_size)
             if dec is None:
                 raise _PieceTooLong()
             creads, n_reads = dec
@@ -153,7 +161,7 @@ def merge_files_many(paths: List[str], out_path: str,
     memory: max piece runs (upload window) + O(window) chain state.
     """
     from ..formats.streaming import write_bwt_stream
-    from ..formats.streaming_read import read_bwt_chunks, read_bwt_streaming
+    from ..formats.streaming_read import read_bwt_chunks
     from .merge import merge_files
 
     config = (config or MergeConfig()).sanitize()
@@ -187,9 +195,19 @@ def merge_files_many(paths: List[str], out_path: str,
         return
 
     def loader(k):
-        # one piece's runs resident at a time (freed after its upload)
-        runs, _, al = read_bwt_streaming(paths[k], in_fmts[k])
-        return runs, al
+        # chunk-stream the file straight into the 0.5 B/pos nibble upload
+        # layout — run arrays for a piece are never materialized (the
+        # round-4 tier's 18 GB host peak was exactly these)
+        from ..formats.streaming_read import alphabet_for
+        from ..ops.rank_jax import pack_nibbles_chunked
+
+        nib, counts, size, _ = pack_nibbles_chunked(
+            read_bwt_chunks(paths[k], in_fmts[k]))
+        al = alphabet_for(in_fmts[k], counts, paths[k])
+        if al.size() != size:
+            raise ValueError(f"{paths[k]}: header size {al.size()} != "
+                             f"decoded size {size}")
+        return ("nib", nib, size), al
 
     alphas = [None] * len(paths)
     total = [0]
@@ -250,38 +268,115 @@ def _fold_chain_chunks(k_total: int, loader, config: MergeConfig, a_chunks,
     from ..utils.pipeline import prefetch_chunks
 
     dev = _FoldDevice(timer=config.timer)
-    steps = []
+    piece_meta = []   # (creads, n_reads, chars) per fold step
     with config.timer.phase("device fold dispatch"):
         t0 = time.monotonic()
         for k in range(k_total):
-            runs, al = loader(k)
+            payload, al = loader(k)
             counts = al.counts()
+            size = int(al.size())
             if alphas_out is not None:
                 alphas_out[k] = al
             if total_out is not None:
-                total_out[0] += runs.size()
+                total_out[0] += size
             creads = dev.add_piece(
-                runs, counts, need_creads=k > 0,
+                payload, counts, need_creads=k > 0,
                 need_index=k < k_total - 1)
             if k > 0:
                 n_reads = int(counts[0])
-                steps.append(dev.dispatch_step(k, creads, n_reads,
-                                               runs.size() - n_reads))
-            del creads, runs
+                piece_meta.append((creads, n_reads, size - n_reads))
+            del creads, payload
+            if stats is not None:
+                stats.setdefault("piece_dispatch_s", []).append(
+                    round(time.monotonic() - t0, 2))
             if config.verbose:
                 print(f"kfold: piece {k} dispatched "
                       f"({time.monotonic() - t0:.1f}s)", file=sys.stderr)
 
+    steps = _LazySteps(dev, piece_meta, stats=stats,
+                       verbose=config.verbose)
     if stats is not None:
-        stats["fold_steps"] = len(steps)
+        stats["fold_steps"] = len(piece_meta)
+        if stats.get("sync_steps") and len(piece_meta) <= _LazySteps.AHEAD:
+            # observability mode (small folds only — syncing would defeat
+            # the lazy ladder on big ones): block on each step's packed
+            # metadata so walk completion is attributable
+            t0 = time.monotonic()
+            done = []
+            for k in range(len(piece_meta)):
+                steps._ensure(k)
+                steps._steps[k].n_runs
+                done.append(round(time.monotonic() - t0, 2))
+            stats["step_walk_done_s"] = done
+            stats["step_runs"] = [int(steps._steps[k].n_runs)
+                                  for k in range(len(piece_meta))]
 
     cur = a_chunks
     for k in range(1, k_total):
         cur = interleave_windowed_chunks(
             prefetch_chunks(cur, depth=2), piece_chunks(k),
-            steps[k - 1].stream(), window_positions=window_positions,
+            steps.ra_stream(k - 1), window_positions=window_positions,
             stats=stats)
     return prefetch_chunks(cur, depth=1)
+
+
+class _LazySteps:
+    """Ordered lazy fold-step dispatch with a bounded in-flight ladder.
+
+    A packed summed rank array holds ~0.75 GB of device planes until its
+    stream drains; eagerly dispatching every step would exceed HBM on deep
+    folds (9+ pieces).  Steps are dispatched strictly in fold order, at
+    most AHEAD beyond the deepest COMPLETED step; chain stage k's RA
+    generator blocks until its turn.  Deadlock-free: stage 0 never waits,
+    and stage k+1's windowed pass cannot finish before stage k's stream
+    (its A input) is fully drained, which is exactly what advances the
+    ladder.
+    """
+
+    AHEAD = 3
+
+    def __init__(self, dev, piece_meta, stats=None, verbose=False):
+        import threading
+
+        self._dev = dev
+        self._meta = list(piece_meta)
+        self._steps = [None] * len(piece_meta)
+        self._done = 0            # completed (fully drained) steps
+        self._cond = threading.Condition()
+        self._stats = stats
+        self._verbose = verbose
+
+    def _ensure(self, k: int) -> None:
+        """Dispatch steps 0..k (caller holds no lock)."""
+        with self._cond:
+            for i in range(k + 1):
+                # _meta[i] is the not-yet-dispatched marker (_steps[i] is
+                # also reset to None when a DRAINED stream frees its planes
+                # — that must not re-dispatch)
+                if self._meta[i] is not None:
+                    creads, n_reads, chars = self._meta[i]
+                    self._meta[i] = None
+                    self._steps[i] = self._dev.dispatch_step(
+                        i + 1, creads, n_reads, chars)
+                    if self._verbose:
+                        print(f"kfold: step {i} walks dispatched",
+                              file=sys.stderr)
+
+    def ra_stream(self, k: int):
+        def gen():
+            with self._cond:
+                while k >= self._done + self.AHEAD:
+                    self._cond.wait()
+            self._ensure(k)
+            try:
+                yield from self._steps[k].stream()
+            finally:
+                with self._cond:
+                    self._done = max(self._done, k + 1)
+                    self._steps[k] = None   # free the packed planes
+                    self._cond.notify_all()
+
+        return gen()
 
 
 def _materialize(chunks) -> RunArrays:

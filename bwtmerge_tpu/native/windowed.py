@@ -46,73 +46,121 @@ class _Window:
 
     def __init__(self, chunks):
         self._it = iter(chunks)
-        self.syms = np.zeros(0, dtype=np.uint8)
-        self.lens = np.zeros(0, dtype=np.int64)
-        self.cum = np.zeros(1, dtype=np.int64)  # exclusive prefix over lens
-        self.base_pos = 0
+        cap = 1 << 16
+        self._s = np.empty(cap, dtype=np.uint8)
+        self._l = np.empty(cap, dtype=np.int64)
+        # absolute text position at the start of run i; slot head+n = end
+        self._cum = np.empty(cap + 1, dtype=np.int64)
+        self._cum[0] = 0
+        self._head = 0
+        self._n = 0
         self.exhausted = False
         self.max_window = 0  # peak positions held (observability/tests)
 
+    # amortized ring-ish buffer: appends land at the tail, trims advance the
+    # head, and the valid region is compacted to the front (memmove) only
+    # when the tail hits capacity — the old rebuild-the-window-per-extend
+    # np.concatenate chain cost O(window) per pulled chunk and dominated
+    # chained k-way folds at the 900 Mbp tier
+
+    @property
+    def syms(self) -> np.ndarray:
+        return self._s[self._head:self._head + self._n]
+
+    @property
+    def lens(self) -> np.ndarray:
+        return self._l[self._head:self._head + self._n]
+
+    @property
+    def base_pos(self) -> int:
+        return int(self._cum[self._head])
+
     @property
     def end_pos(self) -> int:
-        return self.base_pos + int(self.cum[-1])
+        return int(self._cum[self._head + self._n])
+
+    def _reserve(self, add: int) -> None:
+        cap = self._s.size
+        if self._head + self._n + add <= cap:
+            return
+        if self._n + add <= cap // 2:
+            h, n = self._head, self._n
+            self._s[:n] = self._s[h:h + n]
+            self._l[:n] = self._l[h:h + n]
+            self._cum[:n + 1] = self._cum[h:h + n + 1]
+            self._head = 0
+            return
+        new_cap = max(2 * cap, self._n + add)
+        s = np.empty(new_cap, np.uint8)
+        l = np.empty(new_cap, np.int64)
+        c = np.empty(new_cap + 1, np.int64)
+        h, n = self._head, self._n
+        s[:n] = self._s[h:h + n]
+        l[:n] = self._l[h:h + n]
+        c[:n + 1] = self._cum[h:h + n + 1]
+        self._s, self._l, self._cum = s, l, c
+        self._head = 0
+
+    def _append(self, s: np.ndarray, l: np.ndarray) -> None:
+        # within-chunk seam coalesce (sources are maximal-run-clean except
+        # run-splitting chunkers like RunArrays.iter_chunks)
+        if s.size > 1 and bool(np.any(s[1:] == s[:-1])):
+            keep = np.empty(s.size, dtype=bool)
+            keep[0] = True
+            np.not_equal(s[1:], s[:-1], out=keep[1:])
+            idx = np.flatnonzero(keep)
+            l = np.add.reduceat(l, idx)
+            s = s[idx]
+        t = self._head + self._n
+        # boundary coalesce with the current tail run
+        if self._n and s.size and self._s[t - 1] == s[0]:
+            self._l[t - 1] += l[0]
+            self._cum[t] += int(l[0])
+            s, l = s[1:], l[1:]
+        m = s.size
+        if m == 0:
+            return
+        self._reserve(m)
+        t = self._head + self._n
+        self._s[t:t + m] = s
+        self._l[t:t + m] = l
+        np.cumsum(l, out=self._cum[t + 1:t + m + 1])
+        self._cum[t + 1:t + m + 1] += self._cum[t]
+        self._n += m
 
     def extend_to(self, pos: int) -> None:
-        if self.exhausted or pos <= self.end_pos:
-            return
-        add_s, add_l = [], []
-        got = self.end_pos
-        while got < pos:
+        while not self.exhausted and self.end_pos < pos:
             try:
                 s, l = next(self._it)
             except StopIteration:
                 self.exhausted = True
                 break
-            s = np.ascontiguousarray(s, dtype=np.uint8)
-            l = np.ascontiguousarray(l, dtype=np.int64)
             if s.size == 0:
                 continue
-            add_s.append(s)
-            add_l.append(l)
-            got += int(l.sum())
-        if add_s:
-            syms = np.concatenate([self.syms] + add_s)
-            lens = np.concatenate([self.lens] + add_l)
-            # coalesce seams (source chunks may split runs at boundaries)
-            if syms.size > 1:
-                keep = np.empty(syms.size, dtype=bool)
-                keep[0] = True
-                np.not_equal(syms[1:], syms[:-1], out=keep[1:])
-                if not keep.all():
-                    idx = np.flatnonzero(keep)
-                    lens = np.add.reduceat(lens, idx)
-                    syms = syms[idx]
-            self.syms, self.lens = syms, lens
-            self.cum = np.concatenate(([0], np.cumsum(lens)))
-            self.max_window = max(self.max_window, int(self.cum[-1]))
+            self._append(np.ascontiguousarray(s, dtype=np.uint8),
+                         np.ascontiguousarray(l, dtype=np.int64))
+        self.max_window = max(self.max_window, self.end_pos - self.base_pos)
 
     def trim(self, pos: int) -> None:
         """Drop runs fully consumed below absolute position `pos`."""
-        rel = pos - self.base_pos
-        if rel <= 0:
+        h, n = self._head, self._n
+        if pos <= self._cum[h]:
             return
-        k = int(np.searchsorted(self.cum, rel, side="right")) - 1
-        k = min(k, self.syms.size)  # keep a partially consumed run
-        if k <= 0:
-            return
-        dropped = int(self.cum[k])
-        self.syms = self.syms[k:]
-        self.lens = self.lens[k:]
-        self.cum = self.cum[k:] - dropped
-        self.base_pos += dropped
+        k = int(np.searchsorted(self._cum[h:h + n + 1], pos,
+                                side="right")) - 1
+        k = min(k, n)  # keep a partially consumed run
+        if k > 0:
+            self._head += k
+            self._n -= k
 
     def cursor(self, pos: int) -> Tuple[int, int]:
         """(run, remaining) window-relative cursor at absolute position."""
-        rel = pos - self.base_pos
-        run = int(np.searchsorted(self.cum, rel, side="right")) - 1
-        if run >= self.syms.size:
-            return self.syms.size, 0
-        return run, int(self.cum[run + 1] - rel)
+        h, n = self._head, self._n
+        run = int(np.searchsorted(self._cum[h:h + n + 1], pos,
+                                  side="right")) - 1
+        if run >= n:
+            return n, 0
+        return run, int(self._cum[h + run + 1] - pos)
 
 
 def _bounded_ra(ra_chunks, limit: int, a_start: int = 0

@@ -116,8 +116,11 @@ def _pack_presorted(vals: jax.Array, n_live: jax.Array,
         root_value[None].astype(jnp.int32), vals,
         jnp.full(e - e0 - 1, _SENT, jnp.int32)])
     lane = jax.lax.broadcasted_iota(jnp.int32, (e, 1), 0)[:, 0]
+    # liveness is POSITIONAL (sorted live lanes come first): summed values
+    # beyond 2^31 wrap the int32 lanes, so comparing against the _SENT
+    # sentinel would misclassify a wrapped sum that lands on int32-max
     counts = jnp.where(lane == 0, root_count,
-                       (ext != _SENT).astype(jnp.int32))
+                       (lane <= n_live).astype(jnp.int32))
     n_u = n_live + 1
     dc, exc, exc4, esc, n_exc, n_exc4, n_esc2 = _pack_planes(ext, counts, n_u)
     meta = jnp.zeros((1, EXC_CAP), jnp.int32)
@@ -168,5 +171,8 @@ def summed_packed_ra(targets, creads, n_reads: int | None = None):
                                     jnp.int32(t.sequences))
         total = vals if total is None else _sum_sorted(total, vals)
         root_value += t.sequences
-    return _pack_presorted(total, n_live, jnp.int32(root_value),
-                           jnp.int32(r))
+    # totals beyond 2^31 ride the int32 lanes as wraparound uint32 (the
+    # host decoders re-read negative exception deltas as uint32); wrap the
+    # root value the same way so jnp.int32 never rejects it
+    rv32 = ((root_value + 2**31) % 2**32) - 2**31
+    return _pack_presorted(total, n_live, jnp.int32(rv32), jnp.int32(r))

@@ -42,6 +42,87 @@ REC = 16         # int32 words per record: 8 occ + 8 packed-symbol words
 _d2h_warm_thread = None
 
 
+def _bucket_positions(npos: int) -> int:
+    """Bucket a padded position count to {2^k, 3*2^(k-2)} so at most two
+    XLA build programs exist per octave (waste <= 33%)."""
+    padded = 1 << 16
+    while padded < npos:
+        padded *= 2
+    if padded // 4 * 3 >= npos:
+        padded = padded // 4 * 3
+    return padded
+
+
+NIB_FILL = SIGMA | (SIGMA << 4)  # pad byte: no occ lane counts SIGMA
+
+
+def pack_nibbles_chunked(chunks, size_hint: int = 0):
+    """Stream (syms, lens) run chunks into the block-planar nibble layout
+    (DeviceFMIndex.build's upload format) without ever materializing run
+    arrays or decoded text: peak host memory is the 0.5 B/pos nibble buffer
+    plus one decoded chunk window.
+
+    Returns (nibbles uint8[padded/2] bucket-padded SIGMA-filled,
+    counts int64[SIGMA], size, n_runs) — feed to DeviceFMIndex.from_nibbles.
+    """
+    cap = _bucket_positions(max(int(size_hint), 1 << 16))
+    nib = np.full(cap // 2, NIB_FILL, dtype=np.uint8)
+    carry = np.zeros(0, np.uint8)
+    pos = 0
+    counts = np.zeros(SIGMA, np.int64)
+    n_runs = 0
+    last_sym = -1
+    for syms, lens in chunks:
+        syms = np.asarray(syms, np.uint8)
+        lens = np.asarray(lens, np.int64)
+        if syms.size == 0:
+            continue
+        np.add.at(counts, syms, lens)
+        n_runs += syms.size - (1 if syms[0] == last_sym else 0)
+        last_sym = int(syms[-1])
+        # decode in bounded sub-windows (a chunk's decoded size is not
+        # bounded by its encoded size for long runs)
+        cum = np.concatenate(([0], np.cumsum(lens)))
+        total_w = int(cum[-1])
+        w = 0
+        while w < total_w:
+            end = min(w + (1 << 22), total_w)
+            i0 = int(np.searchsorted(cum, w, side="right")) - 1
+            i1 = int(np.searchsorted(cum, end, side="left"))
+            wl = lens[i0:i1].copy()
+            wl[0] -= w - cum[i0]
+            wl[-1] -= cum[i1] - end
+            win = np.repeat(syms[i0:i1], wl)
+            if carry.size:
+                win = np.concatenate([carry, win])
+            usable = win.size // BLK * BLK
+            if pos + usable + BLK > cap:
+                new_cap = _bucket_positions(max(2 * cap, pos + usable + BLK))
+                grown = np.full(new_cap // 2, NIB_FILL, np.uint8)
+                grown[: cap // 2] = nib
+                nib = grown
+                cap = new_cap
+            if usable:
+                blk = win[:usable].reshape(-1, BLK)
+                packed = (blk[:, :16] | (blk[:, 16:] << 4)).astype(np.uint8)
+                nib[pos // 2: pos // 2 + usable // 2] = packed.reshape(-1)
+                pos += usable
+            carry = win[usable:]
+            w = end
+    size = pos + carry.size
+    if carry.size:
+        tail = np.full(BLK, SIGMA, np.uint8)
+        tail[: carry.size] = carry
+        nib[pos // 2: pos // 2 + BLK // 2] = (
+            tail[:16] | (tail[16:] << 4)).astype(np.uint8)
+    padded = _bucket_positions((size // BLK + 1) * BLK)
+    if padded > cap:
+        grown = np.full(padded // 2, NIB_FILL, np.uint8)
+        grown[: cap // 2] = nib
+        nib = grown
+    return nib[: padded // 2], counts, size, n_runs
+
+
 def ensure_d2h_warm() -> "object":
     """Start (once) a background thread paying the first device->host
     transfer's one-off channel setup — measured 20-200 s (random) on remote
@@ -86,6 +167,27 @@ class DeviceFMIndex:
     # -- construction ---------------------------------------------------------
 
     @classmethod
+    def from_nibbles(cls, nibbles: np.ndarray, counts: np.ndarray,
+                     size: int, n_runs: int = 0) -> "DeviceFMIndex":
+        """Build from an ALREADY block-planar-packed nibble buffer
+        (pack_nibbles_chunked output): the 0.5 B/pos upload path that never
+        materializes run arrays on the host — the k-way fold's piece loader
+        (models/kfold.py) reads files straight into this."""
+        ensure_d2h_warm()
+        if size >= 2**31:
+            raise ValueError(
+                f"BWT shard of {size} positions exceeds int32 device layout; "
+                "shard it first (parallel/mesh.py)")
+        nblk = size // BLK + 1
+        counts = np.asarray(counts)
+        c_arr = np.zeros(LANES + 1, dtype=np.int32)
+        c_arr[: counts.size + 1] = np.concatenate(
+            ([0], np.cumsum(counts))).astype(np.int32)
+        c_arr[counts.size + 1:] = c_arr[counts.size]
+        rec = _build_rec_device(jnp.asarray(nibbles))[: nblk]
+        return cls(rec=rec, C=jnp.asarray(c_arr), size=size, n_runs=n_runs)
+
+    @classmethod
     def build(cls, runs: RunArrays, C: np.ndarray | None = None) -> "DeviceFMIndex":
         """Build the block-fused device layout ON DEVICE from a 4-bit-packed
         upload.
@@ -103,15 +205,7 @@ class DeviceFMIndex:
                 f"BWT shard of {size} positions exceeds int32 device layout; "
                 "shard it first (parallel/mesh.py)")
         nblk = size // BLK + 1  # extra block so i == size resolves
-        npos = nblk * BLK
-
-        # bucket the padded position count to {2^k, 3*2^(k-2)} so at most two
-        # XLA build programs exist per octave (waste <= 33%)
-        padded = 1 << 16
-        while padded < npos:
-            padded *= 2
-        if padded // 4 * 3 >= npos:
-            padded = padded // 4 * 3
+        padded = _bucket_positions(nblk * BLK)
 
         # block-planar nibble packing: byte k of block b holds positions
         # (b*32 + k) in the low nibble and (b*32 + 16 + k) in the high nibble.

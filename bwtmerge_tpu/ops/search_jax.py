@@ -640,7 +640,12 @@ def _pack_planes(v: jax.Array, c: jax.Array, n_u: jax.Array):
     delta = jnp.where(live, v - prev, 0)  # delta[0] = values[0]
     cnt = jnp.where(live, c, 0)
 
-    wide = live & ((delta > 254) | (cnt > 254))
+    # delta < 0 = a uint32 value wrapped into int32 (sorted-unique rank
+    # arrays never have negative deltas): totals beyond 2^31 (the k-way
+    # fold's summed rank arrays, ops/kfold_jax.py) ride the int32 lanes as
+    # wraparound uint32 — such deltas are "wide" by definition and their
+    # int32-negative exception entries are re-read as uint32 on the host
+    wide = live & ((delta > 254) | (delta < 0) | (cnt > 254))
     d8 = jnp.where(wide, 255, jnp.minimum(delta, 254)).astype(jnp.uint8)
     c8 = jnp.where(wide, 255, jnp.minimum(cnt, 254)).astype(jnp.uint8)
 
@@ -682,7 +687,7 @@ def _pack_planes(v: jax.Array, c: jax.Array, n_u: jax.Array):
     # 2-byte escape stream: saturating (delta, count) byte pairs for the
     # escape lanes in lane order; (255, 255) marks a >254 outlier resolved
     # by its exc4 row.  One non-stable 3-operand sort compacts the lanes.
-    fits8 = (delta <= 254) & (cnt <= 254)
+    fits8 = (delta <= 254) & (delta >= 0) & (cnt <= 254)
     d8e = jnp.where(fits8, delta, 255).astype(jnp.uint8)
     c8e = jnp.where(fits8, cnt, 255).astype(jnp.uint8)
     ekey = jnp.where(esc_lane, lane, jnp.int32(2**31 - 1))
@@ -691,8 +696,18 @@ def _pack_planes(v: jax.Array, c: jax.Array, n_u: jax.Array):
     esc2 = jnp.stack([esc_d, esc_c])  # [2, E]
 
     e2 = e + (e & 1)  # pair the codes; odd emit caps pad one dead lane
-    cpair = jnp.pad(code, (0, e2 - e)).reshape(e2 // 2, 2)
-    q4 = (cpair[:, 0] | (cpair[:, 1] << 4)).astype(jnp.uint8)
+    code2 = jnp.pad(code, (0, e2 - e))
+    if e2 % 512 == 0:
+        # wide-row pairing: a [e/2, 2] reshape gets its minor dim tile-
+        # padded 2 -> 128 (64x, 32 GB materialized at the k-way fold's
+        # 128M emit cap — AOT refused the allocation); strided slices of
+        # 512-wide rows keep every temp at clean [e/512, 256] tiles and
+        # preserve pair order (row r holds codes 512r..512r+511)
+        c2 = code2.reshape(-1, 512)
+        q4 = (c2[:, 0::2] | (c2[:, 1::2] << 4)).astype(jnp.uint8).reshape(-1)
+    else:
+        cpair = code2.reshape(e2 // 2, 2)
+        q4 = (cpair[:, 0] | (cpair[:, 1] << 4)).astype(jnp.uint8)
     q4row = jnp.pad(q4, (0, e - q4.shape[0]))  # dc rows are E wide
     # exc4 now holds ONLY the >254 outliers (statistically ~0 on genomic
     # rank arrays; structural outliers like giant endmarker gaps are few)
@@ -1066,7 +1081,7 @@ def stream_packed_ra(dc8, meta_exc, exc4=None,
 
     if plane == "byte":
         exc_idx = meta_exc[0, :n_exc].astype(np.int64)
-        exc_delta = meta_exc[1, :n_exc]
+        exc_delta = _u32_delta(meta_exc[1, :n_exc])
         exc_count = meta_exc[2, :n_exc]
         order = np.argsort(exc_idx, kind="stable")
         exc_idx, exc_delta, exc_count = (exc_idx[order], exc_delta[order],
@@ -1076,7 +1091,8 @@ def stream_packed_ra(dc8, meta_exc, exc4=None,
         exc4_h = (np.asarray(exc4_dev) if exc4_dev is not None
                   else np.zeros((3, 0), np.int32))
         exc_idx = exc4_h[0, :n_exc4].astype(np.int64)
-        exc_delta, exc_count = exc4_h[1, :n_exc4], exc4_h[2, :n_exc4]
+        exc_delta = _u32_delta(exc4_h[1, :n_exc4])
+        exc_count = exc4_h[2, :n_exc4]
     esc_h = None
     if plane != "byte":
         esc_h = (np.asarray(esc_dev) if esc_dev is not None
@@ -1447,6 +1463,14 @@ def make_block_part(dc8, meta, exc4, esc, chunk_runs: int,
     return (dc8, meta, exc4, esc, grid)
 
 
+def _u32_delta(d: np.ndarray) -> np.ndarray:
+    """Exception deltas as int64, re-reading int32-negative entries as
+    uint32: rank-array deltas are nonnegative by construction, so a
+    negative entry is a value chain beyond 2^31 (the k-way fold's summed
+    arrays) wrapped by the int32 device lanes."""
+    return np.asarray(d).astype(np.int64) & 0xFFFFFFFF
+
+
 def unpack_ra(dc8: np.ndarray, exc: np.ndarray, n: int, n_exc: int):
     """Host-side inverse of pack_ra_device's byte planes -> sorted
     (values, counts).
@@ -1458,7 +1482,7 @@ def unpack_ra(dc8: np.ndarray, exc: np.ndarray, n: int, n_exc: int):
     counts = dc8[1, :n].astype(np.int64)
     if n_exc:
         idx = exc[0, :n_exc]
-        delta[idx] = exc[1, :n_exc]
+        delta[idx] = _u32_delta(exc[1, :n_exc])
         counts[idx] = exc[2, :n_exc]
     return np.cumsum(delta), counts
 
@@ -1486,7 +1510,7 @@ def unpack_ra4(nib: np.ndarray, esc: np.ndarray, exc4: np.ndarray,
     counts[em] = eb[1].astype(np.int64)
     if n_exc4:
         idx = exc4[0, :n_exc4]
-        delta[idx] = exc4[1, :n_exc4]
+        delta[idx] = _u32_delta(exc4[1, :n_exc4])
         counts[idx] = exc4[2, :n_exc4]
     return np.cumsum(delta), counts
 
@@ -1520,7 +1544,7 @@ def unpack_ra_q4(q4b: np.ndarray, esc: np.ndarray, exc4: np.ndarray,
     counts[em] = eb[1].astype(np.int64)
     if n_exc4:
         idx = exc4[0, :n_exc4]
-        delta[idx] = exc4[1, :n_exc4]
+        delta[idx] = _u32_delta(exc4[1, :n_exc4])
         counts[idx] = exc4[2, :n_exc4]
     return np.cumsum(delta), counts
 

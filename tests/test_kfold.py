@@ -160,3 +160,50 @@ def test_cli_kway_fold(tmp_path, rng):
     got, _, _ = read_bwt(out, "sga")
     want = _leftfold(reads_list, tmp_path)
     assert got == want.runs
+
+
+def test_pack_presorted_values_beyond_int32(tmp_path):
+    # summed rank arrays cross 2^31 at >2.1 Gbp totals: values ride the
+    # int32 device lanes as wraparound uint32 and the host decoders
+    # re-read negative exception deltas as uint32
+    import jax.numpy as jnp
+
+    from bwtmerge_tpu.ops.kfold_jax import _pack_presorted
+    from bwtmerge_tpu.ops.search_jax import stream_packed_ra
+    from bwtmerge_tpu.ops.walk_jax import _SENT
+
+    true = np.array([100, 2**31 - 3, 2**31 - 1, 2**31 + 5, 2**31 + 5,
+                     2**31 + 300, 3_500_000_000, 3_500_000_000,
+                     4_100_000_000], np.int64)
+    root_value, root_count = 7, 4
+    wrapped = (true % (1 << 32)).astype(np.uint32).view(np.int32)
+    vals = np.full(1 << 10, _SENT, np.int32)
+    vals[:wrapped.size] = wrapped
+    dc8, meta, exc4, esc = _pack_presorted(
+        jnp.asarray(vals), jnp.int32(true.size),
+        jnp.int32(root_value), jnp.int32(root_count))
+    got = list(stream_packed_ra(dc8, meta, exc4, chunk_runs=4, esc=esc))
+    gv = np.concatenate([v for v, _ in got])
+    gc = np.concatenate([c for _, c in got])
+    # expected: root + compacted true values
+    ev, idx = np.unique(np.concatenate([[root_value], true]),
+                        return_inverse=True)
+    ec = np.bincount(idx, weights=np.concatenate(
+        [[root_count], np.ones(true.size)])).astype(np.int64)
+    np.testing.assert_array_equal(gv, ev)
+    np.testing.assert_array_equal(gc, ec)
+
+
+def test_pack_nibbles_chunked_matches_build(rng):
+    from bwtmerge_tpu.ops.rank_jax import (DeviceFMIndex,
+                                           pack_nibbles_chunked)
+
+    reads = _random_reads(rng, 30, 40)
+    f = _fmi(reads)
+    idx1 = DeviceFMIndex.build(f.runs, f.alpha.counts())
+    nib, counts, size, n_runs = pack_nibbles_chunked(f.runs.iter_chunks(97))
+    np.testing.assert_array_equal(counts, f.runs.counts(6))
+    assert (size, n_runs) == (f.size(), f.runs.n_runs)
+    idx2 = DeviceFMIndex.from_nibbles(nib, counts, size, n_runs)
+    np.testing.assert_array_equal(np.asarray(idx1.rec), np.asarray(idx2.rec))
+    np.testing.assert_array_equal(np.asarray(idx1.C), np.asarray(idx2.C))
