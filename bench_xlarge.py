@@ -56,10 +56,14 @@ def main() -> None:
     from bwtmerge_tpu.models.merge import MergeConfig
 
     base_path = os.path.join(CACHE, "xl_base.native")
-    p1_path = os.path.join(CACHE, "xl_piece_208.sga")
-    p2_path = os.path.join(CACHE, "xl_piece_209.sga")
-    paths = [base_path, p1_path, p2_path]
-    fmts = ["native", "sga", "sga"]
+    # BENCH_XL_PIECES=n folds n insert pieces (default 2 = the 3-way tier;
+    # 9 = every cached piece, an insert-heavy 1.63 Gbp 10-way fold that
+    # matches the reference benchmark's insert>base shape, paper.tex:266)
+    n_pieces = int(os.environ.get("BENCH_XL_PIECES", "2"))
+    piece_ids = (209, 208, 207, 206, 205, 204, 203, 202, 201)[:n_pieces]
+    paths = [base_path] + [os.path.join(CACHE, f"xl_piece_{i}.sga")
+                           for i in sorted(piece_ids)]
+    fmts = ["native"] + ["sga"] * len(piece_ids)
     for p in paths:
         if not os.path.exists(p):
             print(json.dumps({"metric": "xlarge 3-way fold throughput",
@@ -73,7 +77,7 @@ def main() -> None:
     # (random 32-mers over sigma=4 are ~all absent)
     rng = np.random.default_rng(17)
     pats = []
-    for p in (p1_path, p2_path):
+    for p in paths[1:3]:
         creads = load_creads(sidecar_path(p))
         cols = rng.integers(0, creads.shape[1], size=2048)
         for c in cols:
@@ -127,7 +131,7 @@ def main() -> None:
           f"steps={stats.get('step_walk_done_s')}", file=sys.stderr)
 
     total_bases = sum(sizes)
-    inserted = sizes[1] + sizes[2]
+    inserted = sum(sizes[1:])
 
     # ---- output verification (outside the fold window, like the CLI -v) ----
     t0 = time.monotonic()
@@ -145,7 +149,7 @@ def main() -> None:
 
     rate = inserted / 1e6 / fold_s
     print(json.dumps({
-        "metric": "xlarge 3-way fold throughput",
+        "metric": f"xlarge {len(paths)}-way fold throughput",
         "value": round(rate, 3),
         "unit": "Mbases/s/chip",
         "vs_baseline": round(rate / BASELINE_MBP_S, 3),

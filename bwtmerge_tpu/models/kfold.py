@@ -269,10 +269,32 @@ def _fold_chain_chunks(k_total: int, loader, config: MergeConfig, a_chunks,
 
     dev = _FoldDevice(timer=config.timer)
     piece_meta = []   # (creads, n_reads, chars) per fold step
+
+    # lookahead-1 loader thread: piece k+1's host read + nibble pack
+    # overlaps piece k's upload/decode (both link/device-bound)
+    import concurrent.futures as _fut
+
+    _pool = _fut.ThreadPoolExecutor(1)
+    _next = [None]
+
+    def _load(k):
+        if _next[0] is not None:
+            fut, kk = _next[0]
+            if kk == k:
+                _next[0] = None
+                res = fut.result()
+                if k + 1 < k_total:
+                    _next[0] = (_pool.submit(loader, k + 1), k + 1)
+                return res
+        res = loader(k)
+        if k + 1 < k_total:
+            _next[0] = (_pool.submit(loader, k + 1), k + 1)
+        return res
+
     with config.timer.phase("device fold dispatch"):
         t0 = time.monotonic()
         for k in range(k_total):
-            payload, al = loader(k)
+            payload, al = _load(k)
             counts = al.counts()
             size = int(al.size())
             if alphas_out is not None:
@@ -292,24 +314,12 @@ def _fold_chain_chunks(k_total: int, loader, config: MergeConfig, a_chunks,
             if config.verbose:
                 print(f"kfold: piece {k} dispatched "
                       f"({time.monotonic() - t0:.1f}s)", file=sys.stderr)
+    _pool.shutdown(wait=False)
 
-    steps = _LazySteps(dev, piece_meta, stats=stats,
-                       verbose=config.verbose)
+    steps = _StepDrainer(dev, piece_meta, config, stats=stats,
+                         verbose=config.verbose)
     if stats is not None:
         stats["fold_steps"] = len(piece_meta)
-        if stats.get("sync_steps") and len(piece_meta) <= _LazySteps.AHEAD:
-            # observability mode (small folds only — syncing would defeat
-            # the lazy ladder on big ones): block on each step's packed
-            # metadata so walk completion is attributable
-            t0 = time.monotonic()
-            done = []
-            for k in range(len(piece_meta)):
-                steps._ensure(k)
-                steps._steps[k].n_runs
-                done.append(round(time.monotonic() - t0, 2))
-            stats["step_walk_done_s"] = done
-            stats["step_runs"] = [int(steps._steps[k].n_runs)
-                                  for k in range(len(piece_meta))]
 
     cur = a_chunks
     for k in range(1, k_total):
@@ -320,61 +330,106 @@ def _fold_chain_chunks(k_total: int, loader, config: MergeConfig, a_chunks,
     return prefetch_chunks(cur, depth=1)
 
 
-class _LazySteps:
-    """Ordered lazy fold-step dispatch with a bounded in-flight ladder.
+class _StepDrainer:
+    """Background thread moving each fold step's rank array device -> host
+    spill ladder, strictly in fold order.
 
-    A packed summed rank array holds ~0.75 GB of device planes until its
-    stream drains; eagerly dispatching every step would exceed HBM on deep
-    folds (9+ pieces).  Steps are dispatched strictly in fold order, at
-    most AHEAD beyond the deepest COMPLETED step; chain stage k's RA
-    generator blocks until its turn.  Deadlock-free: stage 0 never waits,
-    and stage k+1's windowed pass cannot finish before stage k's stream
-    (its A input) is fully drained, which is exactly what advances the
-    ladder.
+    Why not keep the packs device-resident until the chain consumes them:
+    the chain's k-1 stages all run CONCURRENTLY (each pass's output streams
+    into the next), so every step's packed planes would be live at once —
+    ~0.9 GB each exceeds HBM on deep folds — and any bounded in-flight
+    ladder deadlocks against the stages' back-pressure (stage k+AHEAD's RA
+    wait stalls its upstream stages, which is exactly what must finish to
+    advance the ladder).  Draining each step into the ENCODED host spill
+    ladder (models/spill.py, delta+varint ~1-2 B/run on disk) bounds HBM to
+    ~2 packs, moves the link D2H EARLY (overlapped with later steps' walk
+    compute), engages the same out-of-core machinery as the reference's
+    temp-file rank arrays (support.h:576-638), and lets the host chain run
+    at memory speed with no mid-chain device dependency.
     """
 
-    AHEAD = 3
+    AHEAD = 1   # packs dispatched beyond the one currently draining
 
-    def __init__(self, dev, piece_meta, stats=None, verbose=False):
+    def __init__(self, dev, piece_meta, config, stats=None, verbose=False):
         import threading
 
         self._dev = dev
         self._meta = list(piece_meta)
-        self._steps = [None] * len(piece_meta)
-        self._done = 0            # completed (fully drained) steps
-        self._cond = threading.Condition()
+        self._spills = [None] * len(piece_meta)
+        self._events = [threading.Event() for _ in piece_meta]
+        self._error = [None]
+        self._config = config
         self._stats = stats
         self._verbose = verbose
+        self._t0 = time.monotonic()
+        if piece_meta:
+            t = threading.Thread(target=self._run, daemon=True)
+            t.start()
 
-    def _ensure(self, k: int) -> None:
-        """Dispatch steps 0..k (caller holds no lock)."""
-        with self._cond:
-            for i in range(k + 1):
-                # _meta[i] is the not-yet-dispatched marker (_steps[i] is
-                # also reset to None when a DRAINED stream frees its planes
-                # — that must not re-dispatch)
-                if self._meta[i] is not None:
-                    creads, n_reads, chars = self._meta[i]
-                    self._meta[i] = None
-                    self._steps[i] = self._dev.dispatch_step(
-                        i + 1, creads, n_reads, chars)
-                    if self._verbose:
-                        print(f"kfold: step {i} walks dispatched",
-                              file=sys.stderr)
+    def _dispatch(self, i):
+        creads, n_reads, chars = self._meta[i]
+        self._meta[i] = None
+        return self._dev.dispatch_step(i + 1, creads, n_reads, chars)
+
+    def _run(self):
+        from .spill import RankArraySpill
+
+        cfg = self._config
+        threshold = max(cfg.run_buffer_runs * cfg.merge_buffers, 1 << 20)
+        try:
+            packs = {}
+            n = len(self._meta)
+            for i in range(min(1 + self.AHEAD, n)):
+                packs[i] = self._dispatch(i)
+            for i in range(n):
+                spill = RankArraySpill(
+                    temp_dir=cfg.temp_dir,
+                    spill_threshold_runs=threshold,
+                    compact_every=max(
+                        cfg.thread_buffer_mb * 1024 * 1024 // 16, 1024))
+                for v, c in packs.pop(i).stream():
+                    spill.emit(v, c)
+                # force the in-memory tail to disk: a drained-but-unconsumed
+                # step must hold O(file handles), not O(threshold) host runs
+                # (deep folds keep several drained steps queued)
+                spill._compact()
+                if spill._base is not None and spill._base[0].size:
+                    spill._spill()
+                j = i + 1 + self.AHEAD
+                if j < n:
+                    packs[j] = self._dispatch(j)
+                self._spills[i] = spill
+                self._events[i].set()
+                if self._stats is not None:
+                    self._stats.setdefault("step_drained_s", []).append(
+                        round(time.monotonic() - self._t0, 2))
+                    self._stats.setdefault("step_spill_files", []).append(
+                        spill.n_spill_files)
+                if self._verbose:
+                    print(f"kfold: step {i} rank array drained "
+                          f"({time.monotonic() - self._t0:.1f}s, "
+                          f"{spill.n_spill_files} spill files)",
+                          file=sys.stderr)
+        except BaseException as e:  # noqa: BLE001 - surface at consumers
+            self._error[0] = e
+            for ev in self._events:
+                ev.set()
 
     def ra_stream(self, k: int):
         def gen():
-            with self._cond:
-                while k >= self._done + self.AHEAD:
-                    self._cond.wait()
-            self._ensure(k)
+            self._events[k].wait()
+            if self._error[0] is not None:
+                raise self._error[0]
+            spill = self._spills[k]
             try:
-                yield from self._steps[k].stream()
+                yield from spill.stream()
             finally:
-                with self._cond:
-                    self._done = max(self._done, k + 1)
-                    self._steps[k] = None   # free the packed planes
-                    self._cond.notify_all()
+                self._spills[k] = None
+                for f in getattr(spill, "_files", []):
+                    try:
+                        f.delete()
+                    except OSError:
+                        pass
 
         return gen()
 

@@ -312,10 +312,9 @@ def _build_ra_spill(a: FMI, b: FMI, config: MergeConfig):
 
         mesh = make_mesh(config.devices)
         n_dev = mesh.devices.size
-        if n_dev == 1:
-            primed = _try_walk_search(a, b, config, a_idx)
-            if primed is not None:
-                return primed
+        primed = _try_walk_search(a, b, config, a_idx, mesh=mesh)
+        if primed is not None:
+            return primed
 
         b_idx = b.device_index
 
@@ -441,14 +440,16 @@ def _search_mode(config: MergeConfig) -> str:
     return getattr(config, "search", "auto")
 
 
-def _try_walk_search(a: FMI, b: FMI, config: MergeConfig, a_idx):
+def _try_walk_search(a: FMI, b: FMI, config: MergeConfig, a_idx, mesh=None):
     """Attempt the walk search (ops/walk_jax.py).  Returns a primed packed
     stream, or None to fall through to the trie drivers.
 
     'auto' uses the walk only when B's read text is already on hand (the
     build pipeline's sidecar); 'walk' forces it, decoding B on device once
     when no sidecar exists (cache_sidecar persists the result next to B's
-    file for every later fold/run)."""
+    file for every later fold/run).  On a multi-device mesh the read lanes
+    shard across devices with the cplane index replicated
+    (parallel/mesh.sharded_walk_packed_ra)."""
     mode = _search_mode(config)
     if mode == "trie" or b.sequences() == 0:
         return None
@@ -477,14 +478,25 @@ def _try_walk_search(a: FMI, b: FMI, config: MergeConfig, a_idx):
     from ..ops.walk_jax import blocked_walk_and_pack
 
     max_len, r_total = creads.shape
-    n_blk = config.device_blocks
-    if n_blk == 0:
-        n_blk = 2 if b.size() >= 16 * 1024 * 1024 else 1
-    # bound per-block device emission memory (values+counts+sort ~16 B/lane)
-    while (max_len * -(-r_total // n_blk)) > WALK_BLOCK_EMITS \
-            and n_blk < max(1, r_total):
-        n_blk *= 2
+    n_dev = mesh.devices.size if mesh is not None else 1
     try:
+        if n_dev > 1:
+            # mesh walk: lanes sharded over devices, cplanes replicated;
+            # per-device packed streams k-way merge on the host
+            from ..parallel.mesh import sharded_walk_packed_ra
+
+            if (max_len * -(-r_total // n_dev)) > WALK_BLOCK_EMITS:
+                return None   # per-device emission buffers would overflow
+            packed = sharded_walk_packed_ra(a_idx, creads, mesh=mesh,
+                                            a_sequences=a.sequences())
+            return _prime_stream(packed)
+        n_blk = config.device_blocks
+        if n_blk == 0:
+            n_blk = 2 if b.size() >= 16 * 1024 * 1024 else 1
+        # bound per-block device emission memory (~16 B/lane of sort temps)
+        while (max_len * -(-r_total // n_blk)) > WALK_BLOCK_EMITS \
+                and n_blk < max(1, r_total):
+            n_blk *= 2
         packed = blocked_walk_and_pack(a_idx, creads, n_blk,
                                        a_sequences=a.sequences())
         return _prime_stream(packed)

@@ -36,6 +36,9 @@ _live_spills: Set[str] = set()
 _cleanup_registered = False
 
 
+_SPILL_SEQ = __import__("itertools").count()
+
+
 def _register_spill(path: str) -> None:
     global _cleanup_registered
     if not _cleanup_registered:
@@ -239,7 +242,7 @@ class RankArraySpill:
         self._pending = 0
         self._base: Optional[Tuple[np.ndarray, np.ndarray]] = None
         self._files: List[_SpillFile] = []
-        self._file_seq = 0
+        self._file_seq = None  # per-process global (see _spill)
         self.total_spilled_bytes = 0
 
     # -- accumulation ---------------------------------------------------------
@@ -286,9 +289,11 @@ class RankArraySpill:
         from ..native import ra_encode
 
         values, counts = self._base
+        # PROCESS-GLOBAL sequence: several spill accumulators can live at
+        # once (one per k-way fold step, models/kfold.py) — a per-instance
+        # counter made them overwrite each other's temp files
         path = os.path.join(self.temp_dir,
-                            f".bwtmerge_tpu_{os.getpid()}_{self._file_seq}")
-        self._file_seq += 1
+                            f".bwtmerge_tpu_{os.getpid()}_{next(_SPILL_SEQ)}")
         data = ra_encode(values, counts)
         with open(path, "wb") as f:
             f.write(data)

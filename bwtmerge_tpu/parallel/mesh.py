@@ -438,3 +438,84 @@ def sharded_backward_search(index: DeviceFMIndex, patterns: jax.Array,
         idx, patterns, lengths, max_len)
     counts = jnp.maximum(0, ep - sp + 1)
     return counts[:q]
+
+
+def sharded_walk_packed_ra(a_idx: DeviceFMIndex, creads: np.ndarray,
+                           mesh: Optional[Mesh] = None,
+                           a_sequences: Optional[int] = None
+                           ) -> "ShardedPackedRA":
+    """Mesh-parallel WALK search: read lanes sharded over devices, cplanes
+    replicated — the walk engine's multi-chip story (round-5 verdict #4).
+
+    Walk lanes are whole reads, so the shard is embarrassingly parallel:
+    each device walks its lane block through the replicated cplane index,
+    sorts + plane-packs its emissions in place (ops/walk_jax.py), and the
+    per-device ascending streams k-way merge on the host exactly like the
+    trie's sequence blocks (ShardedPackedRA).  Reference counterpart: the
+    sequence-block data parallelism the walk replaces, fmi.cpp:351-357.
+    """
+    from ..ops.search_jax import _bucket
+    from ..ops.walk_jax import _pack_walk, _walk_emit, build_cplanes
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    if a_sequences is None:
+        a_sequences = int(a_idx.C[1])
+    max_len, r_total = creads.shape
+    # Char-weighted lane assignment: every lane's walk work is its read
+    # length, so equal-LANE shards skew per-device emissions whenever long
+    # reads cluster.  Lanes need NOT be contiguous per device (each
+    # device's emissions are sorted independently and k-way merged), so a
+    # snake deal over the length-sorted lanes balances even adversarial
+    # chunky mixes — contiguous quantile cuts cannot (a single long read
+    # is an indivisible work unit at a shard boundary).  Falsifiable gate:
+    # __graft_entry__ mode 4w asserts the resulting per-device balance.
+    weights = (creads > 0).sum(axis=0).astype(np.int64)
+    order = np.argsort(-weights, kind="stable")
+    slot = np.arange(r_total, dtype=np.int64)
+    phase = (slot // n_dev) % 2
+    dev_of = np.where(phase == 0, slot % n_dev,
+                      n_dev - 1 - (slot % n_dev))
+    lanes_of = [order[dev_of == d] for d in range(n_dev)]
+    widths = [int(g.size) for g in lanes_of]
+    per = _bucket(max(max(widths), 1), minimum=128)
+    padded = np.zeros((max_len, per * n_dev), np.int8)
+    for d, g in enumerate(lanes_of):
+        if g.size:
+            padded[:, d * per: d * per + g.size] = creads[:, g]
+    roots = np.array(widths, np.int32)
+
+    replicated = NamedSharding(mesh, P())
+    lane_sharded = NamedSharding(mesh, P(None, SEQ_AXIS))
+    dev_sharded = NamedSharding(mesh, P(SEQ_AXIS))
+
+    cpl = jax.device_put(build_cplanes(a_idx.rec), replicated)
+    C = jax.device_put(a_idx.C, replicated)
+    creads_dev = jax.device_put(jnp.asarray(padded), lane_sharded)
+    roots_dev = jax.device_put(jnp.asarray(roots), dev_sharded)
+    a0 = jnp.int32(a_sequences)
+
+    def per_shard(cpl, C, cr, root):
+        emits, n_live = _walk_emit(cpl, C, cr, a0)
+        dc, meta_exc, exc4, esc = _pack_walk(emits, n_live, a0, root[0])
+        return dc[None], meta_exc[None], exc4[None], esc[None]
+
+    search_all = jax.jit(jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), P(), P(None, SEQ_AXIS), P(SEQ_AXIS)),
+        out_specs=P(SEQ_AXIS), check_vma=False))
+    dc8, meta, exc4, esc = search_all(cpl, C, creads_dev, roots_dev)
+
+    meta_h = np.asarray(meta)
+    exc4_shards = {(s.index[0].start or 0): s.data[0]
+                   for s in exc4.addressable_shards}
+    esc_shards = {(s.index[0].start or 0): s.data[0]
+                  for s in esc.addressable_shards}
+    shards = []
+    for shard in dc8.addressable_shards:
+        d = shard.index[0].start or 0
+        if int(meta_h[d, 3, 0]) == 0:
+            continue
+        shards.append((shard.data[0], meta_h[d], exc4_shards[d],
+                       esc_shards[d]))
+    return ShardedPackedRA(shards)

@@ -279,3 +279,49 @@ def test_sparse_rank_matches_full(rng):
     got_r, got_s = sparse.inverse_select(q)
     np.testing.assert_array_equal(got_s, want_s)
     np.testing.assert_array_equal(got_r, want_r)
+
+
+def test_mesh_walk_equals_numpy(rng, tmp_path, monkeypatch):
+    # multi-device walk: lanes sharded over the 8-device CPU mesh,
+    # cplanes replicated (round-5: merge no longer forces trie at n_dev>1)
+    reads_a = _random_reads(rng, 10, 40)
+    # skewed mix: a few 10x-longer reads (weighted lane shards must balance)
+    reads_b = _random_reads(rng, 12, 12) + _random_reads(rng, 2, 120)
+    a, b = _fmi(reads_a), _fmi(reads_b)
+    b.attach_creads(_creads_of(reads_b))
+    monkeypatch.setenv("BWTMERGE_SEARCH", "walk")
+    m = merge_fmi(a, b, MergeConfig(backend="jax", devices=8,
+                                    temp_dir=str(tmp_path)))
+    a2, b2 = _fmi(reads_a), _fmi(reads_b)
+    m_ref = merge_fmi(a2, b2, MergeConfig(backend="numpy",
+                                          temp_dir=str(tmp_path)))
+    np.testing.assert_array_equal(m.runs.syms, m_ref.runs.syms)
+    np.testing.assert_array_equal(m.runs.lens, m_ref.runs.lens)
+
+
+def test_sharded_walk_balance_skewed(rng):
+    # the per-device emitted-run balance bound must hold under an
+    # adversarial mix (10% of reads 10x longer, clustered at the end)
+    from bwtmerge_tpu.parallel.mesh import (make_mesh,
+                                            sharded_walk_packed_ra)
+
+    reads_a = _random_reads(rng, 8, 30)
+    reads_b = [rng.integers(1, 6, size=12).astype(np.uint8)
+               for _ in range(72)] + \
+              [rng.integers(1, 6, size=120).astype(np.uint8)
+               for _ in range(8)]
+    a = _fmi(reads_a)
+    creads = _creads_of(reads_b)
+    mesh = make_mesh(8)
+    packed = sharded_walk_packed_ra(a.device_index, creads, mesh=mesh,
+                                    a_sequences=a.sequences())
+    per_dev = [int(m[3, 0]) for _, m, _, _ in packed.shards]
+    balance = max(per_dev) / max(min(per_dev), 1)
+    assert balance <= 1.5, f"walk lane balance too skewed: {per_dev}"
+    # and the merged multiset must equal the single-device walk's
+    from bwtmerge_tpu.ops.search_np import compact_sorted_rank_array
+
+    vs, cs = packed.finish()
+    want_v, want_c = _trie_ra(a, _fmi(reads_b))
+    np.testing.assert_array_equal(vs, want_v)
+    np.testing.assert_array_equal(cs, want_c)
