@@ -209,8 +209,12 @@ def merge_files_many(paths: List[str], out_path: str,
                              f"decoded size {size}")
         return ("nib", nib, size), al
 
+    import threading
+
     alphas = [None] * len(paths)
     total = [0]
+    ready = threading.Event()
+    error = [None]
 
     try:
         chunks = _fold_chain_chunks(
@@ -218,12 +222,29 @@ def merge_files_many(paths: List[str], out_path: str,
             a_chunks=read_bwt_chunks(paths[0], in_fmts[0]),
             piece_chunks=lambda k: read_bwt_chunks(paths[k], in_fmts[k]),
             window_positions=window_positions, stats=stats,
-            alphas_out=alphas, total_out=total)
-        alpha = _alpha_sum(alphas)
-        if stats is not None:
-            stats["piece_bases"] = [a.size() for a in alphas]
+            alphas_out=alphas, total_out=total, ready_event=ready,
+            error_out=error)
         with config.timer.phase("fold chain (interleave+write)"):
-            write_bwt_stream(out_path, out_fmt, chunks, alpha)
+            # the chain's stages start immediately (their RA streams gate on
+            # the async loader/drainer); only the WRITER needs the summed
+            # alphabet, so the header wait overlaps all piece uploads.
+            # Pull the first chunk BEFORE creating the output file so loader
+            # errors (incl. _PieceTooLong) surface without a torn file.
+            it = iter(chunks)
+            peek = next(it, None)
+            ready.wait()
+            if error[0] is not None:
+                raise error[0]
+            alpha = _alpha_sum(alphas)
+            if stats is not None:
+                stats["piece_bases"] = [a.size() for a in alphas]
+
+            def with_peek():
+                if peek is not None:
+                    yield peek
+                    yield from it
+
+            write_bwt_stream(out_path, out_fmt, with_peek(), alpha)
     except _PieceTooLong:
         print("kfold: piece reads exceed the walk cap; falling back to the "
               "pairwise chain", file=sys.stderr)
@@ -255,7 +276,8 @@ def _fold_chain_chunks(k_total: int, loader, config: MergeConfig, a_chunks,
                        piece_chunks, window_positions: int = 1 << 24,
                        stats: Optional[dict] = None,
                        alphas_out: Optional[list] = None,
-                       total_out: Optional[list] = None):
+                       total_out: Optional[list] = None,
+                       ready_event=None, error_out=None):
     """Build the full device fold + host interleave chain; returns the
     merged run-chunk generator (ascending maximal-run-clean chunks).
 
@@ -267,59 +289,69 @@ def _fold_chain_chunks(k_total: int, loader, config: MergeConfig, a_chunks,
     from ..native.windowed import interleave_windowed_chunks
     from ..utils.pipeline import prefetch_chunks
 
-    dev = _FoldDevice(timer=config.timer)
-    piece_meta = []   # (creads, n_reads, chars) per fold step
+    import threading
 
-    # lookahead-1 loader thread: piece k+1's host read + nibble pack
-    # overlaps piece k's upload/decode (both link/device-bound)
+    dev = _FoldDevice(timer=config.timer)
+    steps = _StepDrainer(dev, k_total - 1, config, stats=stats,
+                         verbose=config.verbose)
+    if stats is not None:
+        stats["fold_steps"] = k_total - 1
+
+    # lookahead-1 loader pool: piece k+1's host read + nibble pack overlaps
+    # piece k's upload/decode (both link/device-bound)
     import concurrent.futures as _fut
 
     _pool = _fut.ThreadPoolExecutor(1)
-    _next = [None]
 
-    def _load(k):
-        if _next[0] is not None:
-            fut, kk = _next[0]
-            if kk == k:
-                _next[0] = None
-                res = fut.result()
-                if k + 1 < k_total:
-                    _next[0] = (_pool.submit(loader, k + 1), k + 1)
-                return res
-        res = loader(k)
-        if k + 1 < k_total:
-            _next[0] = (_pool.submit(loader, k + 1), k + 1)
-        return res
-
-    with config.timer.phase("device fold dispatch"):
+    def _produce():
+        """Upload pieces and feed fold-step metadata to the drainer: piece
+        k+1's upload overlaps step k's walks + drain, and the whole loop
+        overlaps the consuming interleave chain."""
         t0 = time.monotonic()
-        for k in range(k_total):
-            payload, al = _load(k)
-            counts = al.counts()
-            size = int(al.size())
-            if alphas_out is not None:
-                alphas_out[k] = al
-            if total_out is not None:
-                total_out[0] += size
-            creads = dev.add_piece(
-                payload, counts, need_creads=k > 0,
-                need_index=k < k_total - 1)
-            if k > 0:
-                n_reads = int(counts[0])
-                piece_meta.append((creads, n_reads, size - n_reads))
-            del creads, payload
-            if stats is not None:
-                stats.setdefault("piece_dispatch_s", []).append(
-                    round(time.monotonic() - t0, 2))
-            if config.verbose:
-                print(f"kfold: piece {k} dispatched "
-                      f"({time.monotonic() - t0:.1f}s)", file=sys.stderr)
-    _pool.shutdown(wait=False)
+        nxt = None
+        try:
+            with config.timer.phase("device fold dispatch"):
+                for k in range(k_total):
+                    payload, al = nxt.result() if nxt is not None \
+                        else loader(k)
+                    nxt = (_pool.submit(loader, k + 1)
+                           if k + 1 < k_total else None)
+                    counts = al.counts()
+                    size = int(al.size())
+                    if alphas_out is not None:
+                        alphas_out[k] = al
+                    if total_out is not None:
+                        total_out[0] += size
+                    creads = dev.add_piece(
+                        payload, counts, need_creads=k > 0,
+                        need_index=k < k_total - 1)
+                    if k > 0:
+                        steps.push((creads, int(counts[0]),
+                                    size - int(counts[0])))
+                    del creads, payload
+                    if stats is not None:
+                        stats.setdefault("piece_dispatch_s", []).append(
+                            round(time.monotonic() - t0, 2))
+                    if config.verbose:
+                        print(f"kfold: piece {k} dispatched "
+                              f"({time.monotonic() - t0:.1f}s)",
+                              file=sys.stderr)
+        except BaseException as e:  # noqa: BLE001 - surface at consumers
+            steps.fail(e)
+            if error_out is not None:
+                error_out[0] = e
+        finally:
+            _pool.shutdown(wait=False)
+            if ready_event is not None:
+                ready_event.set()
 
-    steps = _StepDrainer(dev, piece_meta, config, stats=stats,
-                         verbose=config.verbose)
-    if stats is not None:
-        stats["fold_steps"] = len(piece_meta)
+    if ready_event is None:
+        # synchronous piece loop (in-memory merges; also keeps exceptions
+        # like _PieceTooLong on the caller's stack for clean fallbacks)
+        _produce()
+        steps.check()
+    else:
+        threading.Thread(target=_produce, daemon=True).start()
 
     cur = a_chunks
     for k in range(1, k_total):
@@ -332,7 +364,7 @@ def _fold_chain_chunks(k_total: int, loader, config: MergeConfig, a_chunks,
 
 class _StepDrainer:
     """Background thread moving each fold step's rank array device -> host
-    spill ladder, strictly in fold order.
+    spill ladder, strictly in fold order, as piece metadata arrives.
 
     Why not keep the packs device-resident until the chain consumes them:
     the chain's k-1 stages all run CONCURRENTLY (each pass's output streams
@@ -343,77 +375,93 @@ class _StepDrainer:
     advance the ladder).  Draining each step into the ENCODED host spill
     ladder (models/spill.py, delta+varint ~1-2 B/run on disk) bounds HBM to
     ~2 packs, moves the link D2H EARLY (overlapped with later steps' walk
-    compute), engages the same out-of-core machinery as the reference's
-    temp-file rank arrays (support.h:576-638), and lets the host chain run
-    at memory speed with no mid-chain device dependency.
+    compute AND later pieces' uploads), engages the same out-of-core
+    machinery as the reference's temp-file rank arrays (support.h:576-638),
+    and lets the host chain run at memory speed with no mid-chain device
+    dependency.
+
+    Pipeline shape per iteration: dispatch step i's walks the moment its
+    piece metadata arrives, then drain step i-1 — so exactly two packs are
+    outstanding and step i's walk compute overlaps step i-1's D2H.
     """
 
-    AHEAD = 1   # packs dispatched beyond the one currently draining
-
-    def __init__(self, dev, piece_meta, config, stats=None, verbose=False):
+    def __init__(self, dev, n_steps, config, stats=None, verbose=False):
+        import queue
         import threading
 
         self._dev = dev
-        self._meta = list(piece_meta)
-        self._spills = [None] * len(piece_meta)
-        self._events = [threading.Event() for _ in piece_meta]
+        self._n = n_steps
+        self._q = queue.Queue()
+        self._spills = [None] * n_steps
+        self._events = [threading.Event() for _ in range(n_steps)]
         self._error = [None]
         self._config = config
         self._stats = stats
         self._verbose = verbose
         self._t0 = time.monotonic()
-        if piece_meta:
-            t = threading.Thread(target=self._run, daemon=True)
-            t.start()
+        if n_steps:
+            threading.Thread(target=self._run, daemon=True).start()
 
-    def _dispatch(self, i):
-        creads, n_reads, chars = self._meta[i]
-        self._meta[i] = None
-        return self._dev.dispatch_step(i + 1, creads, n_reads, chars)
+    def push(self, meta) -> None:
+        self._q.put(meta)
 
-    def _run(self):
+    def fail(self, e: BaseException) -> None:
+        self._error[0] = e
+        for ev in self._events:
+            ev.set()
+        self._q.put(None)   # unblock the drainer loop
+
+    def check(self) -> None:
+        if self._error[0] is not None:
+            raise self._error[0]
+
+    def _drain(self, i, pack):
         from .spill import RankArraySpill
 
         cfg = self._config
-        threshold = max(cfg.run_buffer_runs * cfg.merge_buffers, 1 << 20)
+        spill = RankArraySpill(
+            temp_dir=cfg.temp_dir,
+            spill_threshold_runs=max(
+                cfg.run_buffer_runs * cfg.merge_buffers, 1 << 20),
+            compact_every=max(cfg.thread_buffer_mb * 1024 * 1024 // 16,
+                              1024))
+        for v, c in pack.stream():
+            spill.emit(v, c)
+        # force the in-memory tail to disk: a drained-but-unconsumed step
+        # must hold O(file handles), not O(threshold) host runs
+        spill._compact()
+        if spill._base is not None and spill._base[0].size:
+            spill._spill()
+        self._spills[i] = spill
+        self._events[i].set()
+        if self._stats is not None:
+            self._stats.setdefault("step_drained_s", []).append(
+                round(time.monotonic() - self._t0, 2))
+            self._stats.setdefault("step_spill_files", []).append(
+                spill.n_spill_files)
+        if self._verbose:
+            print(f"kfold: step {i} rank array drained "
+                  f"({time.monotonic() - self._t0:.1f}s, "
+                  f"{spill.n_spill_files} spill files)", file=sys.stderr)
+
+    def _run(self):
         try:
-            packs = {}
-            n = len(self._meta)
-            for i in range(min(1 + self.AHEAD, n)):
-                packs[i] = self._dispatch(i)
-            for i in range(n):
-                spill = RankArraySpill(
-                    temp_dir=cfg.temp_dir,
-                    spill_threshold_runs=threshold,
-                    compact_every=max(
-                        cfg.thread_buffer_mb * 1024 * 1024 // 16, 1024))
-                for v, c in packs.pop(i).stream():
-                    spill.emit(v, c)
-                # force the in-memory tail to disk: a drained-but-unconsumed
-                # step must hold O(file handles), not O(threshold) host runs
-                # (deep folds keep several drained steps queued)
-                spill._compact()
-                if spill._base is not None and spill._base[0].size:
-                    spill._spill()
-                j = i + 1 + self.AHEAD
-                if j < n:
-                    packs[j] = self._dispatch(j)
-                self._spills[i] = spill
-                self._events[i].set()
-                if self._stats is not None:
-                    self._stats.setdefault("step_drained_s", []).append(
-                        round(time.monotonic() - self._t0, 2))
-                    self._stats.setdefault("step_spill_files", []).append(
-                        spill.n_spill_files)
-                if self._verbose:
-                    print(f"kfold: step {i} rank array drained "
-                          f"({time.monotonic() - self._t0:.1f}s, "
-                          f"{spill.n_spill_files} spill files)",
-                          file=sys.stderr)
+            prev = None
+            for i in range(self._n):
+                meta = self._q.get()
+                if meta is None or self._error[0] is not None:
+                    return
+                creads, n_reads, chars = meta
+                pack = self._dev.dispatch_step(i + 1, creads, n_reads,
+                                               chars)
+                del creads
+                if prev is not None:
+                    self._drain(*prev)
+                prev = (i, pack)
+            if prev is not None:
+                self._drain(*prev)
         except BaseException as e:  # noqa: BLE001 - surface at consumers
-            self._error[0] = e
-            for ev in self._events:
-                ev.set()
+            self.fail(e)
 
     def ra_stream(self, k: int):
         def gen():

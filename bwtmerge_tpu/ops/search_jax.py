@@ -508,7 +508,11 @@ def wavefront_search_device(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
 
 
 EXC_CAP = 8192       # byte-plane exception slots (gap/count > 254)
-EXC4_CAP = 1 << 16   # >254-outlier slots shared by the nibble/q4 planes
+EXC4_CAP = 1 << 20   # >254-outlier slots shared by the nibble/q4 planes
+# (12 MB device; only the bucketed used prefix ever crosses the link.
+# Raised 64k -> 1M in round 5: the 1.6 Gbp k-way fold's summed rank
+# arrays measured ~87k >254 gaps per 100M-run step — the fixture suffix
+# space has heavy-tailed gap regions the exponential estimate misses.)
 META_ROWS = 4        # byte-plane exc(3 rows) + scalar metadata(1 row)
 
 # 4-bit pair-code table: codes 0-14 name the most frequent (delta, count)
@@ -1025,7 +1029,11 @@ def stream_packed_ra(dc8, meta_exc, exc4=None,
     n, n_exc, _ovf_byte, n_exc4, n_esc2 = _meta_fields(meta_exc)
     have_side = exc4 is not None and esc is not None
     if packed_overflowed(meta_exc, have_side):
-        raise ValueError("packed RA overflowed its device buffers")
+        raise ValueError(
+            "packed RA overflowed its device buffers "
+            f"(n={n}, n_exc={n_exc}, ovf_flag={int(meta_exc[3, 2])}, "
+            f"n_exc4={n_exc4}, n_esc2={n_esc2}, caps: exc={EXC_CAP}, "
+            f"exc4={EXC4_CAP})")
     if n == 0:
         return
     if presliced is not None and not isinstance(presliced, dict):
