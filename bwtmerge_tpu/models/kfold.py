@@ -19,6 +19,7 @@ link-bound TPU attachment.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from typing import List, Optional
@@ -223,7 +224,9 @@ def merge_files_many(paths: List[str], out_path: str,
             piece_chunks=lambda k: read_bwt_chunks(paths[k], in_fmts[k]),
             window_positions=window_positions, stats=stats,
             alphas_out=alphas, total_out=total, ready_event=ready,
-            error_out=error)
+            error_out=error,
+            chain=("procs" if _use_proc_stages(len(paths)) else "threads"),
+            piece_files=list(zip(paths, in_fmts)))
         with config.timer.phase("fold chain (interleave+write)"):
             # the chain's stages start immediately (their RA streams gate on
             # the async loader/drainer); only the WRITER needs the summed
@@ -255,6 +258,13 @@ def merge_files_many(paths: List[str], out_path: str,
         config.timer.report(total[0])
 
 
+def _use_proc_stages(k_total: int) -> bool:
+    """Subprocess chain stages for file folds with 2+ steps (disable with
+    BWTMERGE_PROC_STAGES=0)."""
+    return (k_total > 2
+            and os.environ.get("BWTMERGE_PROC_STAGES", "1") != "0")
+
+
 def _chain_config(config: MergeConfig) -> MergeConfig:
     import copy
 
@@ -277,7 +287,8 @@ def _fold_chain_chunks(k_total: int, loader, config: MergeConfig, a_chunks,
                        stats: Optional[dict] = None,
                        alphas_out: Optional[list] = None,
                        total_out: Optional[list] = None,
-                       ready_event=None, error_out=None):
+                       ready_event=None, error_out=None,
+                       chain: str = "threads", piece_files=None):
     """Build the full device fold + host interleave chain; returns the
     merged run-chunk generator (ascending maximal-run-clean chunks).
 
@@ -353,6 +364,10 @@ def _fold_chain_chunks(k_total: int, loader, config: MergeConfig, a_chunks,
     else:
         threading.Thread(target=_produce, daemon=True).start()
 
+    if chain == "procs":
+        return _proc_chain_chunks(steps, k_total, piece_files,
+                                  window_positions)
+
     cur = a_chunks
     for k in range(1, k_total):
         cur = interleave_windowed_chunks(
@@ -360,6 +375,64 @@ def _fold_chain_chunks(k_total: int, loader, config: MergeConfig, a_chunks,
             steps.ra_stream(k - 1), window_positions=window_positions,
             stats=stats)
     return prefetch_chunks(cur, depth=1)
+
+
+def _proc_chain_chunks(steps, k_total: int, piece_files, window: int):
+    """The interleave chain as SUBPROCESS stages connected by pipes
+    (models/kfold_stage.py): each stage's windowed pass runs on its own
+    core — CPython threads serialize the stages' host-side work on the GIL
+    (profiled ~50% of a pass), which capped deep folds at ~1 core of chain
+    throughput regardless of stage count.
+
+    piece_files: [(path, fmt)] for all k_total pieces.  Stage k spawns when
+    step k-1's rank array has drained to its spill files (children read
+    and delete them); its A input is the previous stage's stdout.
+    """
+    import subprocess
+
+    def gen():
+        from .kfold_stage import read_frames
+
+        repo = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)   # children never touch jax
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        procs = []
+        prev = None
+        try:
+            for k in range(1, k_total):
+                steps.wait_spill(k - 1)
+                spill_args = [f"{p}:{n}"
+                              for p, n in steps.spill_files(k - 1)]
+                cmd = [sys.executable, "-m",
+                       "bwtmerge_tpu.models.kfold_stage",
+                       "--b-path", piece_files[k][0],
+                       "--b-fmt", piece_files[k][1],
+                       "--window", str(window), "--spill"] + spill_args
+                if k == 1:
+                    cmd += ["--a-path", piece_files[0][0],
+                            "--a-fmt", piece_files[0][1]]
+                    stdin = subprocess.DEVNULL
+                else:
+                    stdin = prev.stdout
+                proc = subprocess.Popen(cmd, stdin=stdin,
+                                        stdout=subprocess.PIPE, env=env)
+                if prev is not None:
+                    prev.stdout.close()    # parent's copy of the pipe
+                procs.append(proc)
+                prev = proc
+            yield from read_frames(prev.stdout)
+            for proc in procs:
+                if proc.wait() != 0:
+                    raise RuntimeError(
+                        f"kfold stage exited with {proc.returncode}")
+        finally:
+            for proc in procs:
+                if proc.poll() is None:
+                    proc.kill()
+
+    return gen()
 
 
 class _StepDrainer:
@@ -445,23 +518,43 @@ class _StepDrainer:
                   f"{spill.n_spill_files} spill files)", file=sys.stderr)
 
     def _run(self):
+        import concurrent.futures as fut
+        import threading
+
+        # two drain workers + up to 3 packs outstanding: step i+1's (and
+        # i+2's) walk COMPUTE overlaps steps i-1/i's D2H + host decode +
+        # spill encode, instead of the strictly alternating 2-deep pipeline
+        # that left the device idle for most of each drain
+        sem = threading.Semaphore(3)
+        pool = fut.ThreadPoolExecutor(2)
+
+        def drain_one(i, pack):
+            try:
+                self._drain(i, pack)
+            except BaseException as e:  # noqa: BLE001
+                self.fail(e)
+            finally:
+                sem.release()
+
+        futures = []
         try:
-            prev = None
             for i in range(self._n):
                 meta = self._q.get()
                 if meta is None or self._error[0] is not None:
                     return
                 creads, n_reads, chars = meta
+                sem.acquire()
                 pack = self._dev.dispatch_step(i + 1, creads, n_reads,
                                                chars)
                 del creads
-                if prev is not None:
-                    self._drain(*prev)
-                prev = (i, pack)
-            if prev is not None:
-                self._drain(*prev)
+                futures.append(pool.submit(drain_one, i, pack))
+                del pack
+            for f in futures:
+                f.result()
         except BaseException as e:  # noqa: BLE001 - surface at consumers
             self.fail(e)
+        finally:
+            pool.shutdown(wait=False)
 
     def ra_stream(self, k: int):
         def gen():
@@ -480,6 +573,18 @@ class _StepDrainer:
                         pass
 
         return gen()
+
+    def wait_spill(self, k: int) -> None:
+        self._events[k].wait()
+        if self._error[0] is not None:
+            raise self._error[0]
+
+    def spill_files(self, k: int):
+        """[(path, n_runs)] of step k's drained rank array (proc-stage
+        chain: the consuming child deletes them)."""
+        spill = self._spills[k]
+        self._spills[k] = None
+        return [(f.path, f.n_runs) for f in spill._files]
 
 
 def _materialize(chunks) -> RunArrays:
