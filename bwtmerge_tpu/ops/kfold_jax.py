@@ -18,11 +18,13 @@ intermediate index ANYWHERE:
 
 Each pairwise rank array is computed by the per-read backward walk
 (ops/walk_jax.py) of piece k's reads through piece l's resident cplane
-index.  Alignment of the sum needs no suffix identity: RA against any
-earlier piece is non-decreasing in piece-k suffix rank j (if suffix j <=
-suffix j' then every suffix <= j is <= j'), so the j-th smallest value of
-each sorted emission array belongs to the SAME suffix j, and the per-j sum
-is an elementwise add of sorted arrays.  Endmarker suffixes (j < R) each
+index.  The sum aligns for free: emission lane (t, r) IS the length-t+1
+suffix of read r in EVERY walk (same creads layout), so the per-suffix sum
+is a lane-wise add of the raw emission buffers, followed by ONE sort of
+the summed buffer.  (A previous revision sorted each walk and summed the
+sorted arrays — also correct, by monotonicity of each rank array in the
+suffix rank, but k-1 sorts more expensive and incompatible with lane
+blocking.)  Endmarker suffixes (j < R) each
 count l.sequences() suffixes of piece l (piece order breaks ties: earlier
 pieces' endmarkers sort first, exactly the reference's root-run convention,
 fmi.cpp:286-287), contributing the constant root value sum.
@@ -79,24 +81,30 @@ class PieceIndex:
 
 
 @jax.jit
-def _walk_sorted(cpl: jax.Array, C: jax.Array, creads: jax.Array,
-                 a0: jax.Array):
-    """Walk + single-operand ascending sort: the piece's pairwise rank
-    array in suffix-rank order (dead lanes sort to the end as _SENT).
+def _walk_raw(cpl: jax.Array, C: jax.Array, creads: jax.Array,
+              a0: jax.Array):
+    """One pairwise walk, emissions left in LANE order (lane (t, r) = the
+    length-t+1 suffix of read r; dead lanes _SENT).
 
     a0 is the walk start value: l.sequences() for an earlier piece l (the
     '<=' tie convention — l's endmarkers precede the walked piece's).
-    Returns (vals int32[max_len*R] sorted, n_live)."""
-    emits, n_live = _walk_emit(cpl, C, creads, a0)
-    return jax.lax.sort(emits), n_live
+    Returns (emits int32[max_len*R], n_live)."""
+    return _walk_emit(cpl, C, creads, a0)
 
 
 @jax.jit
-def _sum_sorted(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Per-suffix sum of two sorted pairwise rank arrays (see module
-    docstring for why elementwise add IS the per-suffix sum).  _SENT pads
-    stay _SENT (both arrays have the same live count by construction)."""
+def _sum_lanes(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Per-suffix sum of two pairwise walks: lane (t, r) IS the suffix, so
+    the emission buffers are aligned by construction and the per-suffix sum
+    is a plain lane-wise add — no per-target sort needed (one sort of the
+    summed buffer yields the rank array).  _SENT pads stay _SENT (dead
+    lanes coincide: same creads)."""
     return jnp.where((a == _SENT) | (b == _SENT), _SENT, a + b)
+
+
+@jax.jit
+def _sort_vals(vals: jax.Array) -> jax.Array:
+    return jax.lax.sort(vals)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -167,10 +175,11 @@ def summed_packed_ra(targets, creads, n_reads: int | None = None):
     n_live = None
     root_value = 0
     for t in targets:
-        vals, n_live = _walk_sorted(t.cpl, t.C, creads_dev,
-                                    jnp.int32(t.sequences))
-        total = vals if total is None else _sum_sorted(total, vals)
+        vals, n_live = _walk_raw(t.cpl, t.C, creads_dev,
+                                 jnp.int32(t.sequences))
+        total = vals if total is None else _sum_lanes(total, vals)
         root_value += t.sequences
+    total = _sort_vals(total)
     # totals beyond 2^31 ride the int32 lanes as wraparound uint32 (the
     # host decoders re-read negative exception deltas as uint32); wrap the
     # root value the same way so jnp.int32 never rejects it
