@@ -60,9 +60,12 @@ def main() -> None:
     # 9 = every cached piece, an insert-heavy 1.63 Gbp 10-way fold that
     # matches the reference benchmark's insert>base shape, paper.tex:266)
     n_pieces = int(os.environ.get("BENCH_XL_PIECES", "2"))
-    piece_ids = (209, 208, 207, 206, 205, 204, 203, 202, 201)[:n_pieces]
+    ids = (209, 208, 207, 206, 205, 204, 203, 202, 201)
+    # beyond 9 pieces the cached set cycles (a piece file listed twice is a
+    # legal input: duplicate read sets; 27 pieces = the 3.5 Gbp tier)
+    piece_ids = [ids[i % len(ids)] for i in range(n_pieces)]
     paths = [base_path] + [os.path.join(CACHE, f"xl_piece_{i}.sga")
-                           for i in sorted(piece_ids)]
+                           for i in piece_ids]
     fmts = ["native"] + ["sga"] * len(piece_ids)
     for p in paths:
         if not os.path.exists(p):
@@ -108,10 +111,14 @@ def main() -> None:
     t0 = time.monotonic()
     want = np.zeros(pats.shape[0], np.int64)
     sizes = []
+    memo = {}
     for p, f in zip(paths, fmts):
-        c, sz, _ = dev_counts_path(p, f)
+        if p not in memo:
+            memo[p] = dev_counts_path(p, f)
+        c, sz, _ = memo[p]
         want += c
         sizes.append(sz)
+    del memo
     warm.join()
     verify_in_s = time.monotonic() - t0
     print(f"# input pattern counts {verify_in_s:.1f}s "
