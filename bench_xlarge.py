@@ -135,14 +135,37 @@ def main() -> None:
     fold_s = time.monotonic() - t0
     phases = {k: round(v, 2) for k, v in cfg.timer.phases.items()}
     print(f"# k-way fold: {fold_s:.1f}s  phases={phases}  "
-          f"steps={stats.get('step_walk_done_s')}", file=sys.stderr)
+          f"steps={stats.get('step_drained_s')}", file=sys.stderr)
+
+    from bwtmerge_tpu.utils.metrics import memory_usage
+
+    # peak RSS up to the END OF THE FOLD (the verification below may use
+    # far more host memory for >2^31 outputs; that is not fold cost)
+    fold_rss = memory_usage()
 
     total_bases = sum(sizes)
     inserted = sum(sizes[1:])
 
     # ---- output verification (outside the fold window, like the CLI -v) ----
     t0 = time.monotonic()
-    got_counts, out_size, _ = dev_counts_path(out_path, "native")
+    if total_bases < 2**31:
+        got_counts, out_size, _ = dev_counts_path(out_path, "native")
+    else:
+        # beyond the int32 device layout: host-side sparse-rank backward
+        # search (ops/rank_np.SparseRankIndex — the full occ table would
+        # not fit; a few hundred thousand rank queries scan O(stride) each)
+        from bwtmerge_tpu.formats.streaming_read import read_bwt_streaming
+        from bwtmerge_tpu.ops.rank_np import SparseRankIndex
+
+        runs, _, alpha = read_bwt_streaming(out_path, "native")
+        out_size = runs.size()
+        sparse = SparseRankIndex.build(runs, alpha.sigma)
+        del runs
+        sp, ep = sparse.batch_backward_search(
+            alpha.C.astype(np.int64), pats.astype(np.int64),
+            lens.astype(np.int64))
+        got_counts = np.maximum(0, ep - sp + 1)
+        del sparse
     verify_out_s = time.monotonic() - t0
     assert out_size == total_bases, (out_size, total_bases)
     assert np.array_equal(got_counts, want), \
@@ -151,8 +174,6 @@ def main() -> None:
           f"{verify_out_s:.1f}s)", file=sys.stderr)
     out_mb = os.path.getsize(out_path) / 1e6
     os.remove(out_path)
-
-    from bwtmerge_tpu.utils.metrics import memory_usage
 
     rate = inserted / 1e6 / fold_s
     print(json.dumps({
@@ -170,11 +191,11 @@ def main() -> None:
             "sustained_Mbases_s": round(rate, 3),
             "phase_s": phases,
             "piece_dispatch_s": stats.get("piece_dispatch_s"),
-            "step_walk_done_s": stats.get("step_walk_done_s"),
-            "step_runs": stats.get("step_runs"),
-            "max_window_positions": stats.get("max_window_positions"),
+            "step_drained_s": stats.get("step_drained_s"),
+            "step_spill_files": stats.get("step_spill_files"),
+                        "max_window_positions": stats.get("max_window_positions"),
             "output_MB": round(out_mb, 1),
-            "peak_rss_GB": round(memory_usage() / 1e9, 2),
+            "peak_rss_GB": round(fold_rss / 1e9, 2),
             "patterns": int(pats.shape[0]),
             "invariant_ok": True,
             "setup_s": round(setup_s, 1),

@@ -184,7 +184,7 @@ class DeviceFMIndex:
         c_arr[: counts.size + 1] = np.concatenate(
             ([0], np.cumsum(counts))).astype(np.int32)
         c_arr[counts.size + 1:] = c_arr[counts.size]
-        rec = _build_rec_device(jnp.asarray(nibbles))[: nblk]
+        rec = build_rec_slabbed(jnp.asarray(nibbles), nblk)
         return cls(rec=rec, C=jnp.asarray(c_arr), size=size, n_runs=n_runs)
 
     @classmethod
@@ -240,7 +240,7 @@ class DeviceFMIndex:
         c_arr[: counts.size + 1] = np.concatenate(([0], np.cumsum(counts)))
         c_arr[counts.size + 1:] = c_arr[counts.size]
 
-        rec = _build_rec_device(jnp.asarray(nibbles))[: nblk]
+        rec = build_rec_slabbed(jnp.asarray(nibbles), nblk)
         return cls(rec=rec, C=jnp.asarray(c_arr),
                    size=size, n_runs=runs.n_runs)
 
@@ -347,6 +347,55 @@ def _count_lanes(syms: jax.Array, before: jax.Array) -> jax.Array:
         cols.append(jnp.sum(((syms == c) & before).astype(jnp.int32),
                             axis=1, keepdims=True))
     return jnp.concatenate(cols, axis=1)
+
+
+REC_SLAB_BLK = 1 << 22   # blocks per rec-build program: the one-shot build
+                         # at 51M blocks (1.63 Gbp) allocates ~20 GB of
+                         # [nblk, 32] temporaries and OOMs 16 GB HBM
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _build_rec_slab(nibbles: jax.Array, start_byte: jax.Array, size: int,
+                    base_occ: jax.Array):
+    """One slab of the record table: records for blocks starting at byte
+    offset start_byte, occ lanes rebased by the running per-char totals.
+    Returns (rec int32[size/16, REC], slab per-char totals int32[LANES])."""
+    slab = jax.lax.dynamic_slice(nibbles, (start_byte,), (size,))
+    rec = _build_rec_device(slab)
+    counts = _slab_counts(slab)
+    rec = rec.at[:, :LANES].add(base_occ[None, :])
+    return rec, counts
+
+
+@jax.jit
+def _slab_counts(nibbles: jax.Array) -> jax.Array:
+    nib2 = nibbles.reshape(-1, 16)
+    by_block = jnp.concatenate([(nib2 & 0xF).astype(jnp.int32),
+                                (nib2 >> 4).astype(jnp.int32)], axis=1)
+    return jnp.stack([jnp.sum((by_block == c).astype(jnp.int32))
+                      for c in range(LANES)])
+
+
+def build_rec_slabbed(nibbles: jax.Array, nblk: int) -> jax.Array:
+    """Record table from a (padded) nibble buffer, slab-by-slab for big
+    inputs: one bucket-shaped program reused across slabs, running occ
+    totals carried on device."""
+    total_blk = nibbles.shape[0] * 2 // BLK
+    if total_blk <= REC_SLAB_BLK:
+        return _build_rec_device(nibbles)[:nblk]
+    slab_bytes = REC_SLAB_BLK * BLK // 2
+    # bucketed nibble buffers above the slab size are always whole
+    # multiples of it ({2^k, 3*2^(k-2)} with k >= 26), so no clamped
+    # final slab exists (a clamp would need occ rebasing at mid-slab)
+    assert nibbles.shape[0] % slab_bytes == 0, nibbles.shape
+    parts = []
+    base = jnp.zeros(LANES, jnp.int32)
+    for pos in range(0, nibbles.shape[0], slab_bytes):
+        rec, counts = _build_rec_slab(nibbles, jnp.int32(pos), slab_bytes,
+                                      base)
+        parts.append(rec)
+        base = base + counts
+    return jnp.concatenate(parts)[:nblk]
 
 
 @jax.jit

@@ -154,3 +154,56 @@ class SparseRankIndex:
             rnk[q] = int(self.blk_occ[b, s]) + in_block + (off - run_start)
             sym[q] = s
         return rnk, sym
+
+    def rank(self, positions, comps) -> np.ndarray:
+        """rank(i, c) = # of c in [0, i) per (i, c) pair; O(stride) scan
+        each — sized for sparse verification workloads (e.g. a few hundred
+        thousand queries over a multi-Gbp BWT whose full occ table would
+        not fit in memory)."""
+        i = np.asarray(positions, dtype=np.int64)
+        c = np.asarray(comps, dtype=np.int64)
+        out = np.empty(i.shape, np.int64)
+        size = self.size
+        for q in range(i.size):
+            pos = min(int(i[q]), size)
+            cq = int(c[q])
+            b = int(np.searchsorted(self.blk_starts, pos, side="right")) - 1
+            b = min(max(b, 0), self.blk_starts.size - 2)
+            lo = b * self.stride
+            hi = min(lo + self.stride, self.syms.size)
+            local = np.cumsum(self.lens[lo:hi])
+            off = pos - int(self.blk_starts[b])
+            k = int(np.searchsorted(local, off, side="right"))
+            k = min(k, hi - lo - 1)
+            mask = self.syms[lo:lo + k] == cq
+            in_block = int(np.sum(self.lens[lo:lo + k][mask]))
+            if k < hi - lo and int(self.syms[lo + k]) == cq:
+                run_start = int(local[k - 1]) if k else 0
+                in_block += max(0, off - run_start)
+            out[q] = int(self.blk_occ[b, cq]) + in_block
+        return out
+
+    def batch_backward_search(self, C: np.ndarray, patterns: np.ndarray,
+                              lengths: np.ndarray):
+        """Closed SA ranges for right-aligned-padded int patterns (the
+        host twin of ops/rank_jax.backward_search, built on the sparse
+        rank): returns (sp, ep) int64[Q]."""
+        C = np.asarray(C, np.int64)
+        q = patterns.shape[0]
+        rows = np.arange(q)
+        last = patterns[rows, lengths - 1].astype(np.int64)
+        sp = C[last]
+        ep = C[last + 1] - 1
+        max_len = patterns.shape[1]
+        for t in range(max_len - 1):
+            idx = lengths - 2 - t
+            active = (idx >= 0) & (ep >= sp)
+            if not active.any():
+                break
+            cc = patterns[rows, np.clip(idx, 0, max_len - 1)].astype(np.int64)
+            aw = np.flatnonzero(active)
+            bounds = np.concatenate([sp[aw], ep[aw] + 1])
+            ranks = self.rank(bounds, np.concatenate([cc[aw], cc[aw]]))
+            sp[aw] = C[cc[aw]] + ranks[: aw.size]
+            ep[aw] = C[cc[aw]] + ranks[aw.size:] - 1
+        return sp, ep

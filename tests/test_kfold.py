@@ -207,3 +207,23 @@ def test_pack_nibbles_chunked_matches_build(rng):
     idx2 = DeviceFMIndex.from_nibbles(nib, counts, size, n_runs)
     np.testing.assert_array_equal(np.asarray(idx1.rec), np.asarray(idx2.rec))
     np.testing.assert_array_equal(np.asarray(idx1.C), np.asarray(idx2.C))
+
+
+def test_sparse_backward_search_matches_fmi(rng):
+    from bwtmerge_tpu.ops.rank_np import SparseRankIndex
+
+    reads = _random_reads(rng, 30, 40)
+    f = _fmi(reads)
+    sparse = SparseRankIndex.build(f.runs, f.alpha.sigma, stride=16)
+    pats, lens = [], []
+    for r in reads[:10]:
+        pats.append(r[:6])
+    maxlen = max(p.size for p in pats)
+    P = np.zeros((len(pats), maxlen), np.int64)
+    L = np.zeros(len(pats), np.int64)
+    for j, p in enumerate(pats):
+        P[j, :p.size] = p
+        L[j] = p.size
+    sp, ep = sparse.batch_backward_search(f.alpha.C.astype(np.int64), P, L)
+    want = f.verify([p for p in pats])
+    np.testing.assert_array_equal(np.maximum(0, ep - sp + 1), want)
