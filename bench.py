@@ -666,15 +666,26 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - never fail the bench
         print(f"# spill stress skipped: {e}", file=sys.stderr)
 
-    # committed xlarge-tier record: measured on this chip by bench_xlarge.py
-    # (multi-GB 3-way fold; fixtures from .bench_cache/build_xlarge.py).
-    # Kept out of the default run so the supervisor's per-try timeout can
-    # never kill the standard tiers; the record carries its own metadata.
-    xlarge = None
+    # committed xlarge-tier records: measured on this chip by
+    # bench_xlarge.py (918 Mbp 3-way, 1.63 Gbp 10-way, 3.47 Gbp 28-way
+    # k-way folds).  Kept out of the default run so the supervisor's
+    # per-try timeout can never kill the standard tiers; each record
+    # carries its own metadata.
+    xlarge = xlarge10 = xlarge3g = None
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "XLARGE.json")) as f:
+        with open(os.path.join(here, "XLARGE.json")) as f:
             xlarge = json.load(f)
+    except Exception:
+        pass
+    try:
+        with open(os.path.join(here, "XLARGE10.json")) as f:
+            xlarge10 = json.load(f)
+    except Exception:
+        pass
+    try:
+        with open(os.path.join(here, "XLARGE3G.json")) as f:
+            xlarge3g = json.load(f)
     except Exception:
         pass
 
@@ -740,6 +751,8 @@ def main() -> None:
             "warmup_pass_s": round(warmup_s, 1),  # first full pass: compiles (if cold) + link-weather transfers
             "setup_s": round(setup_s, 1),
             "xlarge": xlarge,
+            "xlarge10": xlarge10,
+            "xlarge3g": xlarge3g,
         },
     }))
 

@@ -92,19 +92,39 @@ def _walk_raw(cpl: jax.Array, C: jax.Array, creads: jax.Array,
     return _walk_emit(cpl, C, creads, a0)
 
 
+# Pad marker for SUMMED lanes: 0xFFFFFFFF — unsigned max, so pads sort
+# LAST under the unsigned sort below.  (The single-walk pad _SENT =
+# int32-max would land in the MIDDLE of the unsigned order once summed
+# values wrap past 2^31.)  A true value of 0xFFFFFFFF is excluded by the
+# MAX_FOLD_TOTAL guard.
+UPAD = jnp.int32(-1)
+MAX_FOLD_TOTAL = (1 << 32) - 2
+
+
 @jax.jit
-def _sum_lanes(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Per-suffix sum of two pairwise walks: lane (t, r) IS the suffix, so
-    the emission buffers are aligned by construction and the per-suffix sum
-    is a plain lane-wise add — no per-target sort needed (one sort of the
-    summed buffer yields the rank array).  _SENT pads stay _SENT (dead
-    lanes coincide: same creads)."""
-    return jnp.where((a == _SENT) | (b == _SENT), _SENT, a + b)
+def _first_lanes(emits: jax.Array) -> jax.Array:
+    """First walk's emissions with pads remapped _SENT -> UPAD."""
+    return jnp.where(emits == _SENT, UPAD, emits)
+
+
+@jax.jit
+def _sum_lanes(total: jax.Array, emits: jax.Array) -> jax.Array:
+    """Per-suffix sum of pairwise walks: lane (t, r) IS the suffix, so the
+    emission buffers are aligned by construction and the per-suffix sum is
+    a plain lane-wise add (wraparound uint32 on the int32 lanes) — no
+    per-target sort needed.  Pads (UPAD in the running total, _SENT in the
+    new walk, same lanes) stay UPAD."""
+    return jnp.where(total == UPAD, UPAD, total + emits)
 
 
 @jax.jit
 def _sort_vals(vals: jax.Array) -> jax.Array:
-    return jax.lax.sort(vals)
+    """UNSIGNED ascending sort: summed values beyond 2^31 wrap the int32
+    lanes negative, and a signed sort would order them FIRST (the round-5
+    3.47 Gbp fold corrupted every step past a 2.1 Gbp accumulated total
+    until this bitcast)."""
+    u = jax.lax.bitcast_convert_type(vals, jnp.uint32)
+    return jax.lax.bitcast_convert_type(jax.lax.sort(u), jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -171,13 +191,18 @@ def summed_packed_ra(targets, creads, n_reads: int | None = None):
             f"piece walk of {max_len * per} lanes exceeds MAX_WALK_LANES; "
             "use the pairwise fold chain for oversized inserts")
     r = n_reads
+    if sum(t.size for t in targets) + r >= MAX_FOLD_TOTAL:
+        raise ValueError(
+            "fold total exceeds the uint32 device lanes (4.29 Gbp); "
+            "shard the fold")
     total = None
     n_live = None
     root_value = 0
     for t in targets:
         vals, n_live = _walk_raw(t.cpl, t.C, creads_dev,
                                  jnp.int32(t.sequences))
-        total = vals if total is None else _sum_lanes(total, vals)
+        total = _first_lanes(vals) if total is None \
+            else _sum_lanes(total, vals)
         root_value += t.sequences
     total = _sort_vals(total)
     # totals beyond 2^31 ride the int32 lanes as wraparound uint32 (the

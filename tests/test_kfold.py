@@ -168,7 +168,8 @@ def test_pack_presorted_values_beyond_int32(tmp_path):
     # re-read negative exception deltas as uint32
     import jax.numpy as jnp
 
-    from bwtmerge_tpu.ops.kfold_jax import _pack_presorted
+    from bwtmerge_tpu.ops.kfold_jax import (_first_lanes, _pack_presorted,
+                                            _sort_vals)
     from bwtmerge_tpu.ops.search_jax import stream_packed_ra
     from bwtmerge_tpu.ops.walk_jax import _SENT
 
@@ -176,11 +177,18 @@ def test_pack_presorted_values_beyond_int32(tmp_path):
                      2**31 + 300, 3_500_000_000, 3_500_000_000,
                      4_100_000_000], np.int64)
     root_value, root_count = 7, 4
+    # UNSORTED lane order with _SENT pads interleaved, exactly as the
+    # walk emits — the sort must order wrapped (int32-negative) values
+    # AFTER the small positive ones (unsigned order; the signed sort
+    # corrupted every fold step past a 2.1 Gbp accumulated total)
+    rng2 = np.random.default_rng(3)
     wrapped = (true % (1 << 32)).astype(np.uint32).view(np.int32)
     vals = np.full(1 << 10, _SENT, np.int32)
-    vals[:wrapped.size] = wrapped
+    lanes = rng2.choice(vals.size, size=wrapped.size, replace=False)
+    vals[lanes] = wrapped
+    sorted_vals = _sort_vals(_first_lanes(jnp.asarray(vals)))
     dc8, meta, exc4, esc = _pack_presorted(
-        jnp.asarray(vals), jnp.int32(true.size),
+        sorted_vals, jnp.int32(true.size),
         jnp.int32(root_value), jnp.int32(root_count))
     got = list(stream_packed_ra(dc8, meta, exc4, chunk_runs=4, esc=esc))
     gv = np.concatenate([v for v, _ in got])
