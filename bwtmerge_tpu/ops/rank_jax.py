@@ -174,7 +174,9 @@ class DeviceFMIndex:
         materializes run arrays on the host — the k-way fold's piece loader
         (models/kfold.py) reads files straight into this."""
         ensure_d2h_warm()
-        if size >= 2**31:
+        if size >= 2**31 - 1:
+            # strictly below int32-max: the walk engine reserves 2^31-1 as
+            # its dead-lane sentinel, so a rank equal to it must not exist
             raise ValueError(
                 f"BWT shard of {size} positions exceeds int32 device layout; "
                 "shard it first (parallel/mesh.py)")
@@ -200,7 +202,9 @@ class DeviceFMIndex:
         """
         ensure_d2h_warm()  # overlap the D2H channel setup with the upload
         size = runs.size()
-        if size >= 2**31:
+        if size >= 2**31 - 1:
+            # strictly below int32-max: the walk engine reserves 2^31-1 as
+            # its dead-lane sentinel, so a rank equal to it must not exist
             raise ValueError(
                 f"BWT shard of {size} positions exceeds int32 device layout; "
                 "shard it first (parallel/mesh.py)")

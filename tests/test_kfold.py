@@ -173,7 +173,9 @@ def test_pack_presorted_values_beyond_int32(tmp_path):
     from bwtmerge_tpu.ops.search_jax import stream_packed_ra
     from bwtmerge_tpu.ops.walk_jax import _SENT
 
-    true = np.array([100, 2**31 - 3, 2**31 - 1, 2**31 + 5, 2**31 + 5,
+    # (2^31 - 1 itself cannot occur: it is the walk's dead-lane sentinel,
+    # and per-piece sizes are guarded strictly below it)
+    true = np.array([100, 2**31 - 3, 2**31 - 2, 2**31 + 5, 2**31 + 5,
                      2**31 + 300, 3_500_000_000, 3_500_000_000,
                      4_100_000_000], np.int64)
     root_value, root_count = 7, 4
