@@ -353,7 +353,7 @@ def _count_lanes(syms: jax.Array, before: jax.Array) -> jax.Array:
     return jnp.concatenate(cols, axis=1)
 
 
-REC_SLAB_BLK = 1 << 22   # blocks per rec-build program: the one-shot build
+REC_SLAB_BLK = 1 << 21   # blocks per rec-build program: the one-shot build
                          # at 51M blocks (1.63 Gbp) allocates ~20 GB of
                          # [nblk, 32] temporaries and OOMs 16 GB HBM
 
@@ -384,13 +384,13 @@ def build_rec_slabbed(nibbles: jax.Array, nblk: int) -> jax.Array:
     """Record table from a (padded) nibble buffer, slab-by-slab for big
     inputs: one bucket-shaped program reused across slabs, running occ
     totals carried on device."""
-    total_blk = nibbles.shape[0] * 2 // BLK
-    if total_blk <= REC_SLAB_BLK:
-        return _build_rec_device(nibbles)[:nblk]
     slab_bytes = REC_SLAB_BLK * BLK // 2
-    # bucketed nibble buffers above the slab size are always whole
-    # multiples of it ({2^k, 3*2^(k-2)} with k >= 26), so no clamped
-    # final slab exists (a clamp would need occ rebasing at mid-slab)
+    # engage slabbing only from 3*slab_bytes up: every bucketed size
+    # {2^k, 3*2^(k-2)} at or above 3*2^m is a whole multiple of 2^m, so
+    # no clamped final slab exists (a clamp would need occ rebasing at
+    # mid-slab); below that the one-shot build fits HBM comfortably
+    if nibbles.shape[0] < 3 * slab_bytes:
+        return _build_rec_device(nibbles)[:nblk]
     assert nibbles.shape[0] % slab_bytes == 0, nibbles.shape
     parts = []
     base = jnp.zeros(LANES, jnp.int32)
