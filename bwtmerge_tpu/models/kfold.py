@@ -31,10 +31,6 @@ from .fmi import FMI
 from .merge import MergeConfig
 from .runs import RunArrays
 
-# read-lane bound: pieces bigger than this fall back to the pairwise chain
-MAX_PIECE_LANES = 256 * 1024 * 1024
-
-
 def _alpha_sum(alphas: List[Alphabet]) -> Alphabet:
     a0 = alphas[0]
     C = a0.C.astype(np.int64).copy()
@@ -87,11 +83,9 @@ class _FoldDevice:
         creads = None
         if need_creads:
             dec = decode_creads_dev(idx, int(counts[0]), runs_size)
-            if dec is None:
+            if dec is None:   # a read beyond the walk length cap
                 raise _PieceTooLong()
             creads, n_reads = dec
-            if creads.shape[0] * creads.shape[1] > MAX_PIECE_LANES:
-                raise _PieceTooLong()
         if need_index:
             self.targets.append(PieceIndex.from_device_index(idx))
         else:
@@ -99,18 +93,21 @@ class _FoldDevice:
         return creads
 
     def dispatch_step(self, k: int, creads, n_reads: int, chars: int):
-        """Summed packed RA of piece k vs pieces 0..k-1, window grid
-        pre-dispatched; returns a stream-capable object."""
-        from ..ops.kfold_jax import summed_packed_ra
+        """Summed packed RA of piece k vs pieces 0..k-1, window grids
+        pre-dispatched; returns a stream-capable object.  Pieces beyond one
+        walk program's lane budget split into lane blocks whose sorted
+        streams k-way merge (ops/kfold_jax.summed_packed_parts)."""
+        from ..ops.kfold_jax import summed_packed_parts
         from ..ops.search_jax import BlockedPackedRA, make_block_part
 
         targets = self.targets[:k]
         assert all(t is not None for t in targets)
-        dc8, meta, exc4, esc = summed_packed_ra(targets, creads,
-                                                n_reads=n_reads)
-        part = make_block_part(dc8, meta, exc4, esc, BlockedPackedRA.CHUNK,
-                               chars + n_reads + 2)
-        return BlockedPackedRA([part])
+        raw = summed_packed_parts(targets, creads, n_reads=n_reads)
+        bound = chars + n_reads + 2
+        parts = [make_block_part(dc8, meta, exc4, esc,
+                                 BlockedPackedRA.CHUNK, bound)
+                 for dc8, meta, exc4, esc in raw]
+        return BlockedPackedRA(parts)
 
 
 class _PieceTooLong(Exception):

@@ -157,49 +157,21 @@ def _pack_presorted(vals: jax.Array, n_live: jax.Array,
     return dc, jnp.concatenate([exc, meta], axis=0), exc4, esc
 
 
-# One walk program (scan + sort) peaks at ~16 B/lane of device temporaries;
-# this bounds a single piece's max_len * R to ~4 GB of them.  K-way fold
-# pieces are piece-sized by construction; bigger inserts fall back to the
-# pairwise chain (models/merge.py).
-MAX_WALK_LANES = 256 * 1024 * 1024
+# One walk program (scan + sum + sort + pack) peaks at ~16 B/lane of device
+# temporaries; this bounds the lanes PER PROGRAM.  Bigger pieces split
+# their READ LANES into blocks (lane (t, r) stays a whole suffix, so the
+# per-target lane-wise sum is block-local and the per-block sorted streams
+# k-way merge on the host exactly like sequence blocks).
+MAX_WALK_LANES = 192 * 1024 * 1024
 
 
-def summed_packed_ra(targets, creads, n_reads: int | None = None):
-    """The fold-step search: walk `creads` (piece k's reads, walk layout,
-    one lane per read) through every earlier piece's resident index and
-    return the SUMMED packed rank array (PackedDeviceRA-compatible tuple).
-
-    targets: list[PieceIndex] — pieces 0..k-1 in fold order.
-    creads: host array (lane-padded here) or a device array already
-    lane-bucketed (decode_creads_dev output) with n_reads its live lanes.
-    Returns (dc8, meta_exc, exc4, esc) left on device.
-    """
-    max_len, r = creads.shape
-    if isinstance(creads, np.ndarray):
-        n_reads = r if n_reads is None else n_reads
-        per = _bucket(max(r, 1), minimum=128)  # one program shape per size
-        if per > r:
-            creads = np.pad(creads, ((0, 0), (0, per - r)))  # dead lanes
-        creads_dev = jnp.asarray(creads)
-    else:
-        if n_reads is None:
-            raise ValueError("device creads needs an explicit n_reads")
-        per = r
-        creads_dev = creads
-    if max_len * per > MAX_WALK_LANES:
-        raise ValueError(
-            f"piece walk of {max_len * per} lanes exceeds MAX_WALK_LANES; "
-            "use the pairwise fold chain for oversized inserts")
-    r = n_reads
-    if sum(t.size for t in targets) + r >= MAX_FOLD_TOTAL:
-        raise ValueError(
-            "fold total exceeds the uint32 device lanes (4.29 Gbp); "
-            "shard the fold")
+def _summed_block(targets, creads_block, root_count: int):
+    """One lane-block's summed + sorted + packed rank array."""
     total = None
     n_live = None
     root_value = 0
     for t in targets:
-        vals, n_live = _walk_raw(t.cpl, t.C, creads_dev,
+        vals, n_live = _walk_raw(t.cpl, t.C, creads_block,
                                  jnp.int32(t.sequences))
         total = _first_lanes(vals) if total is None \
             else _sum_lanes(total, vals)
@@ -209,4 +181,57 @@ def summed_packed_ra(targets, creads, n_reads: int | None = None):
     # host decoders re-read negative exception deltas as uint32); wrap the
     # root value the same way so jnp.int32 never rejects it
     rv32 = ((root_value + 2**31) % 2**32) - 2**31
-    return _pack_presorted(total, n_live, jnp.int32(rv32), jnp.int32(r))
+    return _pack_presorted(total, n_live, jnp.int32(rv32),
+                           jnp.int32(root_count))
+
+
+def summed_packed_parts(targets, creads, n_reads: int | None = None):
+    """The fold-step search: walk `creads` (piece k's reads, walk layout,
+    one lane per read) through every earlier piece's resident index and
+    return the SUMMED packed rank array as a list of per-lane-block parts
+    [(dc8, meta_exc, exc4, esc)] whose sorted streams k-way merge on the
+    host (each block's lanes are whole reads, so blocks partition the
+    suffix multiset).
+
+    targets: list[PieceIndex] — pieces 0..k-1 in fold order.
+    creads: host array (lane-padded here) or a device array already
+    lane-bucketed (decode_creads_dev output) with n_reads its live lanes.
+    """
+    max_len, r = creads.shape
+    if isinstance(creads, np.ndarray):
+        n_reads = r if n_reads is None else n_reads
+        per0 = _bucket(max(r, 1), minimum=128)
+        if per0 > r:
+            creads = np.pad(creads, ((0, 0), (0, per0 - r)))
+        creads_dev = jnp.asarray(creads)
+    else:
+        if n_reads is None:
+            raise ValueError("device creads needs an explicit n_reads")
+        per0 = r
+        creads_dev = creads
+    if sum(t.size for t in targets) + n_reads >= MAX_FOLD_TOTAL:
+        raise ValueError(
+            "fold total exceeds the uint32 device lanes (4.29 Gbp); "
+            "shard the fold")
+    n_blocks = 1
+    while max_len * -(-per0 // n_blocks) > MAX_WALK_LANES:
+        n_blocks *= 2
+    blk_w = _bucket(-(-per0 // n_blocks), minimum=8)
+    parts = []
+    for b in range(0, per0, blk_w):
+        w = min(blk_w, per0 - b)
+        block = jax.lax.slice(creads_dev, (0, b), (max_len, b + w))
+        if w < blk_w:
+            block = jnp.pad(block, ((0, 0), (0, blk_w - w)))
+        live = max(0, min(n_reads - b, w))
+        parts.append(_summed_block(targets, block, live))
+    return parts
+
+
+def summed_packed_ra(targets, creads, n_reads: int | None = None):
+    """Single-part convenience wrapper over summed_packed_parts (pieces
+    within one walk program's lane budget)."""
+    parts = summed_packed_parts(targets, creads, n_reads=n_reads)
+    if len(parts) != 1:
+        raise ValueError("piece needs lane blocking; use summed_packed_parts")
+    return parts[0]

@@ -237,3 +237,32 @@ def test_sparse_backward_search_matches_fmi(rng):
     sp, ep = sparse.batch_backward_search(f.alpha.C.astype(np.int64), P, L)
     want = f.verify([p for p in pats])
     np.testing.assert_array_equal(np.maximum(0, ep - sp + 1), want)
+
+
+def test_lane_blocked_summed_parts(tmp_path, monkeypatch):
+    # force lane blocking on a small piece: the blocked streams must merge
+    # to the exact trie-oracle rank array (whole-read lanes per block)
+    import bwtmerge_tpu.ops.kfold_jax as kj
+    from bwtmerge_tpu.formats.sidecar import creads_layout
+    from bwtmerge_tpu.ops.search_jax import BlockedPackedRA, make_block_part
+    from bwtmerge_tpu.ops.search_np import build_rank_array
+
+    rng = np.random.default_rng(21)
+    reads_a = _random_reads(rng, 8, 30)
+    reads_b = _random_reads(rng, 40, 10)
+    a, b = _fmi(reads_a), _fmi(reads_b)
+    lens = np.array([r.size for r in reads_b], np.uint32)
+    creads = creads_layout(lens, np.concatenate(reads_b))
+    monkeypatch.setattr(kj, "MAX_WALK_LANES", 64)   # force many blocks
+    targets = [kj.PieceIndex.from_device_index(a.device_index)]
+    raw = kj.summed_packed_parts(targets, creads)
+    assert len(raw) > 1
+    bp = BlockedPackedRA([
+        make_block_part(dc8, meta, exc4, esc, 512, b.size() + 2)
+        for dc8, meta, exc4, esc in raw])
+    gv, gc = bp.finish()
+    wv, wc = build_rank_array(a.rank_index, a.alpha.C.astype(np.int64),
+                              b.rank_index, b.alpha.C.astype(np.int64),
+                              a.sequences(), b.sequences())
+    np.testing.assert_array_equal(gv, wv)
+    np.testing.assert_array_equal(gc, wc)
