@@ -59,14 +59,25 @@ def main() -> None:
     # BENCH_XL_PIECES=n folds n insert pieces (default 2 = the 3-way tier;
     # 9 = every cached piece, an insert-heavy 1.63 Gbp 10-way fold that
     # matches the reference benchmark's insert>base shape, paper.tex:266)
-    n_pieces = int(os.environ.get("BENCH_XL_PIECES", "2"))
-    ids = (209, 208, 207, 206, 205, 204, 203, 202, 201)
-    # beyond 9 pieces the cached set cycles (a piece file listed twice is a
-    # legal input: duplicate read sets; 27 pieces = the 3.5 Gbp tier)
-    piece_ids = [ids[i % len(ids)] for i in range(n_pieces)]
-    paths = [base_path] + [os.path.join(CACHE, f"xl_piece_{i}.sga")
-                           for i in piece_ids]
-    fmts = ["native"] + ["sga"] * len(piece_ids)
+    if os.environ.get("BENCH_XL_BIG"):
+        # big-piece tier: 714 Mbp base + 6 x ~510 Mbp pieces = 3.77 Gbp in
+        # a 7-way fold (scripts/build_big_pieces.py; lane-blocked walks) —
+        # the pairwise decomposition's walk count is K^2/2 * lanes, so
+        # fewer, bigger pieces carry the same bases with ~4x less walk
+        # work than the 28-way cycle below
+        n_big = int(os.environ.get("BENCH_XL_BIG"))
+        paths = [base_path] + [os.path.join(CACHE, f"xl_big_{i}.native")
+                               for i in range(1, n_big + 1)]
+        fmts = ["native"] * (n_big + 1)
+    else:
+        n_pieces = int(os.environ.get("BENCH_XL_PIECES", "2"))
+        ids = (209, 208, 207, 206, 205, 204, 203, 202, 201)
+        # beyond 9 pieces the cached set cycles (a piece file listed twice
+        # is a legal input: duplicate read sets; 27 = the 3.5 Gbp tier)
+        piece_ids = [ids[i % len(ids)] for i in range(n_pieces)]
+        paths = [base_path] + [os.path.join(CACHE, f"xl_piece_{i}.sga")
+                               for i in piece_ids]
+        fmts = ["native"] + ["sga"] * len(piece_ids)
     for p in paths:
         if not os.path.exists(p):
             print(json.dumps({"metric": "xlarge 3-way fold throughput",
@@ -80,7 +91,9 @@ def main() -> None:
     # (random 32-mers over sigma=4 are ~all absent)
     rng = np.random.default_rng(17)
     pats = []
-    for p in paths[1:3]:
+    pat_sources = [os.path.join(CACHE, "xl_piece_209.sga"),
+                   os.path.join(CACHE, "xl_piece_208.sga")]
+    for p in pat_sources:
         creads = load_creads(sidecar_path(p))
         cols = rng.integers(0, creads.shape[1], size=2048)
         for c in cols:
