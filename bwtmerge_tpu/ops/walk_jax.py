@@ -321,7 +321,11 @@ def decode_creads_dev(b_idx: DeviceFMIndex, sequences: int, size: int,
         return jnp.zeros((1, 128), jnp.int8), 0
     r = _bucket(sequences, minimum=128)
     avg = max(1, size // sequences)
-    cap = min(_bucket(4 * avg + 64, minimum=64), _bucket(max_len_cap))
+    # start near the average length: the 4x headroom of the host-side
+    # decode sized a [256, 12.6M] int8 buffer (3.2 GB) for 50 bp reads and
+    # OOMed HBM at 510 Mbp pieces; uneven collections grow via the retry
+    cap = min(_bucket(avg + avg // 4 + 16, minimum=64),
+              _bucket(max_len_cap))
     while True:
         creads0 = jnp.zeros((cap, r), jnp.int8)
         creads, n_over = decode_creads_device(b_idx, creads0)
