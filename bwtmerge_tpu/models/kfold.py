@@ -92,22 +92,33 @@ class _FoldDevice:
             self.targets.append(None)
         return creads
 
-    def dispatch_step(self, k: int, creads, n_reads: int, chars: int):
-        """Summed packed RA of piece k vs pieces 0..k-1, window grids
-        pre-dispatched; returns a stream-capable object.  Pieces beyond one
-        walk program's lane budget split into lane blocks whose sorted
-        streams k-way merge (ops/kfold_jax.summed_packed_parts)."""
-        from ..ops.kfold_jax import summed_packed_parts
+    def step_part_thunks(self, k: int, creads, n_reads: int, chars: int):
+        """Per-lane-block dispatch thunks for step k (piece k vs pieces
+        0..k-1): each thunk, when called, dispatches ONE lane block's
+        walks + pack + window grid and returns a single-part stream.
+
+        Laziness is the HBM control: a 510 Mbp piece's pack is ~4 parts of
+        ~1.3 GB of device planes each, so the drainer calls thunks as its
+        outstanding-part budget frees up instead of holding a whole step's
+        pack (ops/kfold_jax.summed_packed_parts would dispatch them all)."""
+        from ..ops.kfold_jax import summed_packed_part_thunks
         from ..ops.search_jax import BlockedPackedRA, make_block_part
 
         targets = self.targets[:k]
         assert all(t is not None for t in targets)
-        raw = summed_packed_parts(targets, creads, n_reads=n_reads)
         bound = chars + n_reads + 2
-        parts = [make_block_part(dc8, meta, exc4, esc,
-                                 BlockedPackedRA.CHUNK, bound)
-                 for dc8, meta, exc4, esc in raw]
-        return BlockedPackedRA(parts)
+
+        def wrap(thunk):
+            def run():
+                dc8, meta, exc4, esc = thunk()
+                part = make_block_part(dc8, meta, exc4, esc,
+                                       BlockedPackedRA.CHUNK, bound)
+                return BlockedPackedRA([part])
+            return run
+
+        return [wrap(t)
+                for t in summed_packed_part_thunks(targets, creads,
+                                                   n_reads=n_reads)]
 
 
 class _PieceTooLong(Exception):
@@ -461,7 +472,10 @@ class _StepDrainer:
 
         self._dev = dev
         self._n = n_steps
-        self._q = queue.Queue()
+        # maxsize bounds decoded-creads residency: an unbounded queue let
+        # the piece loader run arbitrarily far ahead of the drains and pile
+        # ~0.6 GB of creads per queued 510 Mbp piece into HBM
+        self._q = queue.Queue(maxsize=2)
         self._spills = [None] * n_steps
         self._events = [threading.Event() for _ in range(n_steps)]
         self._error = [None]
@@ -485,18 +499,18 @@ class _StepDrainer:
         if self._error[0] is not None:
             raise self._error[0]
 
-    def _drain(self, i, pack):
+    def _new_spill(self):
         from .spill import RankArraySpill
 
         cfg = self._config
-        spill = RankArraySpill(
+        return RankArraySpill(
             temp_dir=cfg.temp_dir,
             spill_threshold_runs=max(
                 cfg.run_buffer_runs * cfg.merge_buffers, 1 << 20),
             compact_every=max(cfg.thread_buffer_mb * 1024 * 1024 // 16,
                               1024))
-        for v, c in pack.stream():
-            spill.emit(v, c)
+
+    def _finish_step(self, i, spill):
         # force the in-memory tail to disk: a drained-but-unconsumed step
         # must hold O(file handles), not O(threshold) host runs
         spill._compact()
@@ -518,16 +532,28 @@ class _StepDrainer:
         import concurrent.futures as fut
         import threading
 
-        # two drain workers + up to 3 packs outstanding: step i+1's (and
-        # i+2's) walk COMPUTE overlaps steps i-1/i's D2H + host decode +
-        # spill encode, instead of the strictly alternating 2-deep pipeline
-        # that left the device idle for most of each drain
+        # Drain at LANE-BLOCK-PART granularity: a big piece's step is
+        # several ~1.3 GB packed parts, so the HBM bound must be on parts,
+        # not whole packs.  Two drain workers + up to 3 parts outstanding:
+        # later parts'/steps' walk COMPUTE overlaps earlier parts' D2H +
+        # host decode + spill encode.  A step's parts share one spill
+        # accumulator (emit under its lock — parts' value ranges overlap
+        # and the ladder merges them); the step publishes when its last
+        # part drains.
         sem = threading.Semaphore(3)
         pool = fut.ThreadPoolExecutor(2)
 
-        def drain_one(i, pack):
+        def drain_part(i, bp, spill, lock, left):
             try:
-                self._drain(i, pack)
+                for v, c in bp.stream():   # device waits + native decode
+                    with lock:             # per-chunk: decode overlaps emit
+                        spill.emit(v, c)
+                del bp
+                with lock:
+                    left[0] -= 1
+                    last = left[0] == 0
+                if last:
+                    self._finish_step(i, spill)
             except BaseException as e:  # noqa: BLE001
                 self.fail(e)
             finally:
@@ -540,12 +566,19 @@ class _StepDrainer:
                 if meta is None or self._error[0] is not None:
                     return
                 creads, n_reads, chars = meta
-                sem.acquire()
-                pack = self._dev.dispatch_step(i + 1, creads, n_reads,
-                                               chars)
+                thunks = self._dev.step_part_thunks(i + 1, creads, n_reads,
+                                                    chars)
                 del creads
-                futures.append(pool.submit(drain_one, i, pack))
-                del pack
+                spill = self._new_spill()
+                lock = threading.Lock()
+                left = [len(thunks)]
+                for thunk in thunks:
+                    sem.acquire()
+                    bp = thunk()        # dispatches this part's walks
+                    futures.append(pool.submit(drain_part, i, bp, spill,
+                                               lock, left))
+                    del bp
+                del thunks
             for f in futures:
                 f.result()
         except BaseException as e:  # noqa: BLE001 - surface at consumers

@@ -185,13 +185,16 @@ def _summed_block(targets, creads_block, root_count: int):
                            jnp.int32(root_count))
 
 
-def summed_packed_parts(targets, creads, n_reads: int | None = None):
-    """The fold-step search: walk `creads` (piece k's reads, walk layout,
-    one lane per read) through every earlier piece's resident index and
-    return the SUMMED packed rank array as a list of per-lane-block parts
-    [(dc8, meta_exc, exc4, esc)] whose sorted streams k-way merge on the
-    host (each block's lanes are whole reads, so blocks partition the
-    suffix multiset).
+def summed_packed_part_thunks(targets, creads, n_reads: int | None = None):
+    """The fold-step search as LAZY per-lane-block thunks: calling a thunk
+    walks one block of `creads` (piece k's reads, one lane per read)
+    through every earlier piece's resident index and returns that block's
+    SUMMED packed rank array (dc8, meta_exc, exc4, esc).
+
+    Each block's lanes are whole reads, so blocks partition the suffix
+    multiset and the per-block sorted streams k-way merge (or spill-merge)
+    on the host.  Laziness lets the caller bound how many blocks' packed
+    planes are live in HBM at once.
 
     targets: list[PieceIndex] — pieces 0..k-1 in fold order.
     creads: host array (lane-padded here) or a device array already
@@ -217,15 +220,24 @@ def summed_packed_parts(targets, creads, n_reads: int | None = None):
     while max_len * -(-per0 // n_blocks) > MAX_WALK_LANES:
         n_blocks *= 2
     blk_w = _bucket(-(-per0 // n_blocks), minimum=8)
-    parts = []
-    for b in range(0, per0, blk_w):
-        w = min(blk_w, per0 - b)
-        block = jax.lax.slice(creads_dev, (0, b), (max_len, b + w))
-        if w < blk_w:
-            block = jnp.pad(block, ((0, 0), (0, blk_w - w)))
-        live = max(0, min(n_reads - b, w))
-        parts.append(_summed_block(targets, block, live))
-    return parts
+
+    def thunk(b):
+        def run():
+            w = min(blk_w, per0 - b)
+            block = jax.lax.slice(creads_dev, (0, b), (max_len, b + w))
+            if w < blk_w:
+                block = jnp.pad(block, ((0, 0), (0, blk_w - w)))
+            live = max(0, min(n_reads - b, w))
+            return _summed_block(targets, block, live)
+        return run
+
+    return [thunk(b) for b in range(0, per0, blk_w)]
+
+
+def summed_packed_parts(targets, creads, n_reads: int | None = None):
+    """Eager list of per-lane-block packed parts (tests/small pieces)."""
+    return [t() for t in summed_packed_part_thunks(targets, creads,
+                                                   n_reads=n_reads)]
 
 
 def summed_packed_ra(targets, creads, n_reads: int | None = None):
