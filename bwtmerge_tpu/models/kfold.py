@@ -475,7 +475,7 @@ class _StepDrainer:
         # maxsize bounds decoded-creads residency: an unbounded queue let
         # the piece loader run arbitrarily far ahead of the drains and pile
         # ~0.6 GB of creads per queued 510 Mbp piece into HBM
-        self._q = queue.Queue(maxsize=2)
+        self._q = queue.Queue(maxsize=1)
         self._spills = [None] * n_steps
         self._events = [threading.Event() for _ in range(n_steps)]
         self._error = [None]
@@ -540,7 +540,7 @@ class _StepDrainer:
         # accumulator (emit under its lock — parts' value ranges overlap
         # and the ladder merges them); the step publishes when its last
         # part drains.
-        sem = threading.Semaphore(3)
+        sem = threading.Semaphore(2)
         pool = fut.ThreadPoolExecutor(2)
 
         def drain_part(i, bp, spill, lock, left):

@@ -89,6 +89,8 @@ def _cplanes_slab(rec: jax.Array, start: jax.Array, size: int) -> jax.Array:
         rec, (start, jnp.int32(0)), (size, rec.shape[1])))
 
 
+DECODE_SLAB_LANES = 4 * 1024 * 1024   # lanes per decode program
+
 CPLANE_SLAB = 1 << 22   # blocks per cplane program (compile-tested shape;
                         # the one-shot program failed to COMPILE at 15.9M
                         # blocks / 510 Mbp on the remote compile service)
@@ -275,7 +277,8 @@ def _decode_step(b_idx: DeviceFMIndex, p: jax.Array, alive: jax.Array):
 
 
 @jax.jit
-def decode_creads_device(b_idx: DeviceFMIndex, creads0: jax.Array):
+def decode_creads_device(b_idx: DeviceFMIndex, creads0: jax.Array,
+                         lane0: jax.Array = 0):
     """Decode B's reads ON DEVICE into the walk layout.
 
     creads0: int8[max_len_cap, R] zeros (R >= B.sequences(), lane-bucketed).
@@ -287,8 +290,8 @@ def decode_creads_device(b_idx: DeviceFMIndex, creads0: jax.Array):
     result is cached as a sidecar (formats/sidecar.py).
     """
     max_len, r = creads0.shape
-    p0 = jnp.arange(r, dtype=jnp.int32)
-    alive0 = p0 < jnp.minimum(b_idx.C[1], r)   # C[1] = #sequences
+    p0 = jnp.int32(lane0) + jnp.arange(r, dtype=jnp.int32)
+    alive0 = p0 < b_idx.C[1]                   # C[1] = #sequences
 
     def cond(st):
         t, p, alive, creads = st
@@ -326,10 +329,21 @@ def decode_creads_dev(b_idx: DeviceFMIndex, sequences: int, size: int,
     # OOMed HBM at 510 Mbp pieces; uneven collections grow via the retry
     cap = min(_bucket(avg + avg // 4 + 16, minimum=64),
               _bucket(max_len_cap))
+    # decode in LANE SLABS: one [cap, r] program at 12.6M lanes peaks at
+    # ~3 GB of per-step gather temps (rec rows + unpacked symbols), which
+    # collided with outstanding walk parts at the 510 Mbp-piece tier
+    W = min(r, DECODE_SLAB_LANES)
     while True:
-        creads0 = jnp.zeros((cap, r), jnp.int8)
-        creads, n_over = decode_creads_device(b_idx, creads0)
-        if int(n_over) == 0:
+        slabs = []
+        n_over = 0
+        for s0 in range(0, r, W):
+            creads0 = jnp.zeros((cap, W), jnp.int8)
+            sl, ov = decode_creads_device(b_idx, creads0, jnp.int32(s0))
+            n_over += int(ov)      # per-slab sync bounds live temps
+            slabs.append(sl)
+        if n_over == 0:
+            creads = slabs[0] if len(slabs) == 1                 else jnp.concatenate(slabs, axis=1)
+            del slabs
             used = int(np.asarray(_rows_used(creads)))
             used = max(used, 1)
             return jax.lax.slice(creads, (0, 0), (used, r)), sequences
