@@ -162,7 +162,7 @@ def _pack_presorted(vals: jax.Array, n_live: jax.Array,
 # their READ LANES into blocks (lane (t, r) stays a whole suffix, so the
 # per-target lane-wise sum is block-local and the per-block sorted streams
 # k-way merge on the host exactly like sequence blocks).
-MAX_WALK_LANES = 192 * 1024 * 1024
+MAX_WALK_LANES = 96 * 1024 * 1024
 
 
 def _summed_block(targets, creads_block, root_count: int):
