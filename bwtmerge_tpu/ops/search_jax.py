@@ -508,11 +508,14 @@ def wavefront_search_device(a_idx: DeviceFMIndex, b_idx: DeviceFMIndex,
 
 
 EXC_CAP = 8192       # byte-plane exception slots (gap/count > 254)
-EXC4_CAP = 1 << 20   # >254-outlier slots shared by the nibble/q4 planes
-# (12 MB device; only the bucketed used prefix ever crosses the link.
-# Raised 64k -> 1M in round 5: the 1.6 Gbp k-way fold's summed rank
-# arrays measured ~87k >254 gaps per 100M-run step — the fixture suffix
-# space has heavy-tailed gap regions the exponential estimate misses.)
+EXC4_CAP = 1 << 23   # >254-outlier slots shared by the nibble/q4 planes
+# (96 MB device; only the bucketed used prefix ever crosses the link.
+# Raised 64k -> 1M -> 8M in round 5: a sorted-unique stream of n values
+# over a range R has at most R/254/e ~ 6.2M gaps > 254 at the uint32
+# fold ceiling R = 4.29G (x * e^(-254x/R) maximizes at x = R/254), so 8M
+# covers EVERY lane-blocked part of any in-range fold; the 1.6 Gbp fold
+# had already measured ~87k and sparse 96M-lane parts of the 3.77 Gbp
+# tier overflowed 1M.)
 META_ROWS = 4        # byte-plane exc(3 rows) + scalar metadata(1 row)
 
 # 4-bit pair-code table: codes 0-14 name the most frequent (delta, count)
