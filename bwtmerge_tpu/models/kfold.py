@@ -529,19 +529,25 @@ class _StepDrainer:
                   f"{spill.n_spill_files} spill files)", file=sys.stderr)
 
     def _run(self):
-        import concurrent.futures as fut
+        import queue as queue_mod
         import threading
 
         # Drain at LANE-BLOCK-PART granularity: a big piece's step is
-        # several ~1.3 GB packed parts, so the HBM bound must be on parts,
-        # not whole packs.  Two drain workers + up to 3 parts outstanding:
+        # several ~0.8 GB packed parts, so the HBM bound must be on parts,
+        # not whole packs.  Two drain workers + up to 2 parts outstanding:
         # later parts'/steps' walk COMPUTE overlaps earlier parts' D2H +
         # host decode + spill encode.  A step's parts share one spill
         # accumulator (emit under its lock — parts' value ranges overlap
         # and the ladder merges them); the step publishes when its last
         # part drains.
+        #
+        # Workers are plain DAEMON threads, not a ThreadPoolExecutor:
+        # executor threads are non-daemon and joined at interpreter exit,
+        # so a fold that errored left the PROCESS alive forever — with its
+        # jax client still holding HBM, poisoning every later run on the
+        # chip (the round-5 xlarge OOM cascade).
         sem = threading.Semaphore(2)
-        pool = fut.ThreadPoolExecutor(2)
+        work: queue_mod.Queue = queue_mod.Queue()
 
         def drain_part(i, bp, spill, lock, left):
             try:
@@ -559,7 +565,17 @@ class _StepDrainer:
             finally:
                 sem.release()
 
-        futures = []
+        def worker():
+            while True:
+                item = work.get()
+                if item is None:
+                    return
+                drain_part(*item)
+
+        workers = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(2)]
+        for w in workers:
+            w.start()
         try:
             for i in range(self._n):
                 meta = self._q.get()
@@ -574,17 +590,17 @@ class _StepDrainer:
                 left = [len(thunks)]
                 for thunk in thunks:
                     sem.acquire()
+                    if self._error[0] is not None:
+                        return
                     bp = thunk()        # dispatches this part's walks
-                    futures.append(pool.submit(drain_part, i, bp, spill,
-                                               lock, left))
+                    work.put((i, bp, spill, lock, left))
                     del bp
                 del thunks
-            for f in futures:
-                f.result()
         except BaseException as e:  # noqa: BLE001 - surface at consumers
             self.fail(e)
         finally:
-            pool.shutdown(wait=False)
+            for _ in workers:
+                work.put(None)
 
     def ra_stream(self, k: int):
         def gen():
