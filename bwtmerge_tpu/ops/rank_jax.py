@@ -132,6 +132,16 @@ def ensure_d2h_warm() -> "object":
     if _d2h_warm_thread is None:
         import threading
 
+        # initialize the backend ON THIS THREAD first: a first-init racing
+        # between the warm thread and the caller's own first device op
+        # deadlocks inside the platform's get_backend wrapper (observed as
+        # silent full-process stalls on both the CPU mesh and the TPU
+        # attachment — long mistaken for link wedges)
+        try:
+            jax.devices()
+        except Exception:
+            pass
+
         def _warm():
             try:
                 np.asarray(jax.device_put(np.zeros(64, np.uint8)))

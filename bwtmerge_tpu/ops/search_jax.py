@@ -747,8 +747,12 @@ def _pack_planes(v: jax.Array, c: jax.Array, n_u: jax.Array):
 
     exc = jnp.stack([fit(exc_idx, EXC_CAP), fit(exc_delta, EXC_CAP),
                      fit(exc_count, EXC_CAP)])
-    exc4 = jnp.stack([fit(exc4_idx, EXC4_CAP), fit(exc4_delta, EXC4_CAP),
-                      fit(exc4_count, EXC4_CAP)])
+    # the outlier table is emit-cap-adaptive: n_exc4 <= n <= e always fits
+    # a width-e table, so small packs need not pad to the 8M worst-case
+    # (a fixed EXC4_CAP pad cost ~100 MB and minutes of virtual-mesh CPU
+    # compile per tiny program)
+    exc4 = jnp.stack([fit(exc4_idx, k4), fit(exc4_delta, k4),
+                      fit(exc4_count, k4)])
     return dc, exc, exc4, esc2, n_exc, n_exc4, n_esc2
 
 

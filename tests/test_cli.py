@@ -300,6 +300,9 @@ class TestIndexPlacementFlag:
         env = {**os.environ,
                "JAX_PLATFORMS": "cpu",
                "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+        # the child must NOT register the TPU platform hook: the test is
+        # CPU-only, and the hook's backend init needs a live attachment
+        env.pop("PALLAS_AXON_POOL_IPS", None)
         outs = {}
         for placement in ("replicated", "sharded"):
             out = str(tmp_path / f"m_{placement}.sga")
