@@ -791,10 +791,22 @@ def _supervise() -> int:
             return 0
         print(f"# bench attempt {attempt + 1} failed (rc={proc.returncode})",
               file=sys.stderr)
+    # total failure (e.g. the TPU attachment's relay died): report 0 for
+    # THIS run honestly, but keep the committed xlarge-tier records (each
+    # measured on-chip in its own labeled run) attached for reference
+    extra = {"error": "all bench attempts failed (attachment down?)"}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for key, fname in (("xlarge", "XLARGE.json"),
+                       ("xlarge10", "XLARGE10.json"),
+                       ("xlarge3g", "XLARGE3G.json")):
+        try:
+            with open(os.path.join(here, fname)) as f:
+                extra[key] = json.load(f)
+        except Exception:
+            pass
     print(json.dumps({"metric": "rank-array phase merge throughput",
                       "value": 0.0, "unit": "Mbases/s/chip",
-                      "vs_baseline": 0.0,
-                      "extra": {"error": "all bench attempts failed"}}))
+                      "vs_baseline": 0.0, "extra": extra}))
     return 1
 
 
