@@ -136,3 +136,29 @@ def test_roundtrip_through_reference(tmp_path, rng, ref_bins):
     subprocess.run([ref_bins["bwt_convert"], "-i", "native", "-o", "sga",
                     ours_native, back], check=True, capture_output=True)
     assert open(back, "rb").read() == open(paths[0], "rb").read()
+
+
+def test_deep_kway_merge_byte_identical(tmp_path, rng, ref_bins):
+    # 5 inputs, mixed content sizes, native output — the reference left
+    # fold vs our pairwise-decomposition fold, byte for byte
+    paths, _ = _write_pieces(tmp_path, rng, 5, reads=18, max_len=35)
+    ref_out = str(tmp_path / "ref5.native")
+    our_out = str(tmp_path / "ours5.native")
+    subprocess.run([ref_bins["bwt_merge"], "-i", "sga", "-o", "native"]
+                   + paths + [ref_out], check=True, capture_output=True)
+    _ours(paths + [our_out, "-i", "sga", "-o", "native", "--quiet",
+                   "--backend", "jax", "--fold", "kway",
+                   "-d", str(tmp_path)])
+    assert open(ref_out, "rb").read() == open(our_out, "rb").read()
+
+
+def test_low_memory_chain_matches_reference(tmp_path, rng, ref_bins):
+    paths, _ = _write_pieces(tmp_path, rng, 3)
+    ref_out = str(tmp_path / "refl.sga")
+    our_out = str(tmp_path / "oursl.sga")
+    subprocess.run([ref_bins["bwt_merge"], "-i", "sga", "-o", "sga"]
+                   + paths + [ref_out], check=True, capture_output=True)
+    _ours(paths + [our_out, "-i", "sga", "-o", "sga", "--quiet",
+                   "--backend", "jax", "--low-memory", "--fold", "chain",
+                   "-d", str(tmp_path)])
+    assert open(ref_out, "rb").read() == open(our_out, "rb").read()
